@@ -1,0 +1,18 @@
+package graft
+
+import graft.parse.JsonFindNumbers
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extensions mounting the engine's custom Catalyst pieces.
+  * Enable with .config("spark.sql.extensions", "graft.GraftExtensions").
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(JsonFindNumbers.fnName),
+      new ExpressionInfo(classOf[JsonFindNumbers].getName, JsonFindNumbers.fnName),
+      (exprs: Seq[Expression]) => JsonFindNumbers(exprs(0), exprs(1), exprs(2))))
+  }
+}

@@ -91,7 +91,10 @@ object SparkEntry {
 
   // ---- the registry ----
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ graft.registry.QueriesB.queries ++ graft.registry.QueriesParse.queries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1: table scan with predicate.
     "q_a01_scan_filter" -> ((s, dir) => {
       TestTables.lineitem(s, dir)
@@ -282,7 +285,10 @@ object SparkEntry {
   /** DuckDB-dialect oracle for each query above. Column aliases match the
     * Spark side exactly (the driver sorts columns by name before hashing).
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    baseOracleSql ++ graft.registry.QueriesB.oracleSql ++ graft.registry.QueriesParse.oracleSql
+
+  private def baseOracleSql: Map[String, String] = Map(
     "q_a01_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, CAST(l_shipdate AS DATE) AS ship_date
         |FROM lineitem WHERE l_returnflag = 'R' AND l_linestatus = 'F'

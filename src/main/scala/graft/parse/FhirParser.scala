@@ -1,0 +1,176 @@
+package graft.parse
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** FHIR CoverageEligibilityResponse parsing re-expressed with
+  * `from_json` + higher-order functions (reference
+  * src/eligibility.py:409-544 `extract_outcome`/`extract_code`/
+  * `extract_note`, and the structured benefit-type money extraction of
+  * src/lch_eligibility.py:207-244). Everything here is a pure Column
+  * program: it stays inside Catalyst, vectorizes, and never leaves the
+  * executor — no UDF, no driver loop, no re-parse per field (parse once
+  * with `parsed`, then navigate the struct).
+  *
+  * The payer-variable parts of the bundle are intentionally NOT in the
+  * schema; the raw string is kept and `JsonFindNumbers` (custom
+  * expression) or get_json_object handles payer-specific drift
+  * (SURVEY.md §7.5.5: parse permissively, never fail a batch on one
+  * malformed bundle).
+  */
+object FhirParser {
+
+  val codingType: ArrayType = ArrayType(StructType(Seq(
+    StructField("code", StringType),
+    StructField("display", StringType),
+    StructField("system", StringType))))
+
+  val benefitType: StructType = StructType(Seq(
+    StructField("type", StructType(Seq(StructField("coding", codingType)))),
+    StructField("allowedMoney", StructType(Seq(
+      StructField("value", DoubleType),
+      StructField("currency", StringType))))))
+
+  private val extensionType = ArrayType(StructType(Seq(
+    StructField("url", StringType),
+    StructField("valueCodeableConcept", StructType(Seq(StructField("coding", codingType)))))))
+
+  private val errorType = ArrayType(StructType(Seq(
+    StructField("code", StructType(Seq(StructField("coding", codingType)))))))
+
+  private val itemType = ArrayType(StructType(Seq(
+    StructField("name", StringType),
+    StructField("benefit", ArrayType(benefitType)))))
+
+  private val insuranceType = ArrayType(StructType(Seq(
+    StructField("inforce", BooleanType),
+    StructField("item", itemType))))
+
+  private val resourceType = StructType(Seq(
+    StructField("resourceType", StringType),
+    StructField("outcome", StringType),
+    StructField("disposition", StringType),
+    StructField("extension", extensionType),
+    StructField("error", errorType),
+    StructField("insurance", insuranceType)))
+
+  val bundleSchema: StructType = StructType(Seq(
+    StructField("status", StringType),
+    StructField("message", StringType),
+    StructField("response", StructType(Seq(
+      StructField("entry", ArrayType(StructType(Seq(
+        StructField("resource", resourceType))))))))))
+
+  /** Parse the raw bundle string once; keep permissive mode so malformed
+    * payloads produce nulls (error-as-value), never a failed batch.
+    */
+  def parsed(raw: Column): Column = from_json(raw, bundleSchema)
+
+  /** The CoverageEligibilityResponse resource (first matching entry). */
+  def responseResource(bundle: Column): Column =
+    element_at(
+      filter(bundle.getField("response").getField("entry"),
+        e => e.getField("resource").getField("resourceType") === "CoverageEligibilityResponse"),
+      1).getField("resource")
+
+  /** extract_outcome (src/eligibility.py:409-441): "complete" →
+    * "Complete"; transport error status → "ERROR"; absent → "Null".
+    */
+  def outcome(bundle: Column): Column = {
+    val res = responseResource(bundle)
+    when(bundle.getField("status") === "error", "ERROR")
+      .when(res.getField("outcome") === "complete", "Complete")
+      .when(res.getField("outcome").isNotNull, initcap(res.getField("outcome")))
+      .otherwise("Null")
+  }
+
+  /** extract_code (src/eligibility.py:444-484): the siteEligibility
+    * extension's first coding code — e.g. "eligible".
+    */
+  def siteEligibility(bundle: Column): Column = {
+    val ext = element_at(
+      filter(responseResource(bundle).getField("extension"),
+        e => e.getField("url").endsWith("extension-siteEligibility")),
+      1)
+    element_at(ext.getField("valueCodeableConcept").getField("coding"), 1).getField("code")
+  }
+
+  /** extract_note (src/eligibility.py:487-544): disposition when present,
+    * else first error coding "code: display", else transport message.
+    */
+  def note(bundle: Column): Column = {
+    val res = responseResource(bundle)
+    val err = element_at(
+      element_at(res.getField("error"), 1).getField("code").getField("coding"), 1)
+    coalesce(
+      res.getField("disposition"),
+      // concat_ws of all-null args is "" (not null) — nullif keeps the
+      // coalesce chain falling through to the transport message.
+      nullif(concat_ws(": ", err.getField("code"), err.getField("display")), lit("")),
+      bundle.getField("message"))
+  }
+
+  /** Structured benefit lookup (the lch_eligibility.py:207-244 form):
+    * first benefit across all insurance items whose type coding contains
+    * `code` → allowedMoney.value. flatten+filter stays a single codegen
+    * stage; no explode, no shuffle.
+    */
+  def benefitValue(bundle: Column, code: String): Column = {
+    val items = flatten(transform(responseResource(bundle).getField("insurance"), i => i.getField("item")))
+    val benefits = flatten(transform(items, i => i.getField("benefit")))
+    element_at(
+      filter(benefits, b => exists(b.getField("type").getField("coding"), c => c.getField("code") === code)),
+      1).getField("allowedMoney").getField("value")
+  }
+
+  /** Bupa-style lookup: only items named "Approval limit" participate
+    * (src/eligibility.py:595-610).
+    */
+  def namedItemBenefitValue(bundle: Column, itemName: String, code: String): Column = {
+    val items = flatten(transform(responseResource(bundle).getField("insurance"), i => i.getField("item")))
+    val named = filter(items, i => i.getField("name") === itemName)
+    val benefits = flatten(transform(named, i => i.getField("benefit")))
+    element_at(
+      filter(benefits, b => exists(b.getField("type").getField("coding"), c => c.getField("code") === code)),
+      1).getField("allowedMoney").getField("value")
+  }
+
+  /** Payer dispatch (src/eligibility.py:547-610): choose the extraction
+    * strategy from the payer URL. Tawuniya's "first two allowedMoney
+    * values anywhere in the document" needs the recursive scan —
+    * JsonFindNumbers, the custom expression.
+    */
+  def approvalLimit(raw: Column, payerUrl: Column): Column = {
+    val b = parsed(raw)
+    when(payerUrl.contains("tawuniya"), element_at(JsonFindNumbers.of(raw, "allowedMoney", "value"), 1))
+      .when(payerUrl.contains("bupa"), namedItemBenefitValue(b, "Approval limit", "approval-limit"))
+      .otherwise(benefitValue(b, "approval-limit"))
+  }
+
+  def copayMaximum(raw: Column, payerUrl: Column): Column = {
+    val b = parsed(raw)
+    when(payerUrl.contains("tawuniya"), element_at(JsonFindNumbers.of(raw, "allowedMoney", "value"), 2))
+      .when(payerUrl.contains("bupa"), namedItemBenefitValue(b, "Approval limit", "copay-maximum"))
+      .otherwise(benefitValue(b, "copay-maximum"))
+  }
+
+  // ---- Beneficiary (Iqama) response shape, src/eligibility.py:179-204 ----
+
+  val beneficiarySchema: StructType = StructType(Seq(
+    StructField("response", StructType(Seq(
+      StructField("ApiStatus", StringType),
+      StructField("Insurance", ArrayType(MapType(StringType, StringType))))))))
+
+  /** C8: ApiStatus=="Success" → Insurance[0] (a loose field map),
+    * plus an api_status tag column.
+    */
+  def insuranceData(raw: Column): Column = {
+    val b = from_json(raw, beneficiarySchema)
+    when(b.getField("response").getField("ApiStatus") === "Success",
+      element_at(b.getField("response").getField("Insurance"), 1))
+  }
+
+  def apiStatus(raw: Column): Column =
+    coalesce(from_json(raw, beneficiarySchema).getField("response").getField("ApiStatus"), lit("Fail"))
+}

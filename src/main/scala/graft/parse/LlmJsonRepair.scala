@@ -1,0 +1,109 @@
+package graft.parse
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+import scala.util.matching.Regex
+
+/** Repair + validation of LLM JSON output — pure Scala, used inside the
+  * enrichment operators (never on the driver). Re-expresses the
+  * reference's 5-strategy extraction ladder
+  * (src/predictions.py:133-198 `clean_llm_json`, and
+  * src/predictions_openrouter.py:217-292 `extract_json_from_response`):
+  *   1. direct parse,
+  *   2. fenced ```json block,
+  *   3. first balanced {...} substring (string-aware brace matching),
+  *   4. regex "key": "value" pair scraping,
+  *   5. empty map.
+  * Plus the validators: comma-joined keys are split
+  * (src/predictions.py:168-178 `validate_keys`) and entries whose reason
+  * claims approval are dropped (src/predictions.py:179-191
+  * `validate_outcome`).
+  */
+object LlmJsonRepair {
+
+  private val mapper = new ObjectMapper()
+
+  /** Strip markdown code fences (``` or ```json). */
+  def cleanFences(s: String): String = {
+    val t = s.trim
+    val fenced = "(?s)```(?:json)?\\s*(.*?)\\s*```".r
+    fenced.findFirstMatchIn(t).map(_.group(1)).getOrElse(t)
+  }
+
+  private def tryParse(s: String): Option[JsonNode] =
+    try {
+      val n = mapper.readTree(s)
+      if (n != null && n.isObject) Some(n) else None
+    } catch { case _: Exception => None }
+
+  /** First balanced top-level {...} substring, respecting quoted strings
+    * and escapes.
+    */
+  def firstBalancedObject(s: String): Option[String] = {
+    val start = s.indexOf('{')
+    if (start < 0) return None
+    var depth = 0
+    var inString = false
+    var escaped = false
+    var i = start
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inString) {
+        if (escaped) escaped = false
+        else if (c == '\\') escaped = true
+        else if (c == '"') inString = false
+      } else c match {
+        case '"' => inString = true
+        case '{' => depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0) return Some(s.substring(start, i + 1))
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  private val pairRegex: Regex = """"([^"]+)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+
+  /** Scrape "key": "value" pairs as a last-resort flat object. */
+  def scrapePairs(s: String): Map[String, String] =
+    pairRegex.findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap
+
+  /** The 5-strategy ladder. `field` selects a nested object to return
+    * (e.g. "Rejected" or "Justifications"); empty field = whole object.
+    */
+  def extract(raw: String, field: String = ""): Map[String, String] = {
+    if (raw == null) return Map.empty
+    val candidates: LazyList[Option[JsonNode]] = LazyList(
+      tryParse(raw),
+      tryParse(cleanFences(raw)),
+      firstBalancedObject(raw).flatMap(tryParse))
+    val parsed = candidates.flatten.headOption
+    val node = parsed.map { n =>
+      if (field.nonEmpty && n.has(field) && n.get(field).isObject) n.get(field) else n
+    }
+    node match {
+      case Some(n) =>
+        n.properties().asScala.collect {
+          case e if e.getValue.isValueNode => e.getKey -> e.getValue.asText()
+        }.toMap
+      case None =>
+        val scraped = scrapePairs(raw)
+        if (scraped.nonEmpty) scraped else Map.empty
+    }
+  }
+
+  /** Split comma-joined keys: {"123,456": r} → {"123": r, "456": r}. */
+  def validateKeys(m: Map[String, String]): Map[String, String] =
+    m.flatMap { case (k, v) => k.split(",").map(_.trim).filter(_.nonEmpty).map(_ -> v) }
+
+  /** Drop entries whose reason says the service is approved. */
+  def validateOutcome(m: Map[String, String]): Map[String, String] =
+    m.filterNot { case (_, v) => v != null && v.toLowerCase.contains("approved") }
+
+  /** Full pipeline: extract → split keys → outcome filter. */
+  def repair(raw: String, field: String = ""): Map[String, String] =
+    validateOutcome(validateKeys(extract(raw, field)))
+}

@@ -1,0 +1,326 @@
+package graft.registry
+
+import graft.ops.ColumnOps
+import graft.tables.TestTables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Registry: the pandas-dataflow operator surface (SURVEY.md §2.B) as
+  * oracle-checked queries. The test tables have no natural NULLs, so
+  * several queries synthesize them with nullif() — identically on both
+  * engines — to exercise real null semantics.
+  */
+object QueriesB {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B7: conditional column assignment (1680/1658 business rules).
+    "q_b07_conditional_assign" -> ((s, dir) => {
+      val base = TestTables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_linenumber") === 1, "1680 ")
+            .when(col("l_linenumber") === 2, "1658 ")
+            .otherwise(col("l_returnflag")).as("note"),
+          when(col("l_quantity") > 25, "eligible").otherwise(lit(null: String)).as("class"))
+      ColumnOps.applyClassRules(base, "note", "class")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("note"), col("class"))
+    }),
+
+    // B8: keep-last dedup over an explicit order (pandas keep="last").
+    "q_b08_dedup_keep_last" -> ((s, dir) =>
+      ColumnOps.dedupKeepLast(TestTables.lineitem(s, dir),
+          keys = Seq("l_orderkey", "l_partkey"),
+          order = Seq(col("l_shipdate"), col("l_linenumber")))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"), col("l_shipdate"))
+        .orderBy(col("l_orderkey"), col("l_partkey"))),
+
+    // B8 variant: keep-first (outpatient duplicate-services rule).
+    "q_b08_dedup_keep_first" -> ((s, dir) =>
+      ColumnOps.dedupKeepFirst(TestTables.lineitem(s, dir),
+          keys = Seq("l_orderkey", "l_partkey"),
+          order = Seq(col("l_shipdate"), col("l_linenumber")))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"), col("l_shipdate"))
+        .orderBy(col("l_orderkey"), col("l_partkey"))),
+
+    // B9: null-row drop, any-null semantics (pandas dropna()).
+    "q_b09_dropna_any" -> ((s, dir) =>
+      TestTables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          nullif(col("l_returnflag"), lit("N")).as("flag"),
+          nullif(col("l_linestatus"), lit("F")).as("status"))
+        .na.drop("any")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // B10: null coalesce across column pairs (name_conflict repair).
+    "q_b10_name_conflict" -> ((s, dir) => {
+      val base = TestTables.customer(s, dir)
+        .select(col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("segment"),
+          col("c_name").as("segment_alt"))
+      ColumnOps.nameConflict(base, Seq("segment" -> "segment_alt"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // B11: fill-null with constant (fillna("Approved")).
+    "q_b11_fillna" -> ((s, dir) =>
+      TestTables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          nullif(col("l_returnflag"), lit("R")).as("prediction"))
+        .na.fill(Map("prediction" -> "Approved"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // B12: left equi-join merge (predictions ↔ claims on service id).
+    "q_b12_left_merge" -> ((s, dir) => {
+      val li = TestTables.lineitem(s, dir); val p = TestTables.part(s, dir)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "left")
+        .select(col("l_orderkey"), col("l_linenumber"), col("p_name"), col("p_retailprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("p_name"))
+    }),
+
+    // B14: vertical concat / batch accumulation via unionByName.
+    "q_b14_union_batches" -> ((s, dir) => {
+      val o = TestTables.orders(s, dir)
+      val b1 = o.filter(col("o_orderkey") % 3 === 0)
+      val b2 = o.filter(col("o_orderkey") % 3 === 1)
+      val b3 = o.filter(col("o_orderkey") % 3 === 2)
+      b1.unionByName(b2).unionByName(b3)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // B15: distinct non-null values of one column.
+    "q_b15_distinct_values" -> ((s, dir) =>
+      TestTables.lineitem(s, dir)
+        .select(nullif(col("l_partkey") % 100, lit(0)).as("iqama_no"))
+        .na.drop().distinct()
+        .orderBy(col("iqama_no"))),
+
+    // B17: group counts, top-10 (value_counts().head(10)).
+    "q_b17_top_counts" -> ((s, dir) =>
+      TestTables.events(s, dir)
+        .groupBy(col("event_type")).count()
+        .orderBy(col("count").desc, col("event_type"))
+        .limit(10)),
+
+    // B18: per-group null test (auto-reject visits with any null ICD10).
+    "q_b18_group_nulltest" -> ((s, dir) =>
+      TestTables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(max(when(nullif(col("l_returnflag"), lit("N")).isNull, 1).otherwise(0)).as("has_null_dx"))
+        .orderBy(col("l_orderkey"))),
+
+    // B19: set difference — ids dropped by dedup (duplicated services).
+    "q_b19_set_difference" -> ((s, dir) => {
+      val li = TestTables.lineitem(s, dir)
+        .withColumn("service_uid", col("l_orderkey") * 10 + col("l_linenumber"))
+      val kept = ColumnOps.dedupKeepFirst(li, Seq("l_orderkey", "l_partkey"),
+        Seq(col("l_shipdate"), col("l_linenumber"), col("service_uid")))
+      li.select(col("service_uid")).except(kept.select(col("service_uid")))
+        .orderBy(col("service_uid"))
+    }),
+
+    // B21: multi-format date normalization (change_date).
+    "q_b21_date_norm" -> ((s, dir) => {
+      val raw = TestTables.orders(s, dir)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0, date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+            .when(col("o_orderkey") % 3 === 1, date_format(col("o_orderdate"), "MM/dd/yyyy"))
+            .otherwise(date_format(col("o_orderdate"), "dd-MM-yyyy")).as("raw_date"))
+      raw.select(col("o_orderkey"), col("raw_date"),
+          ColumnOps.dateNorm(col("raw_date"), Seq("yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd", "M/d/yyyy", "d-M-yyyy")).as("norm_date"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // B23/B24: numeric coercion via try_cast (errors="coerce").
+    "q_b23_try_cast" -> ((s, dir) =>
+      TestTables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_linenumber") % 3 === 0, concat(col("l_partkey").cast("string"), lit("x")))
+            .otherwise(col("l_partkey").cast("string")).as("raw_id"))
+        .withColumn("coerced_id", ColumnOps.tryCastLong(col("raw_id")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("raw_id"))),
+
+    // B26: nested-struct expansion — from_json(props).k (apply(pd.Series)).
+    "q_b26_struct_expand" -> ((s, dir) =>
+      TestTables.events(s, dir)
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))
+            .getField("k").as("prop_k"))
+        .orderBy(col("event_id"))),
+
+    // B29: first-row-per-group projection (iloc[0] per visit).
+    "q_b29_first_per_group" -> ((s, dir) =>
+      TestTables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          min_by(col("l_partkey"), struct(col("l_shipdate"), col("l_linenumber"), col("l_partkey"))).as("first_partkey"),
+          min(col("l_shipdate")).as("first_shipdate"))
+        .orderBy(col("l_orderkey"))),
+
+    // B30: limit/head sample.
+    "q_b30_head" -> ((s, dir) =>
+      TestTables.orders(s, dir)
+        .orderBy(col("o_orderkey")).limit(10)
+        .select(col("o_orderkey"), col("o_orderstatus"))),
+
+    // D5/D6: constant tagging + deterministic insertion stamp.
+    "q_d5_d6_stamping" -> ((s, dir) => {
+      val o = TestTables.orders(s, dir)
+      val hi = o.agg(max(col("o_orderdate")).as("__hi"))
+      o.join(broadcast(hi))
+        .select(col("o_orderkey"), lit("SNB").as("bu"),
+          date_format(col("__hi"), "yyyy-MM-dd HH:mm").as("insertion_date"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // E1: the quality-gate metric (null-class ratio excluding note 1660).
+    "q_e1_quality_gate" -> ((s, dir) => {
+      val scored = TestTables.lineitem(s, dir)
+        .select(
+          when(col("l_linenumber") === 3, "1660 TPA")
+            .otherwise(col("l_returnflag")).as("note"),
+          when(col("l_quantity") > 25, "eligible").otherwise(lit(null: String)).as("class"))
+      scored.agg(
+          count(lit(1)).as("total_rows"),
+          sum(when(col("class").isNull && col("note") =!= "1660 TPA", 1).otherwise(0)).as("invalid_rows"))
+        .withColumn("invalid_ratio", col("invalid_rows").cast("double") / col("total_rows").cast("double"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_b07_conditional_assign" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_linenumber = 1 THEN '1680 ' WHEN l_linenumber = 2 THEN '1658 '
+        |         ELSE l_returnflag END AS note,
+        |    CASE WHEN l_quantity > 25 THEN 'eligible' ELSE NULL END AS class
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, note,
+        |  CASE WHEN note = '1680 ' AND class IS NULL THEN 'out-network'
+        |       WHEN note = '1658 ' AND class IS NULL THEN 'not-active'
+        |       ELSE class END AS class
+        |FROM base ORDER BY l_orderkey, l_linenumber, note, class""".stripMargin,
+
+    "q_b08_dedup_keep_last" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber, l_shipdate FROM (
+        |  SELECT l_orderkey, l_partkey, l_linenumber, l_shipdate,
+        |    row_number() OVER (PARTITION BY l_orderkey, l_partkey
+        |                       ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
+        |  FROM lineitem) t WHERE rn = 1
+        |ORDER BY l_orderkey, l_partkey""".stripMargin,
+
+    "q_b08_dedup_keep_first" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber, l_shipdate FROM (
+        |  SELECT l_orderkey, l_partkey, l_linenumber, l_shipdate,
+        |    row_number() OVER (PARTITION BY l_orderkey, l_partkey
+        |                       ORDER BY l_shipdate ASC, l_linenumber ASC) AS rn
+        |  FROM lineitem) t WHERE rn = 1
+        |ORDER BY l_orderkey, l_partkey""".stripMargin,
+
+    "q_b09_dropna_any" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  nullif(l_returnflag, 'N') AS flag, nullif(l_linestatus, 'F') AS status
+        |FROM lineitem
+        |WHERE nullif(l_returnflag, 'N') IS NOT NULL AND nullif(l_linestatus, 'F') IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_b10_name_conflict" ->
+      """SELECT c_custkey, coalesce(nullif(c_mktsegment, 'BUILDING'), c_name) AS segment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_b11_fillna" ->
+      """SELECT l_orderkey, l_linenumber, coalesce(nullif(l_returnflag, 'R'), 'Approved') AS prediction
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_b12_left_merge" ->
+      """SELECT l_orderkey, l_linenumber, p_name, p_retailprice
+        |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber, p_name""".stripMargin,
+
+    "q_b14_union_batches" ->
+      """SELECT o_orderkey, o_totalprice FROM (
+        |  SELECT * FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL SELECT * FROM orders WHERE o_orderkey % 3 = 1
+        |  UNION ALL SELECT * FROM orders WHERE o_orderkey % 3 = 2) u
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_b15_distinct_values" ->
+      """SELECT DISTINCT nullif(l_partkey % 100, 0) AS iqama_no FROM lineitem
+        |WHERE nullif(l_partkey % 100, 0) IS NOT NULL ORDER BY iqama_no""".stripMargin,
+
+    "q_b17_top_counts" ->
+      """SELECT event_type, count(*) AS count FROM events
+        |GROUP BY event_type ORDER BY count DESC, event_type LIMIT 10""".stripMargin,
+
+    "q_b18_group_nulltest" ->
+      """SELECT l_orderkey,
+        |  max(CASE WHEN nullif(l_returnflag, 'N') IS NULL THEN 1 ELSE 0 END) AS has_null_dx
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q_b19_set_difference" ->
+      """WITH uid AS (
+        |  SELECT l.*, l_orderkey * 10 + l_linenumber AS service_uid FROM lineitem l),
+        |kept AS (
+        |  SELECT service_uid FROM (
+        |    SELECT service_uid, row_number() OVER (PARTITION BY l_orderkey, l_partkey
+        |      ORDER BY l_shipdate ASC, l_linenumber ASC, service_uid ASC) AS rn
+        |    FROM uid) t WHERE rn = 1)
+        |SELECT service_uid FROM uid EXCEPT SELECT service_uid FROM kept
+        |ORDER BY service_uid""".stripMargin,
+
+    "q_b21_date_norm" ->
+      """WITH raw AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+        |         WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%m/%d/%Y')
+        |         ELSE strftime(o_orderdate, '%d-%m-%Y') END AS raw_date
+        |  FROM orders)
+        |SELECT o_orderkey, raw_date,
+        |  strftime(coalesce(
+        |    try_strptime(raw_date, '%Y-%m-%d %H:%M:%S'),
+        |    try_strptime(raw_date, '%Y-%m-%d'),
+        |    try_strptime(raw_date, '%m/%d/%Y'),
+        |    try_strptime(raw_date, '%d-%m-%Y')), '%Y-%m-%d') AS norm_date
+        |FROM raw ORDER BY o_orderkey""".stripMargin,
+
+    "q_b23_try_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_linenumber % 3 = 0 THEN CAST(l_partkey AS VARCHAR) || 'x'
+        |       ELSE CAST(l_partkey AS VARCHAR) END AS raw_id,
+        |  try_cast(CASE WHEN l_linenumber % 3 = 0 THEN CAST(l_partkey AS VARCHAR) || 'x'
+        |       ELSE CAST(l_partkey AS VARCHAR) END AS BIGINT) AS coerced_id
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, raw_id""".stripMargin,
+
+    "q_b26_struct_expand" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_b29_first_per_group" ->
+      """SELECT l_orderkey, first_partkey, first_shipdate FROM (
+        |  SELECT l_orderkey, l_partkey AS first_partkey,
+        |    min(l_shipdate) OVER (PARTITION BY l_orderkey) AS first_shipdate,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_shipdate ASC, l_linenumber ASC, l_partkey ASC) AS rn
+        |  FROM lineitem) t WHERE rn = 1
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "q_b30_head" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 10""".stripMargin,
+
+    "q_d5_d6_stamping" ->
+      """SELECT o_orderkey, 'SNB' AS bu,
+        |  strftime((SELECT max(o_orderdate) FROM orders), '%Y-%m-%d %H:%M') AS insertion_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_e1_quality_gate" ->
+      """WITH scored AS (
+        |  SELECT CASE WHEN l_linenumber = 3 THEN '1660 TPA' ELSE l_returnflag END AS note,
+        |         CASE WHEN l_quantity > 25 THEN 'eligible' ELSE NULL END AS class
+        |  FROM lineitem)
+        |SELECT count(*) AS total_rows,
+        |  CAST(sum(CASE WHEN class IS NULL AND note <> '1660 TPA' THEN 1 ELSE 0 END) AS BIGINT) AS invalid_rows,
+        |  CAST(sum(CASE WHEN class IS NULL AND note <> '1660 TPA' THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS invalid_ratio
+        |FROM scored""".stripMargin,
+  )
+}

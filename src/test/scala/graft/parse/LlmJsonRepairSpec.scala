@@ -1,0 +1,52 @@
+package graft.parse
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class LlmJsonRepairSpec extends AnyFunSuite {
+
+  test("strategy 1: direct parse") {
+    assert(LlmJsonRepair.extract("""{"Rejected": {"123": "not medically necessary"}}""", "Rejected")
+      == Map("123" -> "not medically necessary"))
+  }
+
+  test("strategy 2: fenced block") {
+    val raw = "Here is the result:\n```json\n{\"Rejected\": {\"42\": \"duplicate service\"}}\n```\nDone."
+    assert(LlmJsonRepair.extract(raw, "Rejected") == Map("42" -> "duplicate service"))
+  }
+
+  test("strategy 3: balanced-brace substring") {
+    val raw = """The answer is {"77": "excluded by policy"} as shown above"""
+    assert(LlmJsonRepair.extract(raw) == Map("77" -> "excluded by policy"))
+  }
+
+  test("strategy 3 respects braces inside strings") {
+    val raw = """x {"a": "open { brace", "b": "close } brace"} y"""
+    assert(LlmJsonRepair.extract(raw) == Map("a" -> "open { brace", "b" -> "close } brace"))
+  }
+
+  test("strategy 4: pair scraping on truncated json") {
+    val raw = """{"101": "missing diagnosis", "102": "not covered" ...truncated"""
+    val out = LlmJsonRepair.extract(raw)
+    assert(out == Map("101" -> "missing diagnosis", "102" -> "not covered"))
+  }
+
+  test("strategy 5: empty fallback") {
+    assert(LlmJsonRepair.extract("I cannot help with that.") == Map.empty)
+    assert(LlmJsonRepair.extract(null) == Map.empty)
+  }
+
+  test("validateKeys splits comma-joined ids") {
+    assert(LlmJsonRepair.validateKeys(Map("123,456" -> "r", "7" -> "s"))
+      == Map("123" -> "r", "456" -> "r", "7" -> "s"))
+  }
+
+  test("validateOutcome drops reasons that say approved") {
+    assert(LlmJsonRepair.validateOutcome(Map("1" -> "This service is Approved", "2" -> "rejected: no auth"))
+      == Map("2" -> "rejected: no auth"))
+  }
+
+  test("full repair pipeline") {
+    val raw = "```json\n{\"Rejected\": {\"1,2\": \"dup service\", \"3\": \"actually approved\"}}\n```"
+    assert(LlmJsonRepair.repair(raw, "Rejected") == Map("1" -> "dup service", "2" -> "dup service"))
+  }
+}
