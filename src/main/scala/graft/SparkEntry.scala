@@ -92,7 +92,8 @@ object SparkEntry {
   // ---- the registry ----
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries ++ graft.registry.QueriesB.queries ++ graft.registry.QueriesParse.queries
+    baseQueries ++ graft.registry.QueriesB.queries ++ graft.registry.QueriesParse.queries ++
+      graft.registry.QueriesEnrich.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1: table scan with predicate.
@@ -286,7 +287,8 @@ object SparkEntry {
     * Spark side exactly (the driver sorts columns by name before hashing).
     */
   def oracleSql: Map[String, String] =
-    baseOracleSql ++ graft.registry.QueriesB.oracleSql ++ graft.registry.QueriesParse.oracleSql
+    baseOracleSql ++ graft.registry.QueriesB.oracleSql ++ graft.registry.QueriesParse.oracleSql ++
+      graft.registry.QueriesEnrich.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "q_a01_scan_filter" ->

@@ -1,0 +1,122 @@
+package graft.enrich
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.util.LongAccumulator
+
+/** The enrichment engine (SURVEY.md §2.C): side-effecting per-row calls
+  * as an explicit, Catalyst-opaque mapPartitions stage.
+  *
+  * Design constraints it encodes (SURVEY §7.5.2-3):
+  *  - explicit parallelism: the stage repartitions to `parallelism`
+  *    (global rate budget / partition — NOT the session shuffle
+  *    default, which would make per-partition rate meaningless);
+  *  - per-partition token-bucket rate limiting (global limit / N);
+  *  - bounded retries with backoff inside the partition;
+  *  - error-as-value: failures become (status, message) columns, the
+  *    batch never dies;
+  *  - cost accounting via LongAccumulators (C10);
+  *  - the output should be materialized (checkpoint/write) by callers
+  *    before wide downstream reuse so lineage recomputation can't
+  *    re-fire calls.
+  */
+object EnrichOperator {
+
+  final case class Config(
+      parallelism: Int = 8,
+      maxAttempts: Int = 2,
+      backoffMs: Long = 0L,
+      ratePerSecPerPartition: Double = 0.0) // 0 = unthrottled
+
+  final case class Metrics(
+      calls: LongAccumulator,
+      failures: LongAccumulator,
+      promptTokens: LongAccumulator,
+      completionTokens: LongAccumulator)
+
+  object Metrics {
+    def apply(df: DataFrame, name: String): Metrics = {
+      val sc = df.sparkSession.sparkContext
+      Metrics(
+        sc.longAccumulator(s"$name.calls"),
+        sc.longAccumulator(s"$name.failures"),
+        sc.longAccumulator(s"$name.promptTokens"),
+        sc.longAccumulator(s"$name.completionTokens"))
+    }
+  }
+
+  /** Enrich `df` by calling `client(payloadCol)` once per row. Appends
+    * `status` ("ok"/"error"), `response` (body or null) and `message`
+    * (error or null). Row order within partitions is preserved; the
+    * repartition is the only shuffle.
+    */
+  def enrich(df: DataFrame, payloadCol: String, makeClient: () => ServiceClient,
+             cfg: Config = Config(), metrics: Option[Metrics] = None): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("status", StringType),
+      StructField("response", StringType),
+      StructField("message", StringType)))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val enc = Encoders.row(outSchema)
+    df.repartition(cfg.parallelism).mapPartitions { rows =>
+      val client = makeClient()
+      val minIntervalNs =
+        if (cfg.ratePerSecPerPartition > 0) (1e9 / cfg.ratePerSecPerPartition).toLong else 0L
+      var nextAllowedNs = 0L
+      rows.map { row =>
+        if (minIntervalNs > 0) {
+          val now = System.nanoTime()
+          if (now < nextAllowedNs) Thread.sleep((nextAllowedNs - now) / 1000000L + 1)
+          nextAllowedNs = math.max(now, nextAllowedNs) + minIntervalNs
+        }
+        val payload = Option(row.get(payloadIdx)).map(_.toString).getOrElse("")
+        var attempt = 0
+        var result: Either[String, String] = Left("not attempted")
+        while (attempt < cfg.maxAttempts && (attempt == 0 || result.isLeft)) {
+          if (attempt > 0 && cfg.backoffMs > 0) Thread.sleep(cfg.backoffMs)
+          result = client.call(payload)
+          attempt += 1
+          metrics.foreach { m =>
+            m.calls.add(1)
+            val (p, c) = client.lastUsage
+            m.promptTokens.add(p); m.completionTokens.add(c)
+            if (result.isLeft) m.failures.add(1)
+          }
+        }
+        val extra = result match {
+          case Right(body) => Seq("ok", body, null)
+          case Left(err)   => Seq("error", null, err)
+        }
+        Row.fromSeq(row.toSeq ++ extra)
+      }
+    }(enc)
+  }
+
+  /** C1 shape: dedup to unique keys, call once per key, join results
+    * back to every row carrying that key — the reference's
+    * unique-iqama optimization (src/eligibility.py:217) that turns
+    * row-count API volume into key-count volume.
+    */
+  def enrichUniqueKeys(df: DataFrame, keyCol: String, makeClient: () => ServiceClient,
+                       cfg: Config = Config(), metrics: Option[Metrics] = None): DataFrame = {
+    val keys = df.select(col(keyCol).cast("string").as(keyCol)).na.drop().distinct()
+    val enriched = enrich(keys, keyCol, makeClient, cfg, metrics)
+    df.join(enriched.withColumnRenamed(keyCol, "__k"),
+        df(keyCol).cast("string") === col("__k"), "left")
+      .drop("__k")
+  }
+
+  /** C9: one filtered re-pass over the failed rows, then terminal
+    * marking. Returns ok-rows ∪ retried rows, failures labeled
+    * `terminalMessage` (reference src/predictions.py:299-314).
+    */
+  def withRetryPass(enriched: DataFrame, payloadCol: String, makeClient: () => ServiceClient,
+                    cfg: Config = Config(), terminalMessage: String = "Failed to reach LLM"): DataFrame = {
+    val ok = enriched.filter(col("status") === "ok")
+    val failed = enriched.filter(col("status") === "error").drop("status", "response", "message")
+    val retried = enrich(failed, payloadCol, makeClient, cfg)
+      .withColumn("message", when(col("status") === "error", terminalMessage).otherwise(col("message")))
+    ok.unionByName(retried)
+  }
+}

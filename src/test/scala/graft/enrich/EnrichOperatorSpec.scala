@@ -1,0 +1,94 @@
+package graft.enrich
+
+import graft.SharedSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EnrichOperatorSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("transient failures recover via in-partition retry; metrics count the extra calls") {
+    val df = (1L to 50L).toDF("k").withColumn("__p", $"k".cast("string"))
+    val m = EnrichOperator.Metrics(df, "test")
+    val out = EnrichOperator.enrich(df, "__p", () => new MockBeneficiaryClient(transientEvery = 7),
+      EnrichOperator.Config(parallelism = 2, maxAttempts = 2), Some(m))
+    assert(out.filter($"status" === "error").count() == 0)
+    val transientKeys = (1L to 50L).count(_ % 7 == 0)
+    assert(m.calls.value == 50 + transientKeys)
+    assert(m.failures.value == transientKeys)
+  }
+
+  test("terminal errors surface as values, not exceptions") {
+    val df = (1L to 33L).toDF("v").withColumn("__p", $"v".cast("string"))
+    val out = EnrichOperator.enrich(df, "__p", () => new MockEligibilityClient(),
+      EnrichOperator.Config(parallelism = 2))
+    val errs = out.filter($"status" === "error").select($"v").as[Long].collect().toSet
+    assert(errs == (1L to 33L).filter(_ % 11 == 0).toSet)
+    assert(out.filter($"status" === "error" && $"message".contains("timeout")).count() == errs.size)
+  }
+
+  test("enrich is idempotent: two runs produce identical results") {
+    val df = (1L to 40L).toDF("k").withColumn("__p", $"k".cast("string"))
+    def run() = EnrichOperator.enrich(df, "__p", () => new MockBeneficiaryClient(0),
+      EnrichOperator.Config(parallelism = 3)).select($"k", $"response").collect().toSet
+    assert(run() == run())
+  }
+
+  test("enrichUniqueKeys calls once per distinct key, not per row") {
+    val df = Seq(1L, 1L, 1L, 2L, 2L, 3L).toDF("iqama")
+    val m = EnrichOperator.Metrics(df, "uniq")
+    val out = EnrichOperator.enrichUniqueKeys(df, "iqama", () => new MockBeneficiaryClient(0),
+      EnrichOperator.Config(parallelism = 2), Some(m))
+    assert(out.count() == 6)
+    assert(m.calls.value == 3)
+  }
+
+  test("rate limiter paces calls per partition") {
+    val df = (1L to 10L).toDF("k").withColumn("__p", $"k".cast("string"))
+    val t0 = System.nanoTime()
+    EnrichOperator.enrich(df, "__p", () => new MockBeneficiaryClient(0),
+      EnrichOperator.Config(parallelism = 1, ratePerSecPerPartition = 100.0)).count()
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(elapsedMs >= 80, s"10 calls at 100/s in one partition should take >=~90ms, took $elapsedMs")
+  }
+
+  test("withRetryPass marks persistent failures with the terminal message") {
+    val df = Seq(97L, 98L).toDF("v")
+      .withColumn("__p", concat($"v".cast("string"), lit("|1,2")))
+    val first = EnrichOperator.enrich(df, "__p", () => new MockLlmClient(), EnrichOperator.Config(parallelism = 1))
+    val out = EnrichOperator.withRetryPass(first, "__p", () => new MockLlmClient(), EnrichOperator.Config(parallelism = 1))
+    val byVisit = out.select($"v", $"status", $"message").collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(byVisit(97L) == ("error", "Failed to reach LLM"))
+    assert(byVisit(98L)._1 == "ok")
+  }
+
+  test("checkpoint record + filterNew resumes exactly where it left off") {
+    val tmp = java.nio.file.Files.createTempDirectory("ckpt_spec").toString
+    val ckpt = new Checkpoint(spark, tmp, "id")
+    val all = (1L to 20L).toDF("id")
+    assert(ckpt.filterNew(all).count() == 20, "empty checkpoint passes everything")
+    ckpt.record(all.filter($"id" <= 8), "run1")
+    assert(ckpt.filterNew(all).as[Long].collect().toSet == (9L to 20L).toSet)
+    ckpt.record(all.filter($"id" > 8), "run2")
+    assert(ckpt.filterNew(all).count() == 0)
+  }
+
+  test("LlmFanout.predict: rejection map exploded and joined back to claims") {
+    val claims = Seq((1L, 10L), (1L, 11L), (2L, 25L), (97L, 970L))
+      .toDF("visit_id", "uid")
+    val out = LlmFanout.predict(claims, "visit_id", "uid", () => new MockLlmClient(),
+        EnrichOperator.Config(parallelism = 2))
+      .select($"uid", $"medical_prediction").as[(Long, String)].collect().toMap
+    assert(out(10L) == "Rejected")
+    assert(out(11L) == "Approved")
+    assert(out(25L) == "Rejected")
+    assert(out(970L) == "Failed to reach LLM")
+  }
+
+  test("no-diagnosis visits are identified for auto-reject (B18 gate)") {
+    val claims = Seq((1L, Some("J10")), (1L, None), (2L, Some("K21"))).toDF("visit_id", "icd10")
+    val v = LlmFanout.noDiagnosisVisits(claims, "visit_id", "icd10").as[Long].collect().toSet
+    assert(v == Set(1L))
+  }
+}
