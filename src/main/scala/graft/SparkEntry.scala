@@ -93,7 +93,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     baseQueries ++ graft.registry.QueriesB.queries ++ graft.registry.QueriesParse.queries ++
-      graft.registry.QueriesEnrich.queries
+      graft.registry.QueriesEnrich.queries ++ graft.registry.QueriesPipeline.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1: table scan with predicate.
@@ -287,8 +287,9 @@ object SparkEntry {
     * Spark side exactly (the driver sorts columns by name before hashing).
     */
   def oracleSql: Map[String, String] =
-    baseOracleSql ++ graft.registry.QueriesB.oracleSql ++ graft.registry.QueriesParse.oracleSql ++
-      graft.registry.QueriesEnrich.oracleSql
+    baseOracleSql ++ moreOracleSql ++ graft.registry.QueriesB.oracleSql ++
+      graft.registry.QueriesParse.oracleSql ++ graft.registry.QueriesEnrich.oracleSql ++
+      graft.registry.QueriesPipeline.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "q_a01_scan_filter" ->
@@ -390,7 +391,11 @@ object SparkEntry {
     "q_r_branch_mn" -> (branchMnSql + "\nORDER BY visit_id, seq_no"),
     "q_r_branch_di" -> (branchDiSql + "\nORDER BY visit_id, seq_no"),
 
-    "q_resubmission_full" ->
+    "q_resubmission_full" -> resubmissionFullSql,
+  )
+
+  /** Shared with QueriesPipeline (the justification pipeline wraps it). */
+  def resubmissionFullSql: String =
       s"""WITH mn_branch AS ($branchMnSql),
          |di_branch AS ($branchDiSql),
          |unioned AS (SELECT DISTINCT * FROM (SELECT * FROM mn_branch UNION ALL SELECT * FROM di_branch) u),
@@ -400,8 +405,9 @@ object SparkEntry {
          |SELECT u.*, d.diagnosis
          |FROM unioned u LEFT JOIN diag d ON u.visit_id = d.l_orderkey
          |ORDER BY visit_id, seq_no, reason, service_name, reason_code, status
-         |LIMIT 100""".stripMargin,
+         |LIMIT 100""".stripMargin
 
+  private def moreOracleSql: Map[String, String] = Map(
     "q_a20_semijoin" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |WHERE l_orderkey IN (

@@ -2,7 +2,6 @@ package graft.enrich
 
 import graft.parse.LlmJsonRepair
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -10,16 +9,16 @@ import org.apache.spark.sql.types._
   * reference src/predictions.py:201-290 and src/resubmission.py:76-151).
   *
   * The reference iterates visits in a Python loop; here the grouping is
-  * one shuffle (`groupBy(visit).agg(collect_list(struct(...)))`) and the
-  * LLM stage is a bounded-parallelism mapPartitions over the *visit*
-  * rows — call volume = visit count, not service count. Results come
-  * back as a JSON map, are repaired (LlmJsonRepair), exploded to
-  * (uid, reason) pairs, and left-joined to the claims.
+  * one shuffle (`groupBy(visit).agg(collect_list(...))`) and the LLM
+  * stage is a bounded-parallelism mapPartitions over the *visit* rows —
+  * call volume = visit count, not service count. Results come back as a
+  * JSON map, are repaired (LlmJsonRepair), exploded to (uid, text)
+  * pairs, and left-joined to the claims.
   *
   * Scale notes: per-visit group size is skewed (30+ services on some
   * visits) — AQE skew handling applies on the groupBy; the prompt
   * payload sorts service uids so the call is deterministic regardless
-  * of row order.
+  * of row order. Failed-visit sets are small → broadcast join-back.
   */
 object LlmFanout {
 
@@ -32,14 +31,12 @@ object LlmFanout {
       .filter(col("__no_dx") === 1)
       .select(col(visitCol))
 
-  /** Run predictions: claims must carry (visitCol, uidCol). Returns the
-    * claims with `medical_prediction` and `reason` columns appended.
+  /** Core fan-out: one LLM call per visit (with retry pass), responses
+    * repaired and exploded to rows (__visit, __uid, __text, __failed).
     */
-  def predict(claims: DataFrame, visitCol: String, uidCol: String,
-              makeClient: () => ServiceClient,
-              cfg: EnrichOperator.Config = EnrichOperator.Config(),
-              metrics: Option[EnrichOperator.Metrics] = None): DataFrame = {
-    // One row per visit with a deterministic, order-independent payload.
+  private def callPerVisit(claims: DataFrame, visitCol: String, uidCol: String, field: String,
+                           makeClient: () => ServiceClient, cfg: EnrichOperator.Config,
+                           metrics: Option[EnrichOperator.Metrics]): DataFrame = {
     val perVisit = claims
       .groupBy(col(visitCol))
       .agg(array_join(array_sort(collect_list(col(uidCol).cast("string"))), ",").as("__uids"))
@@ -48,41 +45,65 @@ object LlmFanout {
     val called = EnrichOperator.enrich(perVisit, "__payload", makeClient, cfg, metrics)
     val retried = EnrichOperator.withRetryPass(called, "__payload", makeClient, cfg)
 
-    // Repair + explode the {"Rejected": {uid: reason}} map on executors.
     val outSchema = StructType(Seq(
       StructField("__visit", StringType),
       StructField("__uid", StringType),
-      StructField("__reason", StringType),
+      StructField("__text", StringType),
       StructField("__failed", IntegerType)))
     val enc = Encoders.row(outSchema)
     val vIdx = retried.schema.fieldIndex(visitCol)
     val stIdx = retried.schema.fieldIndex("status")
     val respIdx = retried.schema.fieldIndex("response")
-    val exploded = retried.mapPartitions { rows =>
+    retried.mapPartitions { rows =>
       rows.flatMap { r =>
         val visit = Option(r.get(vIdx)).map(_.toString).orNull
         if (r.getString(stIdx) != "ok")
           Iterator(Row(visit, null, null, 1))
         else {
-          val rejected = LlmJsonRepair.repair(r.getString(respIdx), "Rejected")
-          if (rejected.isEmpty) Iterator(Row(visit, null, null, 0))
-          else rejected.iterator.map { case (uid, reason) => Row(visit, uid, reason, 0) }
+          val entries = LlmJsonRepair.repair(r.getString(respIdx), field)
+          if (entries.isEmpty) Iterator(Row(visit, null, null, 0))
+          else entries.iterator.map { case (uid, text) => Row(visit, uid, text, 0) }
         }
       }
     }(enc)
+  }
 
+  /** C4: predictions. Appends `medical_prediction`
+    * ("Approved"/"Rejected"/"Failed to reach LLM") and `reason`.
+    */
+  def predict(claims: DataFrame, visitCol: String, uidCol: String,
+              makeClient: () => ServiceClient,
+              cfg: EnrichOperator.Config = EnrichOperator.Config(),
+              metrics: Option[EnrichOperator.Metrics] = None): DataFrame = {
+    val exploded = callPerVisit(claims, visitCol, uidCol, "Rejected", makeClient, cfg, metrics)
     val failedVisits = exploded.filter(col("__failed") === 1).select(col("__visit")).distinct()
-    val rejections = exploded.filter(col("__uid").isNotNull)
-      .select(col("__uid"), col("__reason"))
-
+    val rejections = exploded.filter(col("__uid").isNotNull).select(col("__uid"), col("__text"))
     claims
       .join(broadcast(failedVisits), claims(visitCol).cast("string") === col("__visit"), "left")
       .join(rejections, claims(uidCol).cast("string") === col("__uid"), "left")
       .withColumn("medical_prediction",
         when(col("__visit").isNotNull, "Failed to reach LLM")
-          .when(col("__reason").isNotNull, "Rejected")
+          .when(col("__text").isNotNull, "Rejected")
           .otherwise("Approved"))
-      .withColumn("reason", col("__reason"))
-      .drop("__visit", "__uid", "__reason")
+      .withColumn("reason", col("__text"))
+      .drop("__visit", "__uid", "__text")
+  }
+
+  /** C5: justifications. Appends `justification` (terminal-failure
+    * marker for visits the LLM never answered).
+    */
+  def justify(claims: DataFrame, visitCol: String, uidCol: String,
+              makeClient: () => ServiceClient,
+              cfg: EnrichOperator.Config = EnrichOperator.Config(),
+              metrics: Option[EnrichOperator.Metrics] = None): DataFrame = {
+    val exploded = callPerVisit(claims, visitCol, uidCol, "Justifications", makeClient, cfg, metrics)
+    val failedVisits = exploded.filter(col("__failed") === 1).select(col("__visit")).distinct()
+    val texts = exploded.filter(col("__uid").isNotNull).select(col("__uid"), col("__text"))
+    claims
+      .join(broadcast(failedVisits), claims(visitCol).cast("string") === col("__visit"), "left")
+      .join(texts, claims(uidCol).cast("string") === col("__uid"), "left")
+      .withColumn("justification",
+        when(col("__visit").isNotNull, "Failed to reach LLM").otherwise(col("__text")))
+      .drop("__visit", "__uid", "__text")
   }
 }

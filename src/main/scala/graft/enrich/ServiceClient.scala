@@ -54,6 +54,24 @@ class MockEligibilityClient extends ServiceClient {
   }
 }
 
+/** Deterministic mock LLM for justifications (C5): answers every uid
+  * with a justification text; visits divisible by 97 fail terminally.
+  */
+class MockJustifyClient extends ServiceClient {
+  override def call(payload: String): Either[String, String] = {
+    val parts = payload.split('|')
+    val visit = parts(0).toLongOption.getOrElse(0L)
+    val uids = if (parts.length > 1 && parts(1).nonEmpty) parts(1).split(',').toSeq else Seq.empty
+    if (visit % 97 == 0) Left("llm request timed out")
+    else {
+      val body = uids.distinct
+        .map(u => s""""$u": "clinical justification for service $u"""")
+        .mkString("{\"Justifications\": {", ", ", "}}")
+      Right(body)
+    }
+  }
+}
+
 /** Deterministic mock LLM (C4/C5). Payload = "visitId|uid,uid,uid,…".
   * Rejects services whose uid % 5 == 0; answers in a messy but
   * repairable shape that cycles by visit id, exercising every

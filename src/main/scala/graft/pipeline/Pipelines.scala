@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import graft.enrich._
+import graft.ops.ColumnOps
+import graft.parse.FhirParser
+import graft.relational.{EligibilityExtract, ResubmissionExtract}
+import graft.sink.QualityGate
+import graft.tables.TestTables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The three DAG task graphs composed as single Spark jobs
+  * (SURVEY.md §3). Each Airflow task boundary in the reference
+  * (parquet-in-/tmp handoff) becomes either a persisted DataFrame (the
+  * shared extract, E6) or just lineage; enrichment stages sit behind
+  * EnrichOperator so their parallelism and retry policy are explicit.
+  */
+object Pipelines {
+
+  /** Eligibility pipeline (dags/eligibilty_etl.py:357-370): one
+    * extraction, two parallel enrichment transforms over it, a quality
+    * gate, one joined load projection.
+    */
+  def eligibility(spark: SparkSession, dir: String, gate: Boolean = true): DataFrame = {
+    // extract_data — shared by both transforms, so persist once (E6).
+    val base = EligibilityExtract.build(spark, dir)
+      .select(col("visit_id"), col("patient_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // transform_iqama (C1): per-unique-patient insurance lookup.
+    val iqama = EnrichOperator.enrichUniqueKeys(base, "patient_id", () => new MockBeneficiaryClient())
+      .select(col("visit_id"),
+        FhirParser.apiStatus(col("response")).as("api_status"),
+        FhirParser.insuranceData(col("response")).getItem("Name").as("ins_name"))
+
+    // transform_eligibility (C2+C3): per-visit FHIR submit + parse.
+    val withPayload = base.withColumn("__payload", col("visit_id").cast("string"))
+    val submitted = EnrichOperator.enrich(withPayload, "__payload", () => new MockEligibilityClient())
+    val b = FhirParser.parsed(col("response"))
+    val elig = submitted.select(
+      col("visit_id").as("__ev"),
+      FhirParser.outcome(b).as("outcome"),
+      FhirParser.siteEligibility(b).as("class"),
+      FhirParser.note(b).as("note"),
+      FhirParser.approvalLimit(col("response"), lit("structured")).as("approval_limit"),
+      FhirParser.copayMaximum(col("response"), lit("structured")).as("copay_maximum"))
+
+    // load_data: quality gate then the joined projection.
+    if (gate) QualityGate.assertPasses(elig.withColumnRenamed("__ev", "visit_id"), "class", "note")
+    base.select(col("visit_id"), col("patient_id"))
+      .join(iqama, Seq("visit_id"), "left")
+      .join(elig, col("visit_id") === col("__ev"), "left")
+      .drop("__ev")
+  }
+
+  /** Predictions pipeline (src/run_predictions.py): no-diagnosis
+    * auto-reject (B18) → duplicate-service drop (B8/B19) → per-visit
+    * LLM fan-out (C4) → fill remaining as Approved (B11).
+    */
+  def predictions(spark: SparkSession, dir: String): DataFrame = {
+    val claims = TestTables.lineitem(spark, dir).select(
+      col("l_orderkey").as("visit_id"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("uid"),
+      col("l_partkey").as("svc"),
+      col("l_shipdate"), col("l_linenumber"),
+      when(col("l_orderkey") % 53 === 0 && col("l_linenumber") === 1, lit(null: String))
+        .otherwise(concat(lit("ICD-"), (col("l_partkey") % 500).cast("string"))).as("icd10"))
+
+    val noDx = LlmFanout.noDiagnosisVisits(claims, "visit_id", "icd10")
+      .withColumnRenamed("visit_id", "__nodx_visit")
+    val kept = ColumnOps.dedupKeepFirst(claims, Seq("visit_id", "svc"),
+      Seq(col("l_shipdate"), col("l_linenumber"), col("uid")))
+    val dupUids = claims.select(col("uid")).except(kept.select(col("uid")))
+      .withColumnRenamed("uid", "__dup_uid")
+
+    val llmInput = claims
+      .join(noDx, claims("visit_id") === col("__nodx_visit"), "left_anti")
+      .join(dupUids, claims("uid") === col("__dup_uid"), "left_anti")
+    val predicted = LlmFanout.predict(llmInput, "visit_id", "uid", () => new MockLlmClient())
+      .select(col("uid"), col("medical_prediction"), col("reason"))
+      .dropDuplicates("uid")
+      .withColumnRenamed("uid", "__p_uid")
+
+    claims
+      .join(broadcast(noDx), claims("visit_id") === col("__nodx_visit"), "left")
+      .join(dupUids, claims("uid") === col("__dup_uid"), "left")
+      .join(predicted, claims("uid") === col("__p_uid"), "left")
+      .select(col("visit_id"), col("uid"), col("svc"),
+        when(col("__nodx_visit").isNotNull, "Rejected")
+          .when(col("__dup_uid").isNotNull, "Rejected")
+          .otherwise(coalesce(col("medical_prediction"), lit("Approved"))).as("medical_prediction"),
+        when(col("__nodx_visit").isNotNull, "Missing diagnosis")
+          .when(col("__dup_uid").isNotNull, "Duplicated Service")
+          .otherwise(col("reason")).as("reason"))
+  }
+
+  val clinicUnits: Seq[String] = Seq("AKW", "ALW", "LCH", "MKR", "SNB")
+
+  /** Clinics resubmission pipeline (dags/clinics_resubmission_etl.py):
+    * the extraction + justification fan-out instantiated per business
+    * unit (D5 tag), one unioned load (E6 parameterized fan-out).
+    */
+  def resubmission(spark: SparkSession, dir: String): DataFrame = {
+    val claims = ResubmissionExtract.full(spark, dir)
+    val justified = LlmFanout.justify(claims, "visit_id", "visit_service_id", () => new MockJustifyClient())
+      .select(col("visit_id"), col("seq_no"), col("visit_service_id"), col("service_name"),
+        col("justification_type"), col("reason"), col("reason_code"), col("status"), col("justification"))
+    clinicUnits.map(bu => justified.withColumn("bu", lit(bu))).reduce(_ unionByName _)
+  }
+}

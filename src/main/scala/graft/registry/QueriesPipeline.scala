@@ -1,0 +1,115 @@
+package graft.registry
+
+import graft.pipeline.Pipelines
+import graft.sink.Sinks
+import graft.tables.TestTables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Registry: the three end-to-end pipelines and the upsert sink as
+  * oracle-checked queries. The mocks are pure functions of the keys, so
+  * each pipeline's composite semantics (extract → enrich → parse →
+  * rules → merge) has a closed-form SQL oracle.
+  */
+object QueriesPipeline {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_eligibility" -> ((s, dir) =>
+      Pipelines.eligibility(s, dir).orderBy(col("visit_id"))),
+
+    "q_pipeline_predictions" -> ((s, dir) =>
+      Pipelines.predictions(s, dir).orderBy(col("visit_id"), col("uid"), col("svc"))),
+
+    "q_pipeline_resubmission" -> ((s, dir) =>
+      Pipelines.resubmission(s, dir)
+        .orderBy(col("bu"), col("visit_id"), col("seq_no"), col("reason"),
+          col("service_name"), col("reason_code"), col("status"))),
+
+    // D2: upsert MERGE semantics — updates win, untouched rows survive.
+    "q_d2_upsert" -> ((s, dir) => {
+      val old = TestTables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val updates = old.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * lit(2.0))
+      Sinks.upsert(old, updates, "o_orderkey").orderBy(col("o_orderkey"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_pipeline_eligibility" ->
+      """SELECT o_orderkey AS visit_id, c_custkey AS patient_id,
+        |  CASE WHEN c_custkey % 13 = 0 THEN 'Fail' ELSE 'Success' END AS api_status,
+        |  CASE WHEN c_custkey % 13 = 0 THEN NULL
+        |       ELSE 'INS-' || CAST(c_custkey % 5 AS VARCHAR) END AS ins_name,
+        |  CASE WHEN o_orderkey % 11 = 0 THEN 'Null' ELSE 'Complete' END AS outcome,
+        |  CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |       WHEN o_orderkey % 2 = 0 THEN 'eligible' ELSE 'not-active' END AS class,
+        |  CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |       ELSE 'note for visit ' || CAST(o_orderkey AS VARCHAR) END AS note,
+        |  CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |       ELSE CAST(o_orderkey % 5000 AS DOUBLE) END AS approval_limit,
+        |  CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |       ELSE CAST(o_orderkey % 100 AS DOUBLE) END AS copay_maximum
+        |FROM orders
+        |LEFT JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON s_suppkey = coalesce(nullif(o_custkey % 10, 0), 10) AND s_nationkey < 25
+        |WHERE o_orderstatus <> 'F' AND o_orderpriority <> '5-LOW'
+        |ORDER BY visit_id""".stripMargin,
+
+    "q_pipeline_predictions" ->
+      """WITH claims AS (
+        |  SELECT l_orderkey AS visit_id, l_orderkey * 10 + l_linenumber AS uid,
+        |         l_partkey AS svc, l_shipdate, l_linenumber,
+        |         CASE WHEN l_orderkey % 53 = 0 AND l_linenumber = 1 THEN NULL
+        |              ELSE 'ICD-' || CAST(l_partkey % 500 AS VARCHAR) END AS icd10
+        |  FROM lineitem),
+        |nodx AS (
+        |  SELECT visit_id FROM claims GROUP BY visit_id
+        |  HAVING max(CASE WHEN icd10 IS NULL THEN 1 ELSE 0 END) = 1),
+        |kept AS (
+        |  SELECT uid FROM (
+        |    SELECT uid, row_number() OVER (PARTITION BY visit_id, svc
+        |      ORDER BY l_shipdate ASC, l_linenumber ASC, uid ASC) AS rn
+        |    FROM claims) t WHERE rn = 1),
+        |dup AS (SELECT uid FROM claims EXCEPT SELECT uid FROM kept)
+        |SELECT visit_id, uid, svc,
+        |  CASE WHEN visit_id IN (SELECT visit_id FROM nodx) THEN 'Rejected'
+        |       WHEN uid IN (SELECT uid FROM dup) THEN 'Rejected'
+        |       WHEN visit_id % 97 = 0 THEN 'Failed to reach LLM'
+        |       WHEN uid % 5 = 0 THEN 'Rejected'
+        |       ELSE 'Approved' END AS medical_prediction,
+        |  CASE WHEN visit_id IN (SELECT visit_id FROM nodx) THEN 'Missing diagnosis'
+        |       WHEN uid IN (SELECT uid FROM dup) THEN 'Duplicated Service'
+        |       WHEN visit_id % 97 = 0 THEN NULL
+        |       WHEN uid % 5 = 0 THEN 'service ' || CAST(uid AS VARCHAR) || ' is a duplicate order'
+        |       END AS reason
+        |FROM claims ORDER BY visit_id, uid, svc""".stripMargin,
+
+    "q_pipeline_resubmission" -> resubmissionOracle,
+
+    "q_d2_upsert" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * CAST(2.0 AS DOUBLE)
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+  )
+
+  /** The resubmission oracle reuses SparkEntry's full-extraction SQL as
+    * a derived table and cross-joins the five business units.
+    */
+  private def resubmissionOracle: String = {
+    val fullSql = graft.SparkEntry.resubmissionFullSql
+    s"""SELECT f.visit_id, f.seq_no, f.visit_service_id, f.service_name,
+       |  f.justification_type, f.reason, f.reason_code, f.status,
+       |  CASE WHEN f.visit_id % 97 = 0 THEN 'Failed to reach LLM'
+       |       ELSE 'clinical justification for service ' || CAST(f.visit_service_id AS VARCHAR)
+       |       END AS justification,
+       |  b.bu
+       |FROM (
+       |$fullSql
+       |) f CROSS JOIN (VALUES ('AKW'), ('ALW'), ('LCH'), ('MKR'), ('SNB')) b(bu)
+       |ORDER BY b.bu, f.visit_id, f.seq_no, f.reason, f.service_name, f.reason_code, f.status""".stripMargin
+  }
+}

@@ -1,0 +1,56 @@
+package graft.sink
+
+import graft.SharedSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SinksSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("upsert: updates win on key, untouched old rows survive, new keys insert") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val upd = Seq((2L, "B"), (4L, "D")).toDF("k", "v")
+    val out = Sinks.upsert(old, upd, "k").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"))
+  }
+
+  test("upsertParquet: staged rewrite round-trips and is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert_spec").toString + "/table"
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "amt").write.parquet(dir)
+    val upd = Seq((2L, 99.0), (3L, 30.0)).toDF("k", "amt")
+    Sinks.upsertParquet(spark, dir, upd, "k")
+    Sinks.upsertParquet(spark, dir, upd, "k") // idempotent re-apply
+    val out = spark.read.parquet(dir).as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0))
+  }
+
+  test("append accumulates batches") {
+    val dir = java.nio.file.Files.createTempDirectory("append_spec").toString + "/t"
+    Sinks.append(Seq(1, 2).toDF("x"), dir)
+    Sinks.append(Seq(3).toDF("x"), dir)
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
+  test("quality gate passes under threshold and reports metrics") {
+    val df = Seq(("ok", "eligible"), ("ok", null), ("1660 TPA doesn't adjudicate", null))
+      .toDF("note", "class")
+    val r = QualityGate.check(df)
+    assert(r.totalRows == 3 && r.invalidRows == 1)
+    assert(r.passed, s"1/3 invalid is under the 50% threshold: $r")
+  }
+
+  test("quality gate throws at >= 50% invalid, excluding expected 1660 notes") {
+    val df = Seq(("x", null: String), ("y", null: String), ("z", "eligible"))
+      .toDF("note", "class")
+    val ex = intercept[QualityGate.GateFailedException] { QualityGate.assertPasses(df) }
+    assert(ex.report.invalidRows == 2)
+    assert(ex.report.topNotes.map(_._1).toSet == Set("x", "y"))
+  }
+
+  test("empty input short-circuit (E4)") {
+    val df = Seq.empty[(Long, String)].toDF("k", "v")
+    assert(df.isEmpty, "isEmpty is the driver-side skip condition")
+    assert(QualityGate.check(df.withColumnRenamed("v", "class").withColumn("note", lit("n"))).passed)
+  }
+}
