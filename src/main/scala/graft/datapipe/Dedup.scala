@@ -1,0 +1,139 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for a document corpus — each variant scales a
+  * different way, and none ever does an all-pairs crossJoin:
+  *
+  *  - exact:   one shuffle on the content hash;
+  *  - jaccard: token-inverted-index join (pairs only meet through a
+  *             shared token, frequent tokens pruned — prefix filtering);
+  *  - minhash: banded LSH — pairs only meet through a shared band
+  *             bucket, candidates then verified with true Jaccard;
+  *  - simhash: 64-bit sketch, candidates meet through equal 16-bit
+  *             chunks (Hamming ≤ 3 ⇒ some chunk equal by pigeonhole);
+  *  - embedding: cosine near-dup via the Similarity module.
+  *
+  * At 100 TB the bucket/band joins are ordinary shuffle joins on small
+  * keys; group sizes are bounded by band width and token-frequency
+  * pruning, and AQE splits whatever skews.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical hash → keep lowest doc id (deterministic
+    * survivor), count the duplicates.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct (doc, token) pairs with document-frequency pruning: tokens
+    * appearing in more than `maxDf` docs can't discriminate and only
+    * inflate the index — standard prefix-filter trick.
+    */
+  def tokenIndex(docs: DataFrame, idCol: String, textCol: String, maxDf: Long): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("doc"), explode(array_distinct(TextAnalysis.words(col(textCol)))).as("w"))
+    val keep = tok.groupBy(col("w")).count().filter(col("count") <= maxDf).select(col("w"))
+    tok.join(broadcast(keep), Seq("w"), "left_semi")
+  }
+
+  /** N-gram/word-set Jaccard pairs ≥ `minJaccard` via inverted index:
+    * |A∩B| from the token join, |A|,|B| from per-doc distinct counts.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   minJaccard: Double, maxDf: Long = 1000): DataFrame = {
+    val idx = tokenIndex(docs, idCol, textCol, maxDf)
+    val sizes = docs.select(col(idCol).as("doc"),
+      size(array_distinct(TextAnalysis.words(col(textCol)))).as("n"))
+    val inter = idx.as("a").join(idx.as("b"), col("a.w") === col("b.w") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n", "nb"), Seq("doc_b"))
+      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash signature rows: (doc, band, band_key). `numHashes` hash
+    * functions via seeded xxhash64, grouped into `bands` bands whose
+    * concatenated minima form the LSH bucket key.
+    */
+  def minhashBands(docs: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val tok = docs.select(col(idCol).as("doc"), explode(array_distinct(TextAnalysis.words(col(textCol)))).as("w"))
+    val minExprs = (0 until numHashes)
+      .map(i => min(xxhash64(lit(i), col("w"))).as(s"h$i"))
+    val sigs = tok.groupBy(col("doc")).agg(minExprs.head, minExprs.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val hs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      struct(lit(b).as("band"), xxhash64(hs: _*).as("key")).as(s"band$b")
+    }
+    sigs.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("band_key"))
+  }
+
+  /** MinHash-LSH near-dup pairs: candidates share a band bucket, then
+    * are verified with true word-set Jaccard.
+    */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   minJaccard: Double, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val bandsDf = minhashBands(docs, idCol, textCol, numHashes, bands)
+    val cand = bandsDf.as("a")
+      .join(bandsDf.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b")).distinct()
+    val sizes = docs.select(col(idCol).as("doc"), array_distinct(TextAnalysis.words(col(textCol))).as("ws"))
+    cand
+      .join(sizes.select(col("doc").as("doc_a"), col("ws").as("wa")), Seq("doc_a"))
+      .join(sizes.select(col("doc").as("doc_b"), col("ws").as("wb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("wa"), col("wb"))).cast("double") /
+          size(array_union(col("wa"), col("wb"))).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over the word multiset: per-bit signed vote of each
+    * word's xxhash64, computed with higher-order functions (no explode,
+    * no shuffle — one pass per row).
+    */
+  def simhash(text: Column): Column = {
+    val hashes = transform(TextAnalysis.words(text), w => xxhash64(w))
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (v, j) => v + when(bit_get(h, j) === 1, 1).otherwise(-1)))
+    // Fold the sign bits into a long; bit 63 kept zero to stay positive.
+    // pow(2, j) is a power of two — exactly representable as a double.
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, j) => when(v > 0 && j < 63, pow(lit(2.0), j).cast("long")).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** SimHash candidate pairs: equal 16-bit chunk ⇒ candidate; verified
+    * by Hamming distance ≤ `maxHamming` (bit_count of XOR).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 6): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc"), simhash(col(textCol)).as("sh"))
+    val chunks = sh.select(col("doc"), col("sh"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk"), shiftright(col("sh"), i * 16).bitwiseAND(0xFFFF).as("key"))): _*)).as("ck"))
+      .select(col("doc"), col("sh"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,118 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  *  - Brute force: broadcast the (small) query set against the
+  *    partitioned corpus, per-partition scoring, window top-k. The
+  *    corpus is never collected and never self-crossJoined — at 100 TB
+  *    this is the classic "broadcast queries, scan corpus once" shape.
+  *  - LSH: random-hyperplane signatures (deterministic, seeded via
+  *    xxhash64) bucket the corpus; queries probe only their bucket.
+  *    Recall trades off with `numPlanes`; verified in tests against
+  *    brute force.
+  */
+object Similarity {
+
+  /** Cast a float vector to double (exact) for deterministic math. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** In-order dot product — identical sequence of IEEE ops on any
+    * engine, so results are bit-reproducible.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+                     k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_vec"))
+    val c = corpus.select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("n_vec"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cosine", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("__rn").as("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane seed,
+    * dim j): xxhash64 mapped to (-1, 1). No RNG state, same plane set
+    * on every executor.
+    */
+  private def planeComponent(seed: Int, j: Column): Column =
+    (xxhash64(lit(seed), j).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** Sign-bit signature of a vector under `numPlanes` hyperplanes
+    * seeded from `table` (independent plane sets per table).
+    */
+  def lshSignature(vec: Column, numPlanes: Int, table: Int = 0): Column = {
+    val dims = sequence(lit(0), size(vec) - 1)
+    val bits = (0 until numPlanes).map { i =>
+      val d = aggregate(
+        zip_with(vec, dims, (x, j) => x * planeComponent(table * 1000 + i, j)),
+        lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** (table, bucket) rows for a vector under multi-table LSH — the
+    * standard OR-amplification: a candidate pair only needs to collide
+    * in ONE table, so recall stays high while each table's buckets stay
+    * small.
+    */
+  def lshBuckets(vec: Column, planesPerTable: Int, tables: Int): Column =
+    array((0 until tables).map(t =>
+      struct(lit(t).as("table"), lshSignature(vec, planesPerTable, t).as("bucket"))): _*)
+
+  /** LSH ANN: queries probe only corpus vectors sharing a (table,
+    * bucket) in at least one table; exact cosine within candidates,
+    * top-k per query.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, planesPerTable: Int = 4, tables: Int = 8): DataFrame = {
+    def withBuckets(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), asDouble(col(vecCol)).as(vec))
+        .withColumn("tb", explode(lshBuckets(col(vec), planesPerTable, tables)))
+        .select(col(id), col(vec), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    val q = withBuckets(queries, "q_id", "q_vec")
+    val c = withBuckets(corpus, "n_id", "n_vec")
+    val cand = c.join(broadcast(q), Seq("table", "bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("q_vec"), col("n_id"), col("n_vec"))
+      .dropDuplicates("q_id", "n_id")
+    val scored = cand.withColumn("cosine", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("__rn").as("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (the fifth dedup variant):
+    * multi-table LSH buckets, cosine ≥ threshold verified inside
+    * buckets. High-cosine pairs collide with near-certainty, so few
+    * tables suffice for dedup.
+    */
+  def cosineDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                       minCosine: Double, planesPerTable: Int = 6, tables: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("doc"), asDouble(col(vecCol)).as("vec"))
+      .withColumn("tb", explode(lshBuckets(col("vec"), planesPerTable, tables)))
+      .select(col("doc"), col("vec"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+    c.as("a")
+      .join(c.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"), col("a.vec").as("va"), col("b.vec").as("vb"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("doc_a"), col("doc_b"), col("cosine"))
+  }
+}

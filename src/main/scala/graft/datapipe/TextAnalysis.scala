@@ -1,0 +1,87 @@
+package graft.datapipe
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over a
+  * `documents(text)` corpus: token counting, quality scoring, n-gram
+  * language ID, fingerprinting. All pure Column programs — they run
+  * inside whole-stage codegen, shuffle nothing, and scale linearly with
+  * the corpus.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (empty-safe). */
+  def tokenCountWs(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= ""))
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * punctuation each count as one token.
+    */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def tokenCountBpeish(text: Column): Column = regexp_count(text, lit(bpeishPattern))
+
+  /** Words as an array (lowercased, empty-safe). */
+  def words(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(words(text), w => w.isin(stopwords: _*)))
+
+  def punctCount(text: Column): Column = regexp_count(text, lit("[^A-Za-z0-9\\s]"))
+
+  /** Quality score (reference-style length/punct/stopword heuristics):
+    * higher = more natural-language-like. Deterministic double
+    * arithmetic only — identical on any engine.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCountWs(text).cast("double")
+    val nChars = length(text).cast("double")
+    val punctRatio = punctCount(text).cast("double") / greatest(nChars, lit(1.0))
+    val stopRatio = stopwordCount(text).cast("double") / greatest(nTok, lit(1.0))
+    val avgWordLen = nChars / greatest(nTok, lit(1.0))
+    stopRatio * lit(2.0) - punctRatio * lit(4.0) +
+      when(avgWordLen >= 3.0 && avgWordLen <= 9.0, 1.0).otherwise(-1.0)
+  }
+
+  /** Marker-word language ID. Counts hits from tiny per-language marker
+    * sets over the padded text, argmax with a fixed precedence order —
+    * the n-gram-heuristic shape of fastText-free language ID.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " und ", " nicht "),
+    "es" -> Seq(" el ", " la ", " que "),
+    "fr" -> Seq(" le ", " les ", " est "),
+    "zh" -> Seq("的", "是", "了"))
+
+  def langHits(text: Column, markers: Seq[String]): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    markers.map(m => (length(padded) - length(replace(padded, lit(m), lit("")))).cast("bigint") / lit(m.length).cast("bigint"))
+      .reduce(_ + _)
+  }
+
+  /** Argmax over language hit counts; "und" (undetermined) when all 0. */
+  def langId(text: Column): Column = {
+    val hits = langMarkers.map { case (lang, ms) => lang -> langHits(text, ms) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    hits.foldLeft(when(best <= 0, "und")) { case (acc, (lang, h)) => acc.when(h === best, lang) }
+      .otherwise("und")
+  }
+
+  /** Content fingerprint: md5 over whitespace-normalized lowercase. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Rolling (chained) hash over the word sequence — order-sensitive,
+    * unlike `fingerprint`: h = md5(…md5(md5(w1 ∥ w2) ∥ w3)…). Detects
+    * token-order edits that a bag-of-words hash misses.
+    */
+  def rollingFingerprint(text: Column): Column = {
+    val ws = words(text)
+    when(size(ws) === 0, lit(null: String))
+      .otherwise(aggregate(ws, lit(""), (acc, w) => md5(concat(acc, w))))
+  }
+}

@@ -1,0 +1,200 @@
+package graft.registry
+
+import graft.datapipe.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.tables.TestTables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Registry: training-data pipeline operators over documents/embeddings.
+  * SQL-expressible variants carry DuckDB oracles; the hash-based ones
+  * (minhash/simhash/LSH — xxhash64 has no DuckDB twin) are registered
+  * rows-only and verified against planted duplicates in ScalaTest.
+  */
+object QueriesData {
+
+  private def sampledDocs(s: SparkSession, dir: String): DataFrame =
+    TestTables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: canonical-hash groups, deterministic survivor.
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(TestTables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("fp"))),
+
+    // N-gram (word-set) Jaccard near-dup pairs via inverted index.
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(sampledDocs(s, dir), "doc_id", "text", minJaccard = 0.5, maxDf = 1000)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // MinHash-LSH near-dup pairs (rows-only: banded xxhash64 buckets).
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(sampledDocs(s, dir), "doc_id", "text", minJaccard = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // SimHash near-dup pairs (rows-only).
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(sampledDocs(s, dir), "doc_id", "text", maxHamming = 10)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Text analysis: token counts, punctuation, stopwords, quality.
+    "q_text_stats" -> ((s, dir) =>
+      TestTables.documents(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_tokens_ws"),
+          TextAnalysis.tokenCountBpeish(col("text")).as("n_tokens_bpe"),
+          TextAnalysis.punctCount(col("text")).as("n_punct"),
+          TextAnalysis.stopwordCount(col("text")).as("n_stopwords"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // Marker-based language ID.
+    "q_text_langid" -> ((s, dir) =>
+      TestTables.documents(s, dir).select(
+          col("doc_id"), col("lang").as("lang_labeled"),
+          TextAnalysis.langId(col("text")).as("lang_detected"))
+        .orderBy(col("doc_id"))),
+
+    // Fingerprints: normalized md5 + order-sensitive rolling chain.
+    "q_text_fingerprint" -> ((s, dir) =>
+      TestTables.documents(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          TextAnalysis.rollingFingerprint(col("text")).as("rolling_fp"))
+        .orderBy(col("doc_id"))),
+
+    // Brute-force cosine top-3 neighbors for sampled query vectors.
+    "q_sim_bruteforce" -> ((s, dir) => {
+      val emb = TestTables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding", k = 3)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN (rows-only; recall vs brute force in ScalaTest).
+    "q_sim_lsh_ann" -> ((s, dir) => {
+      val emb = TestTables.embeddings(s, dir)
+      Similarity.lshTopK(emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding",
+          k = 3, planesPerTable = 4, tables = 8)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Embedding-cosine near-dup pairs inside LSH buckets (rows-only).
+    "q_sim_cosine_dedup" -> ((s, dir) =>
+      Similarity.cosineDedupPairs(TestTables.embeddings(s, dir), "vec_id", "embedding",
+          minCosine = 0.9)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Multimodal metadata algebra: frame sampling + resize, no decode.
+    "q_mm_metadata" -> ((s, dir) => {
+      val media = Multimodal.asMedia(TestTables.documents(s, dir), "doc_id", "text", "n_chars")
+      media.select(
+          col("media_id"),
+          length(col("content")).cast("bigint").as("n_bytes"),
+          size(Multimodal.frameSampleIndexes(col("meta"))).as("n_frames"),
+          Multimodal.resizeMeta(col("meta"), 224).getField("width").as("resized_w"),
+          Multimodal.resizeMeta(col("meta"), 224).getField("height").as("resized_h"),
+          (col("meta.width").cast("double") / col("meta.height").cast("double")).as("aspect"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Multimodal decode stub: batch-shaped byte features (rows-only;
+    // feature values asserted in ScalaTest).
+    "q_mm_decode" -> ((s, dir) => {
+      val media = Multimodal.asMedia(sampledDocs(s, dir), "doc_id", "text", "n_chars")
+      Multimodal.decodeFeatures(media)
+        .select(col("media_id"), col("n_bytes"), col("mean_byte"), col("byte_checksum"))
+        .orderBy(col("media_id"))
+    }),
+  )
+
+  private val stopwordsIn = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+
+  private def langHitsSql(markers: Seq[String]): String =
+    markers.map { m =>
+      val esc = m.replace("'", "''")
+      s"(length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', '$esc', ''))) / ${m.length}"
+    }.mkString(" + ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS kept_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |tok AS (
+        |  SELECT DISTINCT doc_id AS doc, w
+        |  FROM docs, unnest(string_split_regex(lower(text), '\s+')) AS t(w) WHERE w <> ''),
+        |keep AS (SELECT w FROM tok GROUP BY w HAVING count(*) <= 1000),
+        |tk AS (SELECT * FROM tok WHERE w IN (SELECT w FROM keep)),
+        |sizes AS (
+        |  SELECT doc_id AS doc, len(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS n
+        |  FROM docs),
+        |inter AS (
+        |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
+        |  FROM tk a JOIN tk b ON a.w = b.w AND a.doc < b.doc
+        |  GROUP BY a.doc, b.doc)
+        |SELECT doc_a, doc_b, CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc = doc_a
+        |JOIN sizes sb ON sb.doc = doc_b
+        |WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         |  len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens_ws,
+         |  len(regexp_extract_all(text, '${TextAnalysis.bpeishPattern}')) AS n_tokens_bpe,
+         |  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+         |  len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ($stopwordsIn))) AS n_stopwords,
+         |  CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ($stopwordsIn))) AS DOUBLE)
+         |    / greatest(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS DOUBLE), 1.0) * CAST(2.0 AS DOUBLE)
+         |  - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         |    / greatest(CAST(length(text) AS DOUBLE), 1.0) * CAST(4.0 AS DOUBLE)
+         |  + CASE WHEN CAST(length(text) AS DOUBLE) / greatest(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS DOUBLE), 1.0) BETWEEN 3.0 AND 9.0
+         |         THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" -> {
+      val hits = TextAnalysis.langMarkers.map { case (lang, ms) => lang -> langHitsSql(ms) }
+      val best = "greatest(" + hits.map(h => s"(${h._2})").mkString(", ") + ")"
+      val cases = hits.map { case (lang, h) => s"WHEN ($h) = __best THEN '$lang'" }.mkString(" ")
+      s"""SELECT doc_id, lang AS lang_labeled,
+         |  CASE WHEN __best <= 0 THEN 'und' $cases ELSE 'und' END AS lang_detected
+         |FROM (SELECT doc_id, lang, text, $best AS __best FROM documents) t
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |  CASE WHEN len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) = 0 THEN NULL
+        |       ELSE list_reduce(
+        |              list_prepend('', list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')),
+        |              (x, y) -> md5(x || y)) END AS rolling_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sim_bruteforce" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |scored AS (
+        |  SELECT q_id, n_id,
+        |    list_dot_product(qv, nv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS cosine
+        |  FROM c CROSS JOIN q WHERE q_id <> n_id)
+        |SELECT q_id, n_id, cosine, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    "q_mm_metadata" ->
+      """SELECT doc_id AS media_id,
+        |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  CAST(n_chars % 60 + 1 AS INT) AS n_frames,
+        |  CAST((CAST(doc_id % 640 + 32 AS BIGINT) * 224) // greatest(CAST(doc_id % 640 + 32 AS BIGINT), CAST(doc_id % 480 + 32 AS BIGINT)) AS INT) AS resized_w,
+        |  CAST((CAST(doc_id % 480 + 32 AS BIGINT) * 224) // greatest(CAST(doc_id % 640 + 32 AS BIGINT), CAST(doc_id % 480 + 32 AS BIGINT)) AS INT) AS resized_h,
+        |  CAST(doc_id % 640 + 32 AS DOUBLE) / CAST(doc_id % 480 + 32 AS DOUBLE) AS aspect
+        |FROM documents ORDER BY media_id""".stripMargin,
+  )
+}

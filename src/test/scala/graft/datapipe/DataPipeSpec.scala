@@ -1,0 +1,109 @@
+package graft.datapipe
+
+import graft.SharedSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DataPipeSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  // Planted corpus: 1↔2 exact dup, 3↔4 near-dup (one word changed),
+  // 5/6 unrelated.
+  private lazy val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (3L, "large scale data processing with spark requires careful partition design and shuffle tuning"),
+    (4L, "large scale data processing with spark requires careful partition design and memory tuning"),
+    (5L, "completely different text about cooking pasta with tomatoes basil and olive oil"),
+    (6L, "unrelated sentence describing mountain hiking trails in winter conditions")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps lowest id") {
+    val out = Dedup.exact(corpus, "doc_id", "text")
+    val dupGroup = out.filter($"n_copies" === 2).collect()
+    assert(dupGroup.length == 1 && dupGroup.head.getAs[Long]("kept_id") == 1L)
+    assert(out.count() == 5)
+  }
+
+  test("jaccard inverted-index pairs find exact and near dups, not unrelated") {
+    val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", minJaccard = 0.7, maxDf = 100)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((3L, 4L)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("minhash-LSH finds planted near-dups and verifies with true jaccard") {
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text", minJaccard = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)), s"exact dup must share all bands: $keys")
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).exists(_._3 == 1.0))
+    assert(!keys.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
+  test("simhash: identical docs have identical hashes; near-dups are close in Hamming") {
+    val sh = corpus.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    assert(java.lang.Long.bitCount(sh(3L) ^ sh(4L)) <= 12)
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(5L)) > 12)
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("LSH ANN finds a planted near-duplicate and a fair share of true neighbors") {
+    val emb = graft.tables.TestTables.embeddings(spark, "/root/testdata/sf0.001")
+    // Plant vec 9000 ≈ vec 0 (tiny perturbation → cosine ≈ 1).
+    val base = emb.filter($"vec_id" === 0)
+      .select(lit(9000L).as("vec_id"), transform($"embedding", x => x + lit(0.001f)).as("embedding"), $"label")
+    val corpus = emb.unionByName(base)
+    val queries = corpus.filter($"vec_id" === 9000L || $"vec_id" % 100 === 0)
+
+    val bf = Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(queries, corpus, "vec_id", "embedding", k = 5, planesPerTable = 4, tables = 8)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    assert(lsh.contains((9000L, 0L)), "near-identical vector must collide in some table")
+    val recall = (bf & lsh).size.toDouble / bf.size.toDouble
+    assert(recall >= 0.3, s"multi-table LSH recall vs brute force too low: $recall")
+  }
+
+  test("cosineDedupPairs surfaces the planted near-duplicate pair") {
+    val emb = graft.tables.TestTables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.filter($"vec_id" === 0)
+      .select(lit(9000L).as("vec_id"), transform($"embedding", x => x + lit(0.001f)).as("embedding"), $"label")
+    val pairs = Similarity.cosineDedupPairs(emb.unionByName(base), "vec_id", "embedding", minCosine = 0.98)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 9000L)))
+  }
+
+  test("multimodal decode stub: deterministic byte features, batch shape") {
+    val media = Multimodal.asMedia(
+      Seq((7L, "abc", 10L)).toDF("doc_id", "text", "n_chars"), "doc_id", "text", "n_chars")
+    val r = Multimodal.decodeFeatures(media, batchSize = 2).collect().head
+    assert(r.getAs[Long]("n_bytes") == 3L)
+    assert(math.abs(r.getAs[Double]("mean_byte") - (97 + 98 + 99) / 3.0) < 1e-12)
+    assert(r.getAs[Long]("byte_checksum") == (97 + 98 + 99) % 997)
+  }
+
+  test("rolling fingerprint is order-sensitive where the bag hash is not") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        TextAnalysis.rollingFingerprint($"text").as("r")).as[(Long, String)].collect().toMap
+    assert(out(1L) != out(2L))
+  }
+
+  test("langId picks the language whose markers dominate") {
+    val df = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der hund und die katze und der vogel nicht hier"),
+      (3L, "xyzzy plugh")).toDF("id", "text")
+    val out = df.select($"id", TextAnalysis.langId($"text").as("l")).as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "und")
+  }
+}
