@@ -94,7 +94,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     baseQueries ++ graft.registry.QueriesB.queries ++ graft.registry.QueriesParse.queries ++
       graft.registry.QueriesEnrich.queries ++ graft.registry.QueriesPipeline.queries ++
-      graft.registry.QueriesData.queries
+      graft.registry.QueriesData.queries ++ graft.registry.QueriesStream.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1: table scan with predicate.
@@ -290,7 +290,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     baseOracleSql ++ moreOracleSql ++ graft.registry.QueriesB.oracleSql ++
       graft.registry.QueriesParse.oracleSql ++ graft.registry.QueriesEnrich.oracleSql ++
-      graft.registry.QueriesPipeline.oracleSql ++ graft.registry.QueriesData.oracleSql
+      graft.registry.QueriesPipeline.oracleSql ++ graft.registry.QueriesData.oracleSql ++
+      graft.registry.QueriesStream.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "q_a01_scan_filter" ->

@@ -113,8 +113,12 @@ object EnrichOperator {
     */
   def withRetryPass(enriched: DataFrame, payloadCol: String, makeClient: () => ServiceClient,
                     cfg: Config = Config(), terminalMessage: String = "Failed to reach LLM"): DataFrame = {
-    val ok = enriched.filter(col("status") === "ok")
-    val failed = enriched.filter(col("status") === "error").drop("status", "response", "message")
+    // Materialize the first pass before branching on it — the two
+    // filters below would otherwise each recompute the mapPartitions
+    // lineage and re-fire every call (SURVEY §7.5.2).
+    val first = enriched.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ok = first.filter(col("status") === "ok")
+    val failed = first.filter(col("status") === "error").drop("status", "response", "message")
     val retried = enrich(failed, payloadCol, makeClient, cfg)
       .withColumn("message", when(col("status") === "error", terminalMessage).otherwise(col("message")))
     ok.unionByName(retried)

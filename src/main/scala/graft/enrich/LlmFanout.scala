@@ -65,7 +65,9 @@ object LlmFanout {
           else entries.iterator.map { case (uid, text) => Row(visit, uid, text, 0) }
         }
       }
-    }(enc)
+      // Consumed twice downstream (failed-visit set + per-uid texts) —
+      // persist so the LLM stage runs exactly once.
+    }(enc).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** C4: predictions. Appends `medical_prediction`

@@ -38,6 +38,9 @@ object Pipelines {
     val withPayload = base.withColumn("__payload", col("visit_id").cast("string"))
     val submitted = EnrichOperator.enrich(withPayload, "__payload", () => new MockEligibilityClient())
     val b = FhirParser.parsed(col("response"))
+    // Persisted: the quality gate is an action over this branch and the
+    // final join consumes it again — without materialization the gate
+    // would re-fire every eligibility submit call.
     val elig = submitted.select(
       col("visit_id").as("__ev"),
       FhirParser.outcome(b).as("outcome"),
@@ -45,6 +48,7 @@ object Pipelines {
       FhirParser.note(b).as("note"),
       FhirParser.approvalLimit(col("response"), lit("structured")).as("approval_limit"),
       FhirParser.copayMaximum(col("response"), lit("structured")).as("copay_maximum"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // load_data: quality gate then the joined projection.
     if (gate) QualityGate.assertPasses(elig.withColumnRenamed("__ev", "visit_id"), "class", "note")
@@ -102,10 +106,14 @@ object Pipelines {
     * unit (D5 tag), one unioned load (E6 parameterized fan-out).
     */
   def resubmission(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val claims = ResubmissionExtract.full(spark, dir)
     val justified = LlmFanout.justify(claims, "visit_id", "visit_service_id", () => new MockJustifyClient())
       .select(col("visit_id"), col("seq_no"), col("visit_service_id"), col("service_name"),
         col("justification_type"), col("reason"), col("reason_code"), col("status"), col("justification"))
-    clinicUnits.map(bu => justified.withColumn("bu", lit(bu))).reduce(_ unionByName _)
+    // One broadcast cross join, NOT a 5-way union of the same plan —
+    // a union would recompute the whole justify lineage per clinic
+    // (and re-fire its LLM calls five times).
+    justified.crossJoin(broadcast(clinicUnits.toDF("bu")))
   }
 }

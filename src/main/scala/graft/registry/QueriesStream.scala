@@ -1,0 +1,59 @@
+package graft.registry
+
+import graft.streaming.EventsStream
+import graft.tables.TestTables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Registry: the streaming transforms applied in batch mode (the same
+  * functions run under readStream in StreamingSpec) with DuckDB
+  * oracles. Sums go through DECIMAL so accumulation order can't skew
+  * the hash.
+  */
+object QueriesStream {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 5-minute windowed aggregation (watermarked on a stream).
+    "q_stream_windowed_agg" -> ((s, dir) =>
+      EventsStream.windowedAgg(
+          TestTables.events(s, dir)
+            .withColumn("value", col("value").cast("decimal(18,2)")))
+        .withColumn("total_value", col("total_value").cast("double"))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    // 30-minute-gap sessionization, batch twin of the stateful stream.
+    "q_stream_sessions" -> ((s, dir) =>
+      EventsStream.sessionizeBatch(
+          TestTables.events(s, dir)
+            .withColumn("value", col("value").cast("decimal(18,2)")))
+        .withColumn("total_value", col("total_value").cast("double"))
+        .orderBy(col("user_id"), col("session_start_us"))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_stream_windowed_agg" ->
+      """SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 300000000) * 300000000) AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts_us, value,
+        |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL THEN 1
+        |         WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) > 1800000000 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM e),
+        |numbered AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+        |  FROM flagged)
+        |SELECT user_id, min(ts_us) AS session_start_us, CAST(count(*) AS INT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM numbered GROUP BY user_id, session
+        |ORDER BY user_id, session_start_us""".stripMargin,
+  )
+}

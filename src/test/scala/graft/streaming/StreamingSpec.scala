@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.SharedSpark
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Runs the SAME transforms that QueriesStream checks in batch mode
+  * under real readStream/writeStream, and asserts stream ≡ batch.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private val rawSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Stage the events file into a streaming source dir and read it with
+    * the same ns→µs conversion as TestTables.events.
+    */
+  private def streamSource(): org.apache.spark.sql.DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    spark.readStream.schema(rawSchema).parquet(dir.toString)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
+
+  test("windowed aggregation: stream with watermark equals batch") {
+    val stream = EventsStream.windowedAgg(EventsStream.withWatermark(streamSource()))
+    val q = stream.writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("win_agg")
+      .select($"window_start", $"event_type", $"n_events", $"total_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), math.round(r.getDouble(3) * 100)))
+      .toSet
+    val batch = EventsStream.windowedAgg(
+        graft.tables.TestTables.events(spark, "/root/testdata/sf0.001"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), math.round(r.getDouble(3) * 100)))
+      .toSet
+    assert(streamed == batch, s"stream/batch mismatch: ${streamed.size} vs ${batch.size} windows")
+  }
+
+  test("stateful sessionization: closed stream sessions match batch sessions") {
+    val src = streamSource().select($"user_id", $"ts_us", $"value").as[EventsStream.SessionEvent]
+    val q = EventsStream.sessionizeStream(src)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), math.round(r.getDouble(3) * 100))).toSet
+
+    val batchDf = EventsStream.sessionizeBatch(
+      graft.tables.TestTables.events(spark, "/root/testdata/sf0.001"))
+    val batch = batchDf
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), math.round(r.getDouble(3) * 100))).toSet
+    val nUsers = batchDf.select($"user_id").distinct().count()
+
+    assert(streamed.subsetOf(batch), "every closed stream session must exist in the batch result")
+    assert(streamed.size >= batch.size - nUsers,
+      s"stream should close all but at most one in-flight session per user (${streamed.size} vs ${batch.size} - $nUsers)")
+  }
+}
