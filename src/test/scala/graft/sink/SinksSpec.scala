@@ -25,6 +25,13 @@ class SinksSpec extends AnyFunSuite {
     assert(out == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0))
   }
 
+  test("archiveCsv writes a header CSV that reads back") {
+    val dir = java.nio.file.Files.createTempDirectory("csv_spec").toString + "/archive"
+    Sinks.archiveCsv(Seq((1L, "eligible"), (2L, "out-network")).toDF("visit_id", "class"), dir)
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.columns.toSeq == Seq("visit_id", "class") && back.count() == 2)
+  }
+
   test("append accumulates batches") {
     val dir = java.nio.file.Files.createTempDirectory("append_spec").toString + "/t"
     Sinks.append(Seq(1, 2).toDF("x"), dir)
