@@ -1,0 +1,70 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN — the scale path beyond hyperplane LSH:
+  * k-means-style coarse quantizer partitions the corpus into `k`
+  * cells; a query scores only the `nprobe` nearest cells. At 100 TB
+  * the corpus is written partitioned by cell, so a probe is partition
+  * pruning + a small scan, not a full pass.
+  *
+  * Training is Lloyd iterations expressed relationally: assignment is
+  * a broadcast-centroid argmin (min_by), update is an element-wise
+  * average via posexplode + groupBy(cell, dim). Deterministic: init
+  * takes the first k vectors by id, ties in argmin break on cell id.
+  */
+object Ivf {
+
+  private def asD(c: org.apache.spark.sql.Column) = Similarity.asDouble(c)
+
+  /** Train centroids: (cell, centroid: array<double>). */
+  def train(corpus: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 2): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("id"), asD(col(vecCol)).as("vec"))
+    var centroids = vecs.orderBy(col("id")).limit(k)
+      .withColumn("cell", row_number().over(Window.orderBy(col("id"))) - 1)
+      .select(col("cell"), col("vec").as("centroid"))
+    for (_ <- 1 to iters) {
+      val assigned = assign(vecs, centroids)
+      centroids = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))), s => s.getField("m")).as("centroid"))
+    }
+    centroids
+  }
+
+  /** Assign each vector to its nearest centroid (broadcast argmin). */
+  def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = vecs.crossJoin(broadcast(centroids))
+      .withColumn("cos", Similarity.cosine(col("vec"), col("centroid")))
+    scored.groupBy(col("id"), col("vec"))
+      .agg(max_by(col("cell"), struct(col("cos"), -col("cell"))).as("cell"))
+  }
+
+  /** ANN top-k: probe the `nprobe` nearest cells per query, exact
+    * cosine within the probed cells.
+    */
+  def topK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+           idCol: String, vecCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("id"), asD(col(vecCol)).as("vec"))
+    val assigned = assign(vecs, centroids)
+      .select(col("id").as("n_id"), col("vec").as("n_vec"), col("cell"))
+    val q = queries.select(col(idCol).as("q_id"), asD(col(vecCol)).as("q_vec"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cos", Similarity.cosine(col("q_vec"), col("centroid")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cell"))))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("cell"))
+    val scored = probes.join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", Similarity.cosine(col("q_vec"), col("n_vec")))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rank"))
+  }
+}

@@ -77,6 +77,16 @@ object QueriesData {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // IVF ANN: k-means cells + nprobe search (rows-only; recall vs
+    // brute force in ScalaTest).
+    "q_sim_ivf_ann" -> ((s, dir) => {
+      val emb = TestTables.embeddings(s, dir)
+      val centroids = graft.datapipe.Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+      graft.datapipe.Ivf.topK(emb.filter(col("vec_id") % 50 === 0), emb, centroids,
+          "vec_id", "embedding", k = 3, nprobe = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Embedding-cosine near-dup pairs inside LSH buckets (rows-only).
     "q_sim_cosine_dedup" -> ((s, dir) =>
       Similarity.cosineDedupPairs(TestTables.embeddings(s, dir), "vec_id", "embedding",

@@ -14,6 +14,7 @@ object SharedSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.warehouse.dir", s"/tmp/graft_test_warehouse_${ProcessHandle.current().pid()}")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

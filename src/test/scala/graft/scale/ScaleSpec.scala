@@ -1,0 +1,79 @@
+package graft.scale
+
+import graft.SharedSpark
+import graft.ops.Skew
+import graft.sources.Bucketed
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The 100-TB levers, verified: salting preserves aggregate/join
+  * results, bucketed joins plan without a shuffle, IVF finds real
+  * neighbors.
+  */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private lazy val li = graft.tables.TestTables.lineitem(spark, "/root/testdata/sf0.001")
+
+  test("salted two-phase aggregation equals the direct groupBy") {
+    val direct = li.groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_rows"), sum($"l_quantity").as("sum_l_quantity"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100))).toSet
+    val salted = Skew.saltedCountSum(li, Seq("l_orderkey"), "l_quantity", $"l_linenumber", buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 100))).toSet
+    assert(salted == direct)
+  }
+
+  test("salted join equals the plain join") {
+    val dim = li.select($"l_partkey").distinct().withColumn("dim_tag", $"l_partkey" % 7)
+    val plain = li.join(dim, Seq("l_partkey")).select($"l_orderkey", $"l_linenumber", $"dim_tag")
+      .collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(li, dim, "l_partkey", $"l_linenumber", buckets = 4)
+      .select($"l_orderkey", $"l_linenumber", $"dim_tag")
+      .collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
+  test("bucketed-by-key join plans with zero shuffle exchanges") {
+    val orders = graft.tables.TestTables.orders(spark, "/root/testdata/sf0.001")
+    Bucketed.write(li.select($"l_orderkey", $"l_quantity"), "b_items", "l_orderkey", 4)
+    Bucketed.write(orders.select($"o_orderkey".as("l_orderkey"), $"o_totalprice"), "b_orders", "l_orderkey", 4)
+    // Force the sort-merge path (at real scale neither side broadcasts —
+    // that is exactly when bucketing pays).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketed.join(spark, "b_items", "b_orders", "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan must use the bucket layout:\n$plan")
+      assert(joined.count() == li.count(), "inner join on complete key set keeps all items")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("IVF ANN finds the planted near-duplicate and real neighbors") {
+    val emb = graft.tables.TestTables.embeddings(spark, "/root/testdata/sf0.001")
+    val plant = emb.filter($"vec_id" === 0)
+      .select(lit(9000L).as("vec_id"), transform($"embedding", x => x + lit(0.001f)).as("embedding"), $"label")
+    val corpus = emb.unionByName(plant)
+    val centroids = graft.datapipe.Ivf.train(corpus, "vec_id", "embedding", k = 8, iters = 2)
+    assert(centroids.count() == 8)
+    val res = graft.datapipe.Ivf.topK(corpus.filter($"vec_id" === 9000L), corpus, centroids,
+      "vec_id", "embedding", k = 3, nprobe = 2)
+    val top = res.orderBy($"rank").select($"n_id").as[Long].collect()
+    assert(top.headOption.contains(0L), s"nearest neighbor of the planted copy must be vec 0, got ${top.toSeq}")
+  }
+
+  test("IVF recall vs brute force is reasonable on random embeddings") {
+    val emb = graft.tables.TestTables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val centroids = graft.datapipe.Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val bf = graft.datapipe.Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val ivf = graft.datapipe.Ivf.topK(queries, emb, centroids, "vec_id", "embedding", k = 5, nprobe = 4)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val recall = (bf & ivf).size.toDouble / bf.size.toDouble
+    assert(recall >= 0.3, s"nprobe=4 of k=8 cells should catch a fair share of true top-5: $recall")
+  }
+}
