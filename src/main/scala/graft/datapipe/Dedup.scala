@@ -60,19 +60,26 @@ object Dedup {
   }
 
   /** MinHash signature rows: (doc, band, band_key). `numHashes` hash
-    * functions via seeded xxhash64, grouped into `bands` bands whose
-    * concatenated minima form the LSH bucket key.
+    * functions grouped into `bands` bands whose concatenated minima
+    * form the LSH bucket key. Two hash families:
+    *  - fast (default): seeded xxhash64 — the production path;
+    *  - portable: 15-hex-char md5 prefixes compared as strings —
+    *    bit-identical in DuckDB, so the whole banding pipeline is
+    *    oracle-checkable (q_dedup_minhash_md5).
     */
   def minhashBands(docs: DataFrame, idCol: String, textCol: String,
-                   numHashes: Int = 16, bands: Int = 4): DataFrame = {
+                   numHashes: Int = 16, bands: Int = 4, portable: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
     val tok = docs.select(col(idCol).as("doc"), explode(array_distinct(TextAnalysis.words(col(textCol)))).as("w"))
-    val minExprs = (0 until numHashes)
-      .map(i => min(xxhash64(lit(i), col("w"))).as(s"h$i"))
+    val minExprs = (0 until numHashes).map { i =>
+      if (portable) min(substring(md5(concat_ws("|", lit(i.toString), col("w"))), 1, 15)).as(s"h$i")
+      else min(xxhash64(lit(i), col("w"))).as(s"h$i")
+    }
     val sigs = tok.groupBy(col("doc")).agg(minExprs.head, minExprs.tail: _*)
     val bandCols = (0 until bands).map { b =>
       val hs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
-      struct(lit(b).as("band"), xxhash64(hs: _*).as("key")).as(s"band$b")
+      val key = if (portable) md5(concat_ws("|", hs: _*)) else xxhash64(hs: _*).cast("string")
+      struct(lit(b).as("band"), key.as("key")).as(s"band$b")
     }
     sigs.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("band_key"))
@@ -82,8 +89,9 @@ object Dedup {
     * are verified with true word-set Jaccard.
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   minJaccard: Double, numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val bandsDf = minhashBands(docs, idCol, textCol, numHashes, bands)
+                   minJaccard: Double, numHashes: Int = 16, bands: Int = 4,
+                   portable: Boolean = false): DataFrame = {
+    val bandsDf = minhashBands(docs, idCol, textCol, numHashes, bands, portable)
     val cand = bandsDf.as("a")
       .join(bandsDf.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&

@@ -31,6 +31,12 @@ object QueriesData {
       Dedup.minhashPairs(sampledDocs(s, dir), "doc_id", "text", minJaccard = 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // MinHash-LSH with the portable md5 hash family — the full banding
+    // pipeline under a value-level DuckDB oracle.
+    "q_dedup_minhash_md5" -> ((s, dir) =>
+      Dedup.minhashPairs(sampledDocs(s, dir), "doc_id", "text", minJaccard = 0.5, portable = true)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // SimHash near-dup pairs (rows-only).
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(sampledDocs(s, dir), "doc_id", "text", maxHamming = 10)
@@ -124,7 +130,46 @@ object QueriesData {
       s"(length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', '$esc', ''))) / ${m.length}"
     }.mkString(" + ")
 
+  /** The md5-minhash oracle: 16 min-hash aggregates, 4 band keys, a
+    * band self-join, true-Jaccard verification — generated so the hash
+    * indices stay in lockstep with Dedup.minhashBands.
+    */
+  private def minhashMd5Oracle: String = {
+    val minAggs = (0 until 16)
+      .map(i => s"min(substr(md5('$i' || '|' || w), 1, 15)) AS h$i").mkString(",\n  ")
+    val bandRows = (0 until 4).map { b =>
+      val hs = (b * 4 until (b + 1) * 4).map(i => s"h$i").mkString(" || '|' || ")
+      s"SELECT doc, $b AS band, md5($hs) AS band_key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+       |tok AS (
+       |  SELECT DISTINCT doc_id AS doc, w
+       |  FROM docs, unnest(string_split_regex(lower(text), '\\s+')) AS t(w) WHERE w <> ''),
+       |sigs AS (SELECT doc,
+       |  $minAggs
+       |  FROM tok GROUP BY doc),
+       |bands AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc),
+       |ws AS (
+       |  SELECT doc_id AS doc,
+       |    list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+       |  FROM docs)
+       |SELECT doc_a, doc_b,
+       |  CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE)
+       |    / CAST(len(list_distinct(list_concat(wa.w, wb.w))) AS DOUBLE) AS jaccard
+       |FROM cand JOIN ws wa ON wa.doc = doc_a JOIN ws wb ON wb.doc = doc_b
+       |WHERE CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE)
+       |    / CAST(len(list_distinct(list_concat(wa.w, wb.w))) AS DOUBLE) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_minhash_md5" -> minhashMd5Oracle,
+
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
         |  min(doc_id) AS kept_id, count(*) AS n_copies
