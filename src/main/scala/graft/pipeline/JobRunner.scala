@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import graft.ops.ColumnOps
+import graft.sink.Sinks
+import graft.streaming.Incremental
+import graft.tables.TestTables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CLI entry mirroring the reference's Airflow DAG graphs as
+  * spark-submit jobs (dags/eligibilty_etl.py, dags/resubmission_etl.py,
+  * dags/clinics_resubmission_etl.py). An orchestrator (Airflow cron)
+  * invokes one of:
+  *
+  *   spark-submit --class graft.pipeline.JobRunner app.jar eligibility  <sfDir> <outDir>
+  *   spark-submit --class graft.pipeline.JobRunner app.jar predictions  <sfDir> <outDir>
+  *   spark-submit --class graft.pipeline.JobRunner app.jar resubmission <sfDir> <outDir>
+  *   spark-submit --class graft.pipeline.JobRunner app.jar incremental  <sfDir> <outDir>
+  *
+  * Each run: empty-input short-circuit (E4), pipeline transform, CSV
+  * archive (B3) + parquet append load (D1) + keyed upsert (D2). The
+  * incremental job maintains a durable high-water mark instead of the
+  * reference's overlap window.
+  */
+object JobRunner {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: JobRunner <job> <sfDir> <outDir>")
+    val Array(job, sfDir, outDir) = args.take(3)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, job, sfDir, outDir)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, job: String, sfDir: String, outDir: String): Long = job match {
+    case "eligibility" =>
+      val out = Pipelines.eligibility(spark, sfDir)
+      load(out, s"$outDir/eligibility", upsertKey = Some("visit_id"))
+    case "predictions" =>
+      val out = Pipelines.predictions(spark, sfDir)
+      load(out, s"$outDir/predictions", upsertKey = Some("uid"))
+    case "resubmission" =>
+      val out = Pipelines.resubmission(spark, sfDir)
+      load(out, s"$outDir/resubmission", upsertKey = None)
+    case "incremental" =>
+      val inc = new Incremental(spark, s"$outDir/state", "ts")
+      inc.runBatch(TestTables.events(spark, sfDir)) { batch =>
+        load(batch.drop("props"), s"$outDir/events", upsertKey = None)
+      }
+    case other => throw new IllegalArgumentException(s"unknown job: $other")
+  }
+
+  /** load_data task: E4 short-circuit, CSV archive, append, upsert. */
+  private def load(df: DataFrame, base: String, upsertKey: Option[String]): Long = {
+    val out = df.persist()
+    try {
+      val n = out.count()
+      if (n == 0) return 0L // E4: AirflowSkipException analog
+      Sinks.archiveCsv(out.withColumn("archived_at", lit("run")), s"$base/archive")
+      Sinks.append(out, s"$base/append")
+      upsertKey.foreach(k => Sinks.upsertParquet(out.sparkSession, s"$base/current", out, k))
+      n
+    } finally out.unpersist()
+  }
+}

@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import graft.SharedSpark
+import graft.streaming.Incremental
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class JobRunnerSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("jobrunner").toString
+
+  test("eligibility job: archive + append + upsert land; rerun upsert is idempotent") {
+    val out = tmp()
+    val n1 = JobRunner.run(spark, "eligibility", "/root/testdata/sf0.001", out)
+    assert(n1 > 0)
+    val current1 = spark.read.parquet(s"$out/eligibility/current").count()
+    val n2 = JobRunner.run(spark, "eligibility", "/root/testdata/sf0.001", out)
+    val current2 = spark.read.parquet(s"$out/eligibility/current").count()
+    assert(n1 == n2 && current1 == current2, "upsert keyed on visit_id must not grow on rerun")
+    assert(spark.read.parquet(s"$out/eligibility/append").count() == n1 * 2, "append accumulates per run")
+    assert(spark.read.option("header", "true").csv(s"$out/eligibility/archive").count() == n1)
+  }
+
+  test("incremental job: first run drains, second run is a no-op, new data flows once") {
+    val out = tmp()
+    val n1 = JobRunner.run(spark, "incremental", "/root/testdata/sf0.001", out)
+    assert(n1 == 1000, s"first poll processes the whole events table, got $n1")
+    val n2 = JobRunner.run(spark, "incremental", "/root/testdata/sf0.001", out)
+    assert(n2 == 0, "watermark must suppress reprocessing")
+    assert(spark.read.parquet(s"$out/events/append").count() == 1000)
+  }
+
+  test("incremental watermark advances strictly and splits batches exactly") {
+    val state = tmp()
+    val inc = new Incremental(spark, state, "ts")
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"))).toDF("id", "ts")
+    var seen = Seq.empty[Long]
+    inc.runBatch(df)(b => seen = b.select($"id").as[Long].collect().toSeq)
+    assert(seen.toSet == Set(1L, 2L))
+    val later = Seq((3L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"))).toDF("id", "ts")
+    inc.runBatch(df.unionByName(later))(b => seen = b.select($"id").as[Long].collect().toSeq)
+    assert(seen == Seq(3L), "only strictly-newer rows in the second batch")
+  }
+
+  test("unknown job name fails loudly") {
+    intercept[IllegalArgumentException] { JobRunner.run(spark, "nope", "/root/testdata/sf0.001", tmp()) }
+  }
+}
