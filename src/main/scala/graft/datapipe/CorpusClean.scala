@@ -1,0 +1,41 @@
+package graft.datapipe
+
+import graft.ops.ColumnOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The flagship training-data preparation composition: language gate →
+  * quality gate → exact dedup → MinHash near-dup removal. This is the
+  * pipeline a pretraining-data team runs over a crawled corpus; every
+  * stage is one of the engine's primitives, so the whole thing stays
+  * three shuffles (fingerprint group, token group, band self-join) —
+  * nothing quadratic, nothing collected.
+  *
+  * Near-dup removal is the standard greedy survivor rule: for each
+  * verified pair (a < b) drop b — not full connected components, which
+  * would need an iterative join (documented trade-off; transitive
+  * chains keep their lowest-id member per edge, not per component).
+  */
+object CorpusClean {
+
+  def clean(docs: DataFrame, idCol: String, textCol: String,
+            minQuality: Double, minJaccard: Double, portableHash: Boolean = false): DataFrame = {
+    val scored = docs
+      .withColumn("lang_detected", TextAnalysis.langId(col(textCol)))
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+    val gated = scored
+      .filter(col("lang_detected") =!= "und")
+      .filter(col("quality") >= minQuality)
+
+    // Exact dedup: keep the lowest id per canonical fingerprint.
+    val exactKept = ColumnOps.dedupKeepFirst(
+      gated.withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
+      keys = Seq("__fp"), order = Seq(col(idCol)))
+      .drop("__fp")
+
+    // Near-dup removal: greedy drop of the higher id of each pair.
+    val pairs = Dedup.minhashPairs(exactKept, idCol, textCol, minJaccard, portable = portableHash)
+    val drop = pairs.select(col("doc_b").as(idCol)).distinct()
+    exactKept.join(drop, Seq(idCol), "left_anti")
+  }
+}

@@ -31,6 +31,14 @@ object QueriesData {
       Dedup.minhashPairs(sampledDocs(s, dir), "doc_id", "text", minJaccard = 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // Flagship training-data prep: language gate -> quality gate ->
+    // exact dedup -> MinHash near-dup removal, fully oracle-checked.
+    "q_pipeline_corpus" -> ((s, dir) =>
+      graft.datapipe.CorpusClean.clean(TestTables.documents(s, dir), "doc_id", "text",
+          minQuality = 1.1, minJaccard = 0.8, portableHash = true)
+        .select(col("doc_id"), col("lang"), col("lang_detected"), col("quality"))
+        .orderBy(col("doc_id"))),
+
     // MinHash-LSH with the portable md5 hash family — the full banding
     // pipeline under a value-level DuckDB oracle.
     "q_dedup_minhash_md5" -> ((s, dir) =>
@@ -130,21 +138,22 @@ object QueriesData {
       s"(length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', '$esc', ''))) / ${m.length}"
     }.mkString(" + ")
 
-  /** The md5-minhash oracle: 16 min-hash aggregates, 4 band keys, a
-    * band self-join, true-Jaccard verification — generated so the hash
-    * indices stay in lockstep with Dedup.minhashBands.
+  /** md5-minhash CTE chain over a source CTE named `src` (must expose
+    * doc_id, text): 16 min-hash aggregates, 4 band keys, band
+    * self-join, true-Jaccard verification into CTE `verified` —
+    * generated so the hash indices stay in lockstep with
+    * Dedup.minhashBands.
     */
-  private def minhashMd5Oracle: String = {
+  private def minhashMd5Ctes(src: String, minJaccard: Double): String = {
     val minAggs = (0 until 16)
       .map(i => s"min(substr(md5('$i' || '|' || w), 1, 15)) AS h$i").mkString(",\n  ")
     val bandRows = (0 until 4).map { b =>
       val hs = (b * 4 until (b + 1) * 4).map(i => s"h$i").mkString(" || '|' || ")
       s"SELECT doc, $b AS band, md5($hs) AS band_key FROM sigs"
     }.mkString("\n  UNION ALL ")
-    s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
-       |tok AS (
+    s"""tok AS (
        |  SELECT DISTINCT doc_id AS doc, w
-       |  FROM docs, unnest(string_split_regex(lower(text), '\\s+')) AS t(w) WHERE w <> ''),
+       |  FROM $src, unnest(string_split_regex(lower(text), '\\s+')) AS t(w) WHERE w <> ''),
        |sigs AS (SELECT doc,
        |  $minAggs
        |  FROM tok GROUP BY doc),
@@ -157,18 +166,65 @@ object QueriesData {
        |ws AS (
        |  SELECT doc_id AS doc,
        |    list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
-       |  FROM docs)
-       |SELECT doc_a, doc_b,
-       |  CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE)
-       |    / CAST(len(list_distinct(list_concat(wa.w, wb.w))) AS DOUBLE) AS jaccard
-       |FROM cand JOIN ws wa ON wa.doc = doc_a JOIN ws wb ON wb.doc = doc_b
-       |WHERE CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE)
-       |    / CAST(len(list_distinct(list_concat(wa.w, wb.w))) AS DOUBLE) >= 0.5
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |  FROM $src),
+       |verified AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(wa.w, wb.w))) AS DOUBLE) AS jaccard
+       |  FROM cand JOIN ws wa ON wa.doc = doc_a JOIN ws wb ON wb.doc = doc_b
+       |  WHERE CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(wa.w, wb.w))) AS DOUBLE) >= $minJaccard)""".stripMargin
+  }
+
+  private def minhashMd5Oracle: String =
+    s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+       |${minhashMd5Ctes("docs", 0.5)}
+       |SELECT doc_a, doc_b, jaccard FROM verified ORDER BY doc_a, doc_b""".stripMargin
+
+  private val qualitySql: String =
+    """CAST(len(list_filter(string_split_regex(lower(text), '\s+'), w -> w IN (%STOP%))) AS DOUBLE)
+      |    / greatest(CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE), 1.0) * CAST(2.0 AS DOUBLE)
+      |  - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+      |    / greatest(CAST(length(text) AS DOUBLE), 1.0) * CAST(4.0 AS DOUBLE)
+      |  + CASE WHEN CAST(length(text) AS DOUBLE) / greatest(CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE), 1.0) BETWEEN 3.0 AND 9.0
+      |         THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END""".stripMargin
+      .replace("%STOP%", stopwordsIn)
+
+  /** The corpus-cleaning oracle: language gate → quality gate → exact
+    * dedup → minhash near-dup greedy removal, mirroring
+    * CorpusClean.clean stage for stage.
+    */
+  private def corpusCleanOracle: String = {
+    val hits = TextAnalysis.langMarkers.map { case (lang, ms) => lang -> langHitsSql(ms) }
+    val hitCols = hits.map { case (lang, h) => s"($h) AS hit_$lang" }.mkString(",\n  ")
+    val best = "greatest(" + hits.map(h => s"hit_${h._1}").mkString(", ") + ")"
+    val langCase = "CASE WHEN __best <= 0 THEN 'und' " +
+      hits.map { case (lang, _) => s"WHEN hit_$lang = __best THEN '$lang'" }.mkString(" ") +
+      " ELSE 'und' END"
+    s"""WITH hitted AS (
+       |  SELECT doc_id, text, lang,
+       |  $hitCols,
+       |  $qualitySql AS quality
+       |  FROM documents),
+       |scored AS (SELECT *, $best AS __best FROM hitted),
+       |gated AS (
+       |  SELECT doc_id, text, lang, quality, $langCase AS lang_detected FROM scored
+       |  WHERE $langCase <> 'und' AND quality >= 1.1),
+       |exact_kept AS (
+       |  SELECT doc_id, text, lang, quality, lang_detected FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+       |      ORDER BY doc_id) AS rn
+       |    FROM gated) t WHERE rn = 1),
+       |${minhashMd5Ctes("exact_kept", 0.8)}
+       |SELECT doc_id, lang, lang_detected, quality FROM exact_kept
+       |WHERE doc_id NOT IN (SELECT doc_b FROM verified)
+       |ORDER BY doc_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_minhash_md5" -> minhashMd5Oracle,
+    "q_pipeline_corpus" -> corpusCleanOracle,
 
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
