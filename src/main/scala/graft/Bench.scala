@@ -24,6 +24,7 @@ object Bench {
     "q_c4_llm_predictions",
     "q_dedup_exact",
     "q_dedup_minhash",
+    "q_pipeline_corpus",
     "q_text_stats",
     "q_sim_bruteforce",
     "q_stream_windowed_agg",

@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
 object CorpusClean {
 
   def clean(docs: DataFrame, idCol: String, textCol: String,
-            minQuality: Double, minJaccard: Double, portableHash: Boolean = false): DataFrame = {
+            minQuality: Double, minJaccard: Double, portableHash: Boolean = false,
+            maxBucket: Int = 100): DataFrame = {
     val scored = docs
       .withColumn("lang_detected", TextAnalysis.langId(col(textCol)))
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
@@ -33,9 +34,11 @@ object CorpusClean {
       keys = Seq("__fp"), order = Seq(col(idCol)))
       .drop("__fp")
 
-    // Near-dup removal: greedy drop of the higher id of each pair.
-    val pairs = Dedup.minhashPairs(exactKept, idCol, textCol, minJaccard, portable = portableHash)
-    val drop = pairs.select(col("doc_b").as(idCol)).distinct()
+    // Near-dup removal: greedy drop of the higher id of each verified
+    // pair; oversized buckets collapse to their minimum directly.
+    val drop = Dedup.minhashDropSet(exactKept, idCol, textCol, minJaccard,
+      maxBucket = maxBucket, portable = portableHash)
+      .withColumnRenamed("doc", idCol)
     exactKept.join(drop, Seq(idCol), "left_anti")
   }
 }

@@ -108,6 +108,41 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** MinHash-LSH dedup drop-set with bucket-size capping: buckets up to
+    * `maxBucket` go through pairwise true-Jaccard verification (drop
+    * the higher id of each verified pair); oversized buckets — which
+    * only form when documents are near-identical en masse — skip the
+    * quadratic verify and keep just the bucket minimum. This bounds
+    * candidate pairs at `buckets × maxBucket²` regardless of corpus
+    * redundancy.
+    */
+  def minhashDropSet(docs: DataFrame, idCol: String, textCol: String,
+                     minJaccard: Double, maxBucket: Int = 100,
+                     numHashes: Int = 16, bands: Int = 4, portable: Boolean = false): DataFrame = {
+    val bandsDf = minhashBands(docs, idCol, textCol, numHashes, bands, portable)
+    val sized = bandsDf.join(
+      bandsDf.groupBy(col("band"), col("band_key"))
+        .agg(count(lit(1)).as("__n"), min(col("doc")).as("__keep")),
+      Seq("band", "band_key"))
+    val small = sized.filter(col("__n") <= maxBucket).select(col("doc"), col("band"), col("band_key"))
+    val cand = small.as("a")
+      .join(small.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b")).distinct()
+    val sizes = docs.select(col(idCol).as("doc"), array_distinct(TextAnalysis.words(col(textCol))).as("ws"))
+    val verifiedDrops = cand
+      .join(sizes.select(col("doc").as("doc_a"), col("ws").as("wa")), Seq("doc_a"))
+      .join(sizes.select(col("doc").as("doc_b"), col("ws").as("wb")), Seq("doc_b"))
+      .filter(
+        size(array_intersect(col("wa"), col("wb"))).cast("double") /
+          size(array_union(col("wa"), col("wb"))).cast("double") >= minJaccard)
+      .select(col("doc_b").as("doc"))
+    val bigDrops = sized.filter(col("__n") > maxBucket && col("doc") =!= col("__keep"))
+      .select(col("doc"))
+    verifiedDrops.unionByName(bigDrops).distinct()
+  }
+
   /** 64-bit SimHash over the word multiset: per-bit signed vote of each
     * word's xxhash64, computed with higher-order functions (no explode,
     * no shuffle — one pass per row).

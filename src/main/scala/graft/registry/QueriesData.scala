@@ -144,13 +144,34 @@ object QueriesData {
     * generated so the hash indices stay in lockstep with
     * Dedup.minhashBands.
     */
-  private def minhashMd5Ctes(src: String, minJaccard: Double): String = {
+  private def minhashMd5Ctes(src: String, minJaccard: Double, maxBucket: Option[Int] = None): String = {
     val minAggs = (0 until 16)
       .map(i => s"min(substr(md5('$i' || '|' || w), 1, 15)) AS h$i").mkString(",\n  ")
     val bandRows = (0 until 4).map { b =>
       val hs = (b * 4 until (b + 1) * 4).map(i => s"h$i").mkString(" || '|' || ")
       s"SELECT doc, $b AS band, md5($hs) AS band_key FROM sigs"
     }.mkString("\n  UNION ALL ")
+    val candSrc = maxBucket match {
+      case Some(cap) =>
+        s"""bsz AS (
+           |  SELECT band, band_key, count(*) AS n, min(doc) AS keep_doc
+           |  FROM bands GROUP BY band, band_key),
+           |small AS (
+           |  SELECT b.doc, b.band, b.band_key FROM bands b
+           |  JOIN bsz USING (band, band_key) WHERE n <= $cap),
+           |big_drops AS (
+           |  SELECT DISTINCT b.doc FROM bands b
+           |  JOIN bsz USING (band, band_key) WHERE n > $cap AND b.doc <> keep_doc),
+           |cand AS (
+           |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+           |  FROM small a JOIN small b
+           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc),""".stripMargin
+      case None =>
+        """cand AS (
+          |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+          |  FROM bands a JOIN bands b
+          |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc),""".stripMargin
+    }
     s"""tok AS (
        |  SELECT DISTINCT doc_id AS doc, w
        |  FROM $src, unnest(string_split_regex(lower(text), '\\s+')) AS t(w) WHERE w <> ''),
@@ -159,10 +180,7 @@ object QueriesData {
        |  FROM tok GROUP BY doc),
        |bands AS (
        |  $bandRows),
-       |cand AS (
-       |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc),
+       |$candSrc
        |ws AS (
        |  SELECT doc_id AS doc,
        |    list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
@@ -216,9 +234,11 @@ object QueriesData {
        |      PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
        |      ORDER BY doc_id) AS rn
        |    FROM gated) t WHERE rn = 1),
-       |${minhashMd5Ctes("exact_kept", 0.8)}
+       |${minhashMd5Ctes("exact_kept", 0.8, maxBucket = Some(100))},
+       |drops AS (
+       |  SELECT doc_b AS doc FROM verified UNION SELECT doc FROM big_drops)
        |SELECT doc_id, lang, lang_detected, quality FROM exact_kept
-       |WHERE doc_id NOT IN (SELECT doc_b FROM verified)
+       |WHERE doc_id NOT IN (SELECT doc FROM drops)
        |ORDER BY doc_id""".stripMargin
   }
 
