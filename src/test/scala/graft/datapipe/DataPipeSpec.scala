@@ -43,6 +43,18 @@ class DataPipeSpec extends AnyFunSuite {
     assert(!keys.exists(p => p._1 == 6L || p._2 == 6L))
   }
 
+  test("minhashDropSet caps oversized buckets: giant duplicate cluster collapses to its minimum") {
+    val clone = "massively duplicated document body with many identical words repeated verbatim"
+    val bigCluster = (100L to 120L).map(i => (i, clone))
+    val distinctDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally different words about mountain weather patterns"))
+    val corpus = (bigCluster ++ distinctDocs).toDF("doc_id", "text")
+    val drops = Dedup.minhashDropSet(corpus, "doc_id", "text", minJaccard = 0.8, maxBucket = 5)
+      .as[Long].collect().toSet
+    assert(drops == (101L to 120L).toSet, s"all clones but the minimum (100) drop, got $drops")
+  }
+
   test("simhash: identical docs have identical hashes; near-dups are close in Hamming") {
     val sh = corpus.select($"doc_id", Dedup.simhash($"text").as("sh"))
       .as[(Long, Long)].collect().toMap

@@ -1,0 +1,40 @@
+package graft.sources
+
+import graft.SharedSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real JDBC round-trip against embedded Derby (ships with Spark) —
+  * the B1 extract / D1 load surface driven end-to-end, not just
+  * option-construction.
+  */
+class WarehouseJdbcSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private lazy val conn = Warehouse.Conn(
+    url = s"jdbc:derby:/tmp/graft_derby_${ProcessHandle.current().pid()};create=true",
+    user = "", password = "", driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+
+  test("JDBC append then full-query pushdown read round-trips") {
+    val visits = Seq(
+      (1L, "eligible", 1000.0), (2L, "not-active", 0.0), (3L, "eligible", 250.5))
+      .toDF("visit_id", "class", "approval_limit")
+    Warehouse.append(visits, conn, "ELIGIBILITY_DOTCARE", sleep = _ => ())
+
+    val back = Warehouse.readQuery(spark, conn,
+      """SELECT "visit_id", "class", "approval_limit" FROM ELIGIBILITY_DOTCARE
+        |WHERE CAST("class" AS VARCHAR(64)) = 'eligible'""".stripMargin,
+      sleep = _ => ())
+    val rows = back.collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(rows == Set((1L, 1000.0), (3L, 250.5)), "pushdown query filters server-side and round-trips values")
+  }
+
+  test("JDBC append accumulates across batches (chunked load)") {
+    val b1 = Seq((10L, "a", 1.0)).toDF("visit_id", "class", "approval_limit")
+    val b2 = Seq((11L, "b", 2.0)).toDF("visit_id", "class", "approval_limit")
+    Warehouse.append(b1, conn, "APPEND_T", sleep = _ => ())
+    Warehouse.append(b2, conn, "APPEND_T", sleep = _ => ())
+    val n = Warehouse.readQuery(spark, conn, """SELECT "visit_id" FROM APPEND_T""", sleep = _ => ()).count()
+    assert(n == 2)
+  }
+}
