@@ -40,12 +40,23 @@ object Bench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up at the smallest SF: JIT + codegen caches, so the timed
+    // section measures steady-state throughput, not JVM start-up.
+    headline.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        spark.catalog.clearCache() // pipelines persist() internally — don't let blocks pile up
+      }
+    }
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        name -> t
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
