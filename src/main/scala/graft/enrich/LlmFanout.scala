@@ -79,10 +79,14 @@ object LlmFanout {
               metrics: Option[EnrichOperator.Metrics] = None): DataFrame = {
     val exploded = callPerVisit(claims, visitCol, uidCol, "Rejected", makeClient, cfg, metrics)
     val failedVisits = exploded.filter(col("__failed") === 1).select(col("__visit")).distinct()
-    val rejections = exploded.filter(col("__uid").isNotNull).select(col("__uid"), col("__text"))
+    // Cast the (small) response side back to the claims' key type —
+    // casting the fact side per row would both cost and break any
+    // pre-existing partitioning on the key.
+    val rejections = exploded.filter(col("__uid").isNotNull)
+      .select(col("__uid").try_cast(claims.schema(uidCol).dataType.sql).as("__uid"), col("__text"))
     claims
       .join(broadcast(failedVisits), claims(visitCol).cast("string") === col("__visit"), "left")
-      .join(rejections, claims(uidCol).cast("string") === col("__uid"), "left")
+      .join(rejections, claims(uidCol) === col("__uid"), "left")
       .withColumn("medical_prediction",
         when(col("__visit").isNotNull, "Failed to reach LLM")
           .when(col("__text").isNotNull, "Rejected")
@@ -100,10 +104,11 @@ object LlmFanout {
               metrics: Option[EnrichOperator.Metrics] = None): DataFrame = {
     val exploded = callPerVisit(claims, visitCol, uidCol, "Justifications", makeClient, cfg, metrics)
     val failedVisits = exploded.filter(col("__failed") === 1).select(col("__visit")).distinct()
-    val texts = exploded.filter(col("__uid").isNotNull).select(col("__uid"), col("__text"))
+    val texts = exploded.filter(col("__uid").isNotNull)
+      .select(col("__uid").try_cast(claims.schema(uidCol).dataType.sql).as("__uid"), col("__text"))
     claims
       .join(broadcast(failedVisits), claims(visitCol).cast("string") === col("__visit"), "left")
-      .join(texts, claims(uidCol).cast("string") === col("__uid"), "left")
+      .join(texts, claims(uidCol) === col("__uid"), "left")
       .withColumn("justification",
         when(col("__visit").isNotNull, "Failed to reach LLM").otherwise(col("__text")))
       .drop("__visit", "__uid", "__text")
