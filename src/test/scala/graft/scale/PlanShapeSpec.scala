@@ -1,0 +1,44 @@
+package graft.scale
+
+import graft.SharedSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Locks the physical-plan properties the 100-TB design depends on —
+  * a regression that re-introduces a shuffle or loses pushdown fails
+  * here, not in production.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("eligibility star join: every dimension joins broadcast, no sort-merge join") {
+    val plan = graft.relational.EligibilityExtract.build(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"dimensions must broadcast:\n$plan")
+  }
+
+  test("eligibility scan: predicates and projection push into parquet") {
+    val plan = graft.relational.EligibilityExtract.build(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderstatus)"), "status filter must reach the scan")
+    assert(!plan.contains("o_orderpriority:string,o_clerk"), "only referenced columns read")
+  }
+
+  test("resubmission full: window and string_agg share the l_orderkey exchange family") {
+    val df = graft.relational.ResubmissionExtract.full(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // The flagged-set semi join must stay a join, never a collected list.
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("salted aggregation introduces no extra full-table exchange beyond the two phases") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val li = graft.tables.TestTables.lineitem(spark, dir)
+    val plan = graft.ops.Skew.saltedCountSum(li, Seq("l_orderkey"), "l_quantity", $"l_linenumber", 8)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"two-phase salted agg should shuffle at most twice:\n$plan")
+  }
+}
