@@ -35,12 +35,14 @@ object SparkEntry {
   /** Shared CTE text for the resubmission branches (mirrors
     * ResubmissionExtract.latestItems / flaggedOrders).
     */
+  private val latestOrderSql =
+    ResubmissionExtract.latestItemsOrder.map(c => s"$c DESC").mkString(", ")
   private val latestCte =
-    """latest AS (
-      |  SELECT * EXCLUDE (rn) FROM (
-      |    SELECT l.*, row_number() OVER (PARTITION BY l_orderkey, l_returnflag
-      |                                   ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
-      |    FROM lineitem l) t WHERE rn = 1)""".stripMargin
+    s"""latest AS (
+       |  SELECT * EXCLUDE (rn) FROM (
+       |    SELECT l.*, row_number() OVER (PARTITION BY l_orderkey, l_returnflag
+       |                                   ORDER BY $latestOrderSql) AS rn
+       |    FROM lineitem l) t WHERE rn = 1)""".stripMargin
   private val flaggedCte =
     """flagged AS (
       |  SELECT DISTINCT l_orderkey FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -341,11 +343,11 @@ object SparkEntry {
          |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_a11_latest_per_group" ->
-      """SELECT l_orderkey, l_returnflag, l_linenumber, l_shipdate
-        |FROM (SELECT l.*, row_number() OVER (PARTITION BY l_orderkey, l_returnflag
-        |                                     ORDER BY l_shipdate DESC, l_linenumber DESC) AS rn
-        |      FROM lineitem l) t
-        |WHERE rn = 1 ORDER BY l_orderkey, l_returnflag""".stripMargin,
+      s"""SELECT l_orderkey, l_returnflag, l_linenumber, l_shipdate
+         |FROM (SELECT l.*, row_number() OVER (PARTITION BY l_orderkey, l_returnflag
+         |                                     ORDER BY $latestOrderSql) AS rn
+         |      FROM lineitem l) t
+         |WHERE rn = 1 ORDER BY l_orderkey, l_returnflag""".stripMargin,
 
     "q_a12_string_agg" ->
       """SELECT l_orderkey, string_agg(p_name, ' , ' ORDER BY l_linenumber, p_name) AS diagnosis

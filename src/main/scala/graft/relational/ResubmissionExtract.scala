@@ -48,13 +48,20 @@ object ResubmissionExtract {
 
   /** CTE 2 analog — latest request per (order, returnflag):
     * ROW_NUMBER() OVER (PARTITION BY … ORDER BY shipdate DESC, line DESC)
-    * = 1 (sql/resubmission.sql:55-68; unique tiebreaker for determinism).
+    * = 1 (sql/resubmission.sql:55-68). The order list continues through
+    * every remaining column: (shipdate, linenumber) alone is NOT total
+    * in this data — ties picked different winners (different partkeys)
+    * on different engines, found as an off-by-one at sf0.1.
     */
+  val latestItemsOrder: Seq[String] = Seq(
+    "l_shipdate", "l_linenumber", "l_partkey", "l_suppkey",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_linestatus")
+
   def latestItems(lineitem: DataFrame): DataFrame =
     ColumnOps.latestPerGroup(
       lineitem,
       keys = Seq(col("l_orderkey"), col("l_returnflag")),
-      order = Seq(col("l_shipdate"), col("l_linenumber")))
+      order = latestItemsOrder.map(col))
 
   /** Diagnosis STRING_AGG analog: service names per order, ' , '-joined
     * in line order (sql/resubmission.sql:78-90 — STRING_AGG(name,' , ')).
