@@ -2,9 +2,9 @@ package graft.parse
 
 import com.fasterxml.jackson.core.{JsonFactory, JsonToken}
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription, TernaryExpression}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -23,17 +23,45 @@ import org.apache.spark.unsafe.types.UTF8String
 @ExpressionDescription(
   usage = "json_find_numbers(json, key, subfield) - numeric `key.subfield` values at any depth, in document order.")
 case class JsonFindNumbers(first: Expression, second: Expression, third: Expression)
-  extends TernaryExpression with CodegenFallback {
+  extends TernaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = true
 
-  override def nullSafeEval(json: Any, key: Any, sub: Any): Any = {
-    val target = key.asInstanceOf[UTF8String].toString
-    val subfield = sub.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(json: Any, key: Any, sub: Any): Any =
+    JsonFindNumbers.findNumbers(
+      json.asInstanceOf[UTF8String], key.asInstanceOf[UTF8String], sub.asInstanceOf[UTF8String])
+
+  /** Generated code stays inside the whole-stage-codegen span: a single
+    * static call into the streaming scanner, with the standard
+    * null-propagation wrapper from nullSafeCodeGen — no per-row
+    * reflective eval, no codegen fallback boundary.
+    */
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (json, key, sub) => {
+      val cls = JsonFindNumbers.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+         |${ev.value} = $cls.findNumbers($json, $key, $sub);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): JsonFindNumbers =
+    copy(first = f, second = s, third = t)
+}
+
+object JsonFindNumbers {
+  val fnName = "json_find_numbers"
+
+  /** Single-pass streaming scan (shared by eval and generated code).
+    * Returns null on malformed JSON — errors are values (SURVEY §7.5.5).
+    */
+  def findNumbers(json: UTF8String, key: UTF8String, sub: UTF8String): ArrayData = {
+    val target = key.toString
+    val subfield = sub.toString
     val out = scala.collection.mutable.ArrayBuffer.empty[Double]
     try {
-      val parser = new JsonFactory().createParser(json.asInstanceOf[UTF8String].toString)
+      val parser = new JsonFactory().createParser(json.toString)
       // Depth of nesting inside a matched `target` object; 0 = not inside.
       var insideTarget = 0
       var fieldName: String = null
@@ -60,17 +88,9 @@ case class JsonFindNumbers(first: Expression, second: Expression, third: Express
       parser.close()
       new GenericArrayData(out.toArray)
     } catch {
-      // Malformed JSON is a value, not a failure (SURVEY §7.5.5).
       case _: Exception => null
     }
   }
-
-  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): JsonFindNumbers =
-    copy(first = f, second = s, third = t)
-}
-
-object JsonFindNumbers {
-  val fnName = "json_find_numbers"
 
   /** Column-API entry point; requires GraftExtensions on the session
     * (spark.sql.extensions=graft.GraftExtensions) so the function is in

@@ -117,6 +117,16 @@ class FhirParserSpec extends AnyFunSuite {
     assert(out(3L)._1 == "Fail")
   }
 
+  test("json_find_numbers doGenCode compiles and runs with codegen fallback disabled") {
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = Seq("""{"a":{"allowedMoney":{"value":7}},"b":{"allowedMoney":{"value":9.5}}}""").toDF("j")
+        .select(JsonFindNumbers.of($"j", "allowedMoney", "value")).as[Seq[Double]].collect()
+      assert(out.head == Seq(7.0, 9.5))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("json_find_numbers: document order, depth-independence, malformed safety") {
     val j = Seq(
       ("""{"a": {"allowedMoney": {"value": 7, "currency": "SAR"}}, "b": [{"allowedMoney": {"value": 9.5}}]}""", 1L),
