@@ -9,10 +9,13 @@ import org.apache.spark.util.LongAccumulator
   * as an explicit, Catalyst-opaque mapPartitions stage.
   *
   * Design constraints it encodes (SURVEY §7.5.2-3):
-  *  - explicit parallelism: the stage repartitions to `parallelism`
-  *    (global rate budget / partition — NOT the session shuffle
-  *    default, which would make per-partition rate meaningless);
-  *  - per-partition token-bucket rate limiting (global limit / N);
+  *  - scale-aware parallelism: the stage repartitions to
+  *    `Config.parallelism` when set, else the cluster's
+  *    `defaultParallelism` — it widens with the cluster, never
+  *    silently caps at a constant;
+  *  - global rate budget: `Config.ratePerSec` is divided by the
+  *    resolved partition count, so the external service sees the same
+  *    aggregate rate on 8 cores or 800;
   *  - bounded retries with backoff inside the partition;
   *  - error-as-value: failures become (status, message) columns, the
   *    batch never dies;
@@ -23,11 +26,27 @@ import org.apache.spark.util.LongAccumulator
   */
 object EnrichOperator {
 
+  /** @param parallelism number of concurrent call partitions; <= 0
+    *        (the default) derives it from the cluster's
+    *        `defaultParallelism`, so the stage widens with the cluster
+    *        instead of silently capping at a constant. Pass an explicit
+    *        positive value when the external service, not the cluster,
+    *        is the bottleneck.
+    * @param ratePerSec GLOBAL call-rate budget in requests/second,
+    *        split evenly across the resolved partitions (the service
+    *        sees at most this rate however wide the cluster is).
+    *        0 = unthrottled.
+    */
   final case class Config(
-      parallelism: Int = 8,
+      parallelism: Int = 0,
       maxAttempts: Int = 2,
       backoffMs: Long = 0L,
-      ratePerSecPerPartition: Double = 0.0) // 0 = unthrottled
+      ratePerSec: Double = 0.0)
+
+  /** Resolve the effective partition count for an enrichment stage. */
+  def resolveParallelism(df: DataFrame, cfg: Config): Int =
+    if (cfg.parallelism > 0) cfg.parallelism
+    else math.max(1, df.sparkSession.sparkContext.defaultParallelism)
 
   final case class Metrics(
       calls: LongAccumulator,
@@ -59,10 +78,12 @@ object EnrichOperator {
       StructField("message", StringType)))
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     val enc = Encoders.row(outSchema)
-    df.repartition(cfg.parallelism).mapPartitions { rows =>
+    val numParts = resolveParallelism(df, cfg)
+    val perPartitionRate = if (cfg.ratePerSec > 0) cfg.ratePerSec / numParts else 0.0
+    df.repartition(numParts).mapPartitions { rows =>
       val client = makeClient()
       val minIntervalNs =
-        if (cfg.ratePerSecPerPartition > 0) (1e9 / cfg.ratePerSecPerPartition).toLong else 0L
+        if (perPartitionRate > 0) (1e9 / perPartitionRate).toLong else 0L
       var nextAllowedNs = 0L
       rows.map { row =>
         if (minIntervalNs > 0) {
@@ -116,7 +137,7 @@ object EnrichOperator {
     // Materialize the first pass before branching on it — the two
     // filters below would otherwise each recompute the mapPartitions
     // lineage and re-fire every call (SURVEY §7.5.2).
-    val first = enriched.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = graft.util.Materialize.once(enriched)
     val ok = first.filter(col("status") === "ok")
     val failed = first.filter(col("status") === "error").drop("status", "response", "message")
     val retried = enrich(failed, payloadCol, makeClient, cfg)

@@ -54,7 +54,7 @@ object LlmFanout {
     val vIdx = retried.schema.fieldIndex(visitCol)
     val stIdx = retried.schema.fieldIndex("status")
     val respIdx = retried.schema.fieldIndex("response")
-    retried.mapPartitions { rows =>
+    val exploded = retried.mapPartitions { rows =>
       rows.flatMap { r =>
         val visit = Option(r.get(vIdx)).map(_.toString).orNull
         if (r.getString(stIdx) != "ok")
@@ -65,9 +65,11 @@ object LlmFanout {
           else entries.iterator.map { case (uid, text) => Row(visit, uid, text, 0) }
         }
       }
-      // Consumed twice downstream (failed-visit set + per-uid texts) —
-      // persist so the LLM stage runs exactly once.
-    }(enc).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }(enc)
+    // Consumed twice downstream (failed-visit set + per-uid texts) —
+    // materialize so the LLM stage runs exactly once and its blocks
+    // are auto-freed once the query's result is dropped.
+    graft.util.Materialize.once(exploded)
   }
 
   /** C4: predictions. Appends `medical_prediction`

@@ -8,11 +8,10 @@ import graft.sink.QualityGate
 import graft.tables.TestTables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** The three DAG task graphs composed as single Spark jobs
   * (SURVEY.md §3). Each Airflow task boundary in the reference
-  * (parquet-in-/tmp handoff) becomes either a persisted DataFrame (the
+  * (parquet-in-/tmp handoff) becomes either a materialized DataFrame (the
   * shared extract, E6) or just lineage; enrichment stages sit behind
   * EnrichOperator so their parallelism and retry policy are explicit.
   */
@@ -23,32 +22,38 @@ object Pipelines {
     * gate, one joined load projection.
     */
   def eligibility(spark: SparkSession, dir: String, gate: Boolean = true): DataFrame = {
-    // extract_data — shared by both transforms, so persist once (E6).
-    val base = EligibilityExtract.build(spark, dir)
-      .select(col("visit_id"), col("patient_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Enrichment policy, stated explicitly at the composition layer:
+    // width follows the cluster (parallelism <= 0 → defaultParallelism);
+    // the rate budget is global, so a wider cluster does not mean a
+    // harder hammering of the upstream service (0 = mocks, unthrottled).
+    val enrichCfg = EnrichOperator.Config(maxAttempts = 2)
+
+    // extract_data — shared by both transforms, so materialize once (E6).
+    val base = graft.util.Materialize.once(
+      EligibilityExtract.build(spark, dir).select(col("visit_id"), col("patient_id")))
 
     // transform_iqama (C1): per-unique-patient insurance lookup.
-    val iqama = EnrichOperator.enrichUniqueKeys(base, "patient_id", () => new MockBeneficiaryClient())
+    val iqama = EnrichOperator.enrichUniqueKeys(base, "patient_id",
+        () => new MockBeneficiaryClient(), enrichCfg)
       .select(col("visit_id"),
         FhirParser.apiStatus(col("response")).as("api_status"),
         FhirParser.insuranceData(col("response")).getItem("Name").as("ins_name"))
 
     // transform_eligibility (C2+C3): per-visit FHIR submit + parse.
     val withPayload = base.withColumn("__payload", col("visit_id").cast("string"))
-    val submitted = EnrichOperator.enrich(withPayload, "__payload", () => new MockEligibilityClient())
+    val submitted = EnrichOperator.enrich(withPayload, "__payload",
+      () => new MockEligibilityClient(), enrichCfg)
     val b = FhirParser.parsed(col("response"))
-    // Persisted: the quality gate is an action over this branch and the
-    // final join consumes it again — without materialization the gate
-    // would re-fire every eligibility submit call.
-    val elig = submitted.select(
+    // Materialized: the quality gate is an action over this branch and
+    // the final join consumes it again — without materialization the
+    // gate would re-fire every eligibility submit call.
+    val elig = graft.util.Materialize.once(submitted.select(
       col("visit_id").as("__ev"),
       FhirParser.outcome(b).as("outcome"),
       FhirParser.siteEligibility(b).as("class"),
       FhirParser.note(b).as("note"),
       FhirParser.approvalLimit(col("response"), lit("structured")).as("approval_limit"),
-      FhirParser.copayMaximum(col("response"), lit("structured")).as("copay_maximum"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      FhirParser.copayMaximum(col("response"), lit("structured")).as("copay_maximum")))
 
     // load_data: quality gate then the joined projection.
     if (gate) QualityGate.assertPasses(elig.withColumnRenamed("__ev", "visit_id"), "class", "note")

@@ -1,0 +1,39 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+
+/** Deterministic once-only materialization for side-effecting stages.
+  *
+  * `persist()` alone is not enough for an enrichment stage: the cache
+  * is lazy (a branch evaluated before the other can still recompute
+  * under memory pressure) and it leaks — callers would have to thread
+  * an unpersist handle through every composition, and a benchmark
+  * harness ends up calling `clearCache()` between queries to stay
+  * honest.
+  *
+  * `localCheckpoint(eager = true)` gives the contract we actually
+  * want for a stage whose recomputation would re-fire external calls:
+  *  - the stage runs exactly ONCE, now — every downstream consumer
+  *    (including multiple branches of the same plan) reads the stored
+  *    blocks, never the lineage;
+  *  - lineage is truncated, so Catalyst cannot "optimize" a consumer
+  *    into re-executing the side effects;
+  *  - the blocks are reference-counted by the ContextCleaner and freed
+  *    automatically once the result is unreachable — no unpersist
+  *    bookkeeping, no cache pile-up across queries.
+  *
+  * Blocks are stored MEMORY_AND_DISK on the executors that computed
+  * them. On a multi-executor cluster, losing an executor loses its
+  * blocks and the job fails rather than silently re-firing the calls —
+  * for a side-effecting stage that fail-stop behavior is the correct
+  * trade; jobs that need executor-loss tolerance should write the
+  * enrichment output to durable storage (see [[graft.enrich.Checkpoint]])
+  * and resume via the anti-join path instead.
+  */
+object Materialize {
+
+  /** Run `df`'s plan exactly once and return a frame backed by the
+    * materialized blocks. Safe to consume from any number of branches.
+    */
+  def once(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+}

@@ -48,7 +48,7 @@ class EnrichOperatorSpec extends AnyFunSuite {
     val df = (1L to 10L).toDF("k").withColumn("__p", $"k".cast("string"))
     val t0 = System.nanoTime()
     EnrichOperator.enrich(df, "__p", () => new MockBeneficiaryClient(0),
-      EnrichOperator.Config(parallelism = 1, ratePerSecPerPartition = 100.0)).count()
+      EnrichOperator.Config(parallelism = 1, ratePerSec = 100.0)).count()
     val elapsedMs = (System.nanoTime() - t0) / 1e6
     assert(elapsedMs >= 80, s"10 calls at 100/s in one partition should take >=~90ms, took $elapsedMs")
   }
