@@ -188,6 +188,15 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_returnflag"), col("l_linenumber"), col("l_shipdate"))
         .orderBy(col("l_orderkey"), col("l_returnflag"))),
 
+    // A11b: DENSE_RANK keep-all-ties — every lineitem on the order's
+    // latest ship date survives (ties are real in TPC-H data).
+    "q_a11_dense_rank" -> ((s, dir) =>
+      ColumnOps.latestGroupAllRows(
+          TestTables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate")),
+          Seq(col("l_orderkey")), Seq(col("l_shipdate")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
     // A12: order-deterministic grouped string aggregation.
     "q_a12_string_agg" -> ((s, dir) =>
       ResubmissionExtract.diagnosisAgg(TestTables.lineitem(s, dir), TestTables.part(s, dir))
@@ -348,6 +357,14 @@ object SparkEntry {
          |                                     ORDER BY $latestOrderSql) AS rn
          |      FROM lineitem l) t
          |WHERE rn = 1 ORDER BY l_orderkey, l_returnflag""".stripMargin,
+
+    "q_a11_dense_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate
+        |FROM (SELECT l_orderkey, l_linenumber, l_shipdate,
+        |             dense_rank() OVER (PARTITION BY l_orderkey
+        |                                ORDER BY l_shipdate DESC) AS rn
+        |      FROM lineitem) t
+        |WHERE rn = 1 ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_a12_string_agg" ->
       """SELECT l_orderkey, string_agg(p_name, ' , ' ORDER BY l_linenumber, p_name) AS diagnosis

@@ -36,8 +36,13 @@ object Dedup {
   def tokenIndex(docs: DataFrame, idCol: String, textCol: String, maxDf: Long): DataFrame = {
     val tok = docs
       .select(col(idCol).as("doc"), explode(array_distinct(TextAnalysis.words(col(textCol)))).as("w"))
+    // Plain shuffle semi-join on the token: `keep` is nearly the whole
+    // vocabulary (everything under the df cap), which on a large corpus
+    // is billions of rows — never hint it broadcast. AQE may still
+    // broadcast it at runtime when it is measured small; that choice
+    // must stay the planner's, not a hard-coded hint.
     val keep = tok.groupBy(col("w")).count().filter(col("count") <= maxDf).select(col("w"))
-    tok.join(broadcast(keep), Seq("w"), "left_semi")
+    tok.join(keep, Seq("w"), "left_semi")
   }
 
   /** N-gram/word-set Jaccard pairs ≥ `minJaccard` via inverted index:

@@ -92,6 +92,19 @@ object ColumnOps {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Keep-ALL-ties latest-per-group (DENSE_RANK ... WHERE RN = 1,
+    * sql/resubmission.sql:55-68): every row whose `order` tuple equals
+    * the group's maximum survives. The reference ranks claim
+    * transactions per (VisitID, StatementID) by CreatedDate and keeps
+    * the whole latest transaction — multiple items sharing that
+    * CreatedDate must ALL survive, where `latestPerGroup`'s row_number
+    * would silently keep one. Same single shuffle on `keys`.
+    */
+  def latestGroupAllRows(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(order.map(_.desc): _*)
+    df.withColumn("__dr", dense_rank().over(w)).filter(col("__dr") === 1).drop("__dr")
+  }
+
   /** Order-deterministic STRING_AGG (sql/resubmission.sql:78-90):
     * collect (sortKey, value) structs, sort by key, join with sep.
     * Map-side partial aggregation applies (collect_list is partial-able);

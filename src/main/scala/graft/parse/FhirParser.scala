@@ -64,15 +64,19 @@ object FhirParser {
 
   /** Parse the raw bundle string once; keep permissive mode so malformed
     * payloads produce nulls (error-as-value), never a failed batch.
+    * All array access below is try_element_at, not element_at: under
+    * ANSI mode a present-but-empty entry/coding/benefit list would
+    * otherwise throw and kill the batch — the reference never fails on
+    * a single odd bundle, and neither may we.
     */
   def parsed(raw: Column): Column = from_json(raw, bundleSchema)
 
   /** The CoverageEligibilityResponse resource (first matching entry). */
   def responseResource(bundle: Column): Column =
-    element_at(
+    try_element_at(
       filter(bundle.getField("response").getField("entry"),
         e => e.getField("resource").getField("resourceType") === "CoverageEligibilityResponse"),
-      1).getField("resource")
+      lit(1)).getField("resource")
 
   /** extract_outcome (src/eligibility.py:409-441): "complete" →
     * "Complete"; transport error status → "ERROR"; absent → "Null".
@@ -89,11 +93,11 @@ object FhirParser {
     * extension's first coding code — e.g. "eligible".
     */
   def siteEligibility(bundle: Column): Column = {
-    val ext = element_at(
+    val ext = try_element_at(
       filter(responseResource(bundle).getField("extension"),
         e => e.getField("url").endsWith("extension-siteEligibility")),
-      1)
-    element_at(ext.getField("valueCodeableConcept").getField("coding"), 1).getField("code")
+      lit(1))
+    try_element_at(ext.getField("valueCodeableConcept").getField("coding"), lit(1)).getField("code")
   }
 
   /** extract_note (src/eligibility.py:487-544): disposition when present,
@@ -101,8 +105,8 @@ object FhirParser {
     */
   def note(bundle: Column): Column = {
     val res = responseResource(bundle)
-    val err = element_at(
-      element_at(res.getField("error"), 1).getField("code").getField("coding"), 1)
+    val err = try_element_at(
+      try_element_at(res.getField("error"), lit(1)).getField("code").getField("coding"), lit(1))
     coalesce(
       res.getField("disposition"),
       // concat_ws of all-null args is "" (not null) — nullif keeps the
@@ -119,9 +123,9 @@ object FhirParser {
   def benefitValue(bundle: Column, code: String): Column = {
     val items = flatten(transform(responseResource(bundle).getField("insurance"), i => i.getField("item")))
     val benefits = flatten(transform(items, i => i.getField("benefit")))
-    element_at(
+    try_element_at(
       filter(benefits, b => exists(b.getField("type").getField("coding"), c => c.getField("code") === code)),
-      1).getField("allowedMoney").getField("value")
+      lit(1)).getField("allowedMoney").getField("value")
   }
 
   /** Bupa-style lookup: only items named "Approval limit" participate
@@ -131,9 +135,9 @@ object FhirParser {
     val items = flatten(transform(responseResource(bundle).getField("insurance"), i => i.getField("item")))
     val named = filter(items, i => i.getField("name") === itemName)
     val benefits = flatten(transform(named, i => i.getField("benefit")))
-    element_at(
+    try_element_at(
       filter(benefits, b => exists(b.getField("type").getField("coding"), c => c.getField("code") === code)),
-      1).getField("allowedMoney").getField("value")
+      lit(1)).getField("allowedMoney").getField("value")
   }
 
   /** Payer dispatch (src/eligibility.py:547-610): choose the extraction
@@ -143,14 +147,14 @@ object FhirParser {
     */
   def approvalLimit(raw: Column, payerUrl: Column): Column = {
     val b = parsed(raw)
-    when(payerUrl.contains("tawuniya"), element_at(JsonFindNumbers.of(raw, "allowedMoney", "value"), 1))
+    when(payerUrl.contains("tawuniya"), try_element_at(JsonFindNumbers.of(raw, "allowedMoney", "value"), lit(1)))
       .when(payerUrl.contains("bupa"), namedItemBenefitValue(b, "Approval limit", "approval-limit"))
       .otherwise(benefitValue(b, "approval-limit"))
   }
 
   def copayMaximum(raw: Column, payerUrl: Column): Column = {
     val b = parsed(raw)
-    when(payerUrl.contains("tawuniya"), element_at(JsonFindNumbers.of(raw, "allowedMoney", "value"), 2))
+    when(payerUrl.contains("tawuniya"), try_element_at(JsonFindNumbers.of(raw, "allowedMoney", "value"), lit(2)))
       .when(payerUrl.contains("bupa"), namedItemBenefitValue(b, "Approval limit", "copay-maximum"))
       .otherwise(benefitValue(b, "copay-maximum"))
   }
@@ -168,7 +172,7 @@ object FhirParser {
   def insuranceData(raw: Column): Column = {
     val b = from_json(raw, beneficiarySchema)
     when(b.getField("response").getField("ApiStatus") === "Success",
-      element_at(b.getField("response").getField("Insurance"), 1))
+      try_element_at(b.getField("response").getField("Insurance"), lit(1)))
   }
 
   def apiStatus(raw: Column): Column =

@@ -34,6 +34,23 @@ object QueriesPipeline {
         .withColumn("o_totalprice", col("o_totalprice") * lit(2.0))
       Sinks.upsert(old, updates, "o_orderkey").orderBy(col("o_orderkey"))
     }),
+
+    // D2 at scale: partition-pruned MERGE — only month partitions that
+    // contain updated keys are rewritten; the swap is rename-aside.
+    "q_d2_upsert_pruned" -> ((s, dir) => {
+      val table = java.nio.file.Files.createTempDirectory("graft_pupsert").toString + "/t"
+      val old = TestTables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      Sinks.upsertPartitioned(s, table, old, "o_orderkey", "month") // initial load
+      val updates = old.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * lit(2.0))
+      Sinks.upsertPartitioned(s, table, updates, "o_orderkey", "month")
+      s.read.parquet(table)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("month"))
+        .orderBy(col("o_orderkey"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -93,6 +110,14 @@ object QueriesPipeline {
         |  CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
         |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * CAST(2.0 AS DOUBLE)
         |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_d2_upsert_pruned" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * CAST(2.0 AS DOUBLE)
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month
         |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 

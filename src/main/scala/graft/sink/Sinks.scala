@@ -41,6 +41,78 @@ object Sinks {
     fs.delete(dst, true)
     fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
   }
+
+  /** D2 at 100-TB scale: MERGE against a `partCol`-partitioned parquet
+    * table that rewrites ONLY the partitions containing updated keys
+    * (the reference's staging-table MERGE touches matched rows,
+    * src/etl_utils.py:87-145; `upsertParquet` above rewrites the whole
+    * table — fine for a scratch table, not for a daily run against a
+    * large one).
+    *
+    *  1. The touched partition values come off `updates` (distinct
+    *     `partCol` — as many values as touched partitions, a
+    *     legitimately driver-sized list).
+    *  2. Only those partitions of the live table are read (the isin
+    *     filter prunes at the parquet-partition level), merged, and
+    *     staged, written with the same partition layout.
+    *  3. Each staged partition swaps in via RENAME-ASIDE: live dir →
+    *     `<dir>.merging`, staged dir → live, aside deleted. A crash
+    *     leaves the old data at `.merging` (recoverable by renaming
+    *     back) — never the delete-then-rename window where the table
+    *     has vanished. Renames are atomic on HDFS-like filesystems;
+    *     object stores should use a table format (Delta/Iceberg MERGE)
+    *     instead, which this method's semantics map to 1:1.
+    *
+    * Untouched partitions are never read, written, or renamed.
+    *
+    * Assumes `partCol` is stable per key (derived from the row's own
+    * immutable attributes, e.g. visit month) — the same assumption that
+    * makes partition-level MERGE pruning valid in Delta/Iceberg.
+    */
+  def upsertPartitioned(spark: SparkSession, tablePath: String, updates: DataFrame,
+                        key: String, partCol: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val staging = new org.apache.hadoop.fs.Path(tablePath + ".staging")
+
+    val merged =
+      if (!fs.exists(table)) updates
+      else {
+        val touched = updates.select(col(partCol)).distinct().collect().map(_.get(0))
+        val live = spark.read.parquet(tablePath)
+          .filter(col(partCol).isin(touched.toIndexedSeq: _*))
+        // updates win on `key`; anti join shuffles only the touched slice.
+        updates.unionByName(
+          live.join(updates.select(key).distinct(), Seq(key), "left_anti")
+            .select(updates.columns.map(col).toIndexedSeq: _*))
+      }
+    fs.delete(staging, true)
+    merged.write.partitionBy(partCol).parquet(staging.toString)
+
+    // Swap exactly the partition dirs the merge produced. Dir names come
+    // from the staging listing (Spark's own value escaping), not from
+    // re-formatting values driver-side. Asides live under a dot-dir —
+    // partition discovery ignores dot-paths, so a crash can never leak
+    // the old copy back into reads as a phantom partition.
+    fs.mkdirs(table)
+    val asideRoot = new org.apache.hadoop.fs.Path(table, ".merge_aside")
+    fs.mkdirs(asideRoot)
+    val parts = fs.listStatus(staging).filter { st =>
+      st.isDirectory && st.getPath.getName.startsWith(s"$partCol=")
+    }
+    parts.foreach { st =>
+      val livePart = new org.apache.hadoop.fs.Path(table, st.getPath.getName)
+      val aside = new org.apache.hadoop.fs.Path(asideRoot, st.getPath.getName)
+      fs.delete(aside, true) // leftover from an earlier crash, superseded
+      val hadLive = fs.exists(livePart)
+      if (hadLive && !fs.rename(livePart, aside))
+        throw new java.io.IOException(s"rename aside failed for $livePart")
+      if (!fs.rename(st.getPath, livePart))
+        throw new java.io.IOException(s"staging rename failed for $livePart")
+      if (hadLive) fs.delete(aside, true)
+    }
+    fs.delete(staging, true)
+  }
 }
 
 /** E1: the pre-load data-quality gate (dags/eligibilty_etl.py:280-321):

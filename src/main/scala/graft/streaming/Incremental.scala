@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * dedup debt. At cluster scale the predicate prunes date partitions
   * before I/O.
   */
-final class Incremental(spark: SparkSession, stateDir: String, tsCol: String) {
+final class Incremental(spark: SparkSession, stateDir: String, tsCol: String,
+                        compactAfter: Int = 16) {
 
   private val statePath = s"$stateDir/hwm.parquet"
 
@@ -30,11 +31,42 @@ final class Incremental(spark: SparkSession, stateDir: String, tsCol: String) {
 
   /** Advance the watermark to the max timestamp of the processed batch
     * (append-only state: the reader takes the max, so concurrent
-    * append is safe and history is an audit log).
+    * append is safe and recent history is an audit log). Every
+    * `compactAfter` appends the store is folded to one row, so the
+    * watermark read never scales with the number of runs — an
+    * always-on poller would otherwise accumulate thousands of one-row
+    * files and pay an ever-growing listing + footer cost each batch.
     */
   def commit(processed: DataFrame): Unit = {
     val m = processed.agg(max(col(tsCol)).as("hwm")).filter(col("hwm").isNotNull)
-    if (!m.isEmpty) m.write.mode("append").parquet(statePath)
+    if (!m.isEmpty) {
+      m.write.mode("append").parquet(statePath)
+      maybeCompact()
+    }
+  }
+
+  /** Fold the append-only history into a single snapshot row when the
+    * file count exceeds `compactAfter`. Swap is rename-aside (crash
+    * leaves either the full history or the snapshot, never neither);
+    * compaction assumes a single maintainer — concurrent COMMITS are
+    * still safe between compactions, the aside swap is not.
+    */
+  private def maybeCompact(): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(statePath)
+    val dataFiles =
+      try fs.listStatus(dir).count(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      catch { case _: Exception => 0 }
+    if (dataFiles > compactAfter) {
+      val snapshot = spark.read.parquet(statePath)
+        .agg(max(col("hwm")).as("hwm")).filter(col("hwm").isNotNull)
+      val staging = new org.apache.hadoop.fs.Path(statePath + ".compacting")
+      val aside = new org.apache.hadoop.fs.Path(statePath + ".old")
+      fs.delete(staging, true)
+      snapshot.coalesce(1).write.parquet(staging.toString)
+      fs.delete(aside, true)
+      if (fs.rename(dir, aside) && fs.rename(staging, dir)) fs.delete(aside, true)
+    }
   }
 
   /** One poll cycle: read new rows, hand them to `process`, advance. */

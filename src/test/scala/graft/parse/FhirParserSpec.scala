@@ -104,6 +104,85 @@ class FhirParserSpec extends AnyFunSuite {
     assert(out(5L) == (None, None), "malformed bundle yields nulls, not failure")
   }
 
+  // Robustness variants (reference src/eligibility.py:409-544 handles
+  // each of these without raising): multiple entries with several
+  // resource types, a bundle whose entries carry no
+  // CoverageEligibilityResponse at all, and a payer URL the dispatch
+  // table doesn't know.
+  val multiEntryBundle: String =
+    """{
+      |  "status": "success",
+      |  "response": {
+      |    "entry": [
+      |      {"resource": {"resourceType": "OperationOutcome"}},
+      |      {"resource": {"resourceType": "Patient"}},
+      |      {"resource": {
+      |        "resourceType": "CoverageEligibilityResponse",
+      |        "outcome": "complete",
+      |        "disposition": "first response wins",
+      |        "insurance": [
+      |          {"inforce": true, "item": [
+      |            {"name": "Approval limit", "benefit": [
+      |              {"type": {"coding": [{"code": "approval-limit"}]},
+      |               "allowedMoney": {"value": 500, "currency": "SAR"}}
+      |            ]}
+      |          ]}
+      |        ]
+      |      }},
+      |      {"resource": {
+      |        "resourceType": "CoverageEligibilityResponse",
+      |        "outcome": "error",
+      |        "disposition": "duplicate response entry"
+      |      }}
+      |    ]
+      |  }
+      |}""".stripMargin
+
+  val noResponseEntryBundle: String =
+    """{
+      |  "status": "success",
+      |  "response": {
+      |    "entry": [
+      |      {"resource": {"resourceType": "OperationOutcome"}},
+      |      {"resource": {"resourceType": "Patient"}}
+      |    ]
+      |  }
+      |}""".stripMargin
+
+  test("multi-entry bundle: first CoverageEligibilityResponse wins among mixed resources") {
+    val d = Seq((1L, multiEntryBundle, "https://api.payer.example/gateway")).toDF("visit_id", "raw", "payer_url")
+    val r = d.select(
+      FhirParser.outcome(FhirParser.parsed($"raw")).as("outcome"),
+      FhirParser.note(FhirParser.parsed($"raw")).as("note"),
+      FhirParser.approvalLimit($"raw", $"payer_url").as("approval")).head()
+    assert(r.getString(0) == "Complete")
+    assert(r.getString(1) == "first response wins")
+    assert(r.getDouble(2) == 500.0)
+  }
+
+  test("bundle with entries but no CoverageEligibilityResponse: all nulls/Null, no failure") {
+    val d = Seq((1L, noResponseEntryBundle, "https://api.payer.example/gateway")).toDF("visit_id", "raw", "payer_url")
+    val r = d.select(
+      FhirParser.outcome(FhirParser.parsed($"raw")).as("outcome"),
+      FhirParser.siteEligibility(FhirParser.parsed($"raw")).as("cls"),
+      FhirParser.note(FhirParser.parsed($"raw")).as("note"),
+      FhirParser.approvalLimit($"raw", $"payer_url").as("approval")).head()
+    assert(r.getString(0) == "Null", "no response resource → outcome Null")
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+  }
+
+  test("unknown payer URL falls back to the structured path; mismatched shape yields null not error") {
+    val d = Seq(
+      (1L, goldenBundle, "https://unknown-payer.example/api"),
+      // bupa dispatch against a bundle whose items are NOT named "Approval limit"
+      (2L, multiEntryBundle.replace("Approval limit", "Limit of approval"), "https://bupa.example/api")
+    ).toDF("visit_id", "raw", "payer_url")
+    val out = d.select($"visit_id", FhirParser.approvalLimit($"raw", $"payer_url").as("approval"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) == Some(1000.0), "unknown payer uses the generic structured extraction")
+    assert(out(2L).isEmpty, "named-item miss is a null value, never an exception")
+  }
+
   test("beneficiary insurance extraction (C8)") {
     val ben = Seq(
       (1L, """{"response": {"ApiStatus": "Success", "Insurance": [{"Name": "ACME", "IdentityNumber": "123"}]}}"""),

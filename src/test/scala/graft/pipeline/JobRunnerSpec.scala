@@ -46,6 +46,27 @@ class JobRunnerSpec extends AnyFunSuite {
     assert(seen == Seq(3L), "only strictly-newer rows in the second batch")
   }
 
+  test("watermark store compacts: file count stays bounded as runs accumulate") {
+    val state = tmp()
+    val inc = new Incremental(spark, state, "ts", compactAfter = 4)
+    def fileCount(): Int = {
+      val d = java.nio.file.Paths.get(state, "hwm.parquet")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(d).iterator().asScala
+        .count(p => java.nio.file.Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") && !p.getFileName.toString.startsWith("."))
+    }
+    (1 to 12).foreach { i =>
+      val batch = Seq((i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 $i%02d:00:00")))
+        .toDF("id", "ts")
+      inc.commit(batch)
+    }
+    assert(fileCount() <= 5,
+      s"12 commits with compactAfter=4 must fold history, found ${fileCount()} files")
+    assert(inc.currentWatermark().contains(java.sql.Timestamp.valueOf("2024-01-01 12:00:00")),
+      "compaction preserves the max watermark")
+  }
+
   test("unknown job name fails loudly") {
     intercept[IllegalArgumentException] { JobRunner.run(spark, "nope", "/root/testdata/sf0.001", tmp()) }
   }

@@ -30,6 +30,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(out == Set((1L, "R", 1), (1L, "A", 2), (2L, "R", 9)))
   }
 
+  test("latestGroupAllRows keeps every row tied at the group maximum") {
+    val df = Seq(
+      // group 1: two rows tie on the latest date — BOTH must survive
+      (1L, 1, "2024-01-05"), (1L, 2, "2024-01-05"), (1L, 3, "2024-01-03"),
+      // group 2: no tie — one survivor
+      (2L, 9, "2024-01-02"), (2L, 8, "2024-01-01")
+    ).toDF("order_key", "line", "d").withColumn("d", to_date($"d"))
+    val out = ColumnOps.latestGroupAllRows(df, Seq($"order_key"), Seq($"d"))
+      .select($"order_key", $"line").as[(Long, Int)].collect().toSet
+    assert(out == Set((1L, 1), (1L, 2), (2L, 9)),
+      "dense_rank must keep all items of the latest transaction, not one")
+  }
+
   test("flaggedOrders only flags orders with a returned (R) green-named item") {
     val li = Seq(
       (1L, 10L, "R"), (2L, 20L, "A"), (3L, 10L, "N")

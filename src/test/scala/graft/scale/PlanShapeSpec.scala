@@ -32,6 +32,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("LeftSemi"), plan)
   }
 
+  test("jaccard token index never hints the vocabulary side broadcast") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val docs = graft.tables.TestTables.documents(spark, dir)
+    val df = graft.datapipe.Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
+    // The kept-vocabulary set scales with the corpus; a broadcast HINT
+    // of it would OOM at 100 TB. (AQE converting a measured-small side
+    // at runtime is fine — we assert on the logical plan's hints.)
+    val hints = df.queryExecution.optimizedPlan.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, s"no broadcast hints expected in:\n${df.queryExecution.optimizedPlan}")
+  }
+
   test("salted aggregation introduces no extra full-table exchange beyond the two phases") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

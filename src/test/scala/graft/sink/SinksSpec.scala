@@ -25,6 +25,41 @@ class SinksSpec extends AnyFunSuite {
     assert(out == Map(1L -> 10.0, 2L -> 99.0, 3L -> 30.0))
   }
 
+  test("upsertPartitioned: merges touched partitions, leaves untouched partition files byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("pupsert_spec").toString + "/table"
+    val old = Seq(
+      (1L, "a", "2024-01"), (2L, "b", "2024-01"),
+      (3L, "c", "2024-02"), (4L, "d", "2024-02"),
+      (5L, "e", "2024-03")
+    ).toDF("k", "v", "month")
+    Sinks.upsertPartitioned(spark, dir, old, "k", "month")
+
+    def partitionFiles(month: String): Map[String, (Long, Int)] = {
+      val p = java.nio.file.Paths.get(dir, s"month=$month")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .filterNot(_.getFileName.toString.startsWith("."))
+        .map(f => f.getFileName.toString ->
+          (java.nio.file.Files.size(f),
+            java.util.Arrays.hashCode(java.nio.file.Files.readAllBytes(f))))
+        .toMap
+    }
+    val jan = partitionFiles("2024-01")
+    val mar = partitionFiles("2024-03")
+
+    // Touch only 2024-02: update k=3, insert k=6.
+    val upd = Seq((3L, "C", "2024-02"), (6L, "f", "2024-02")).toDF("k", "v", "month")
+    Sinks.upsertPartitioned(spark, dir, upd, "k", "month")
+
+    val out = spark.read.parquet(dir).select($"k", $"v").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "b", 3L -> "C", 4L -> "d", 5L -> "e", 6L -> "f"))
+    assert(partitionFiles("2024-01") == jan, "untouched 2024-01 must not be rewritten")
+    assert(partitionFiles("2024-03") == mar, "untouched 2024-03 must not be rewritten")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + ".staging")),
+      "staging dir is cleaned up")
+  }
+
   test("archiveCsv writes a header CSV that reads back") {
     val dir = java.nio.file.Files.createTempDirectory("csv_spec").toString + "/archive"
     Sinks.archiveCsv(Seq((1L, "eligible"), (2L, "out-network")).toDF("visit_id", "class"), dir)
