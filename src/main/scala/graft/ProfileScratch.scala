@@ -12,6 +12,7 @@ object ProfileScratch {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
@@ -21,33 +22,41 @@ object ProfileScratch {
       df.write.format("noop").mode("overwrite").save()
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    val base0 = graft.relational.EligibilityExtract.build(spark, dir)
-      .select(col("visit_id"), col("patient_id"))
-    time("elig_base_extract")(base0)
-    val t0 = System.nanoTime()
-    val base = graft.util.Materialize.once(base0)
-    println(f"elig_base_materialize        ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    val t1 = System.nanoTime()
-    val iqama = graft.enrich.EnrichOperator.enrichUniqueKeys(base, "patient_id",
-      () => new graft.enrich.MockBeneficiaryClient())
-    time("iqama_enrich")(iqama)
-    println(f"iqama_total                  ${(System.nanoTime() - t1) / 1e9}%.2f s")
-    val t2 = System.nanoTime()
-    val withPayload = base.withColumn("__payload", col("visit_id").cast("string"))
-    val submitted = graft.enrich.EnrichOperator.enrich(withPayload, "__payload",
-      () => new graft.enrich.MockEligibilityClient())
-    time("submit_enrich_raw")(submitted)
-    println(f"submit_total                 ${(System.nanoTime() - t2) / 1e9}%.2f s")
-    val b = graft.parse.FhirParser.parsed(col("response"))
-    val eligSel = submitted.select(
-      col("visit_id").as("__ev"),
-      graft.parse.FhirParser.outcome(b).as("outcome"),
-      graft.parse.FhirParser.siteEligibility(b).as("class"),
-      graft.parse.FhirParser.note(b).as("note"),
-      graft.parse.FhirParser.approvalLimit(col("response"), lit("structured")).as("approval_limit"),
-      graft.parse.FhirParser.copayMaximum(col("response"), lit("structured")).as("copay_maximum"))
-    time("fhir_parse")(eligSel)
-    time("pipeline_eligibility_full")(graft.pipeline.Pipelines.eligibility(spark, dir))
+    import graft.enrich._
+    import graft.ops.ColumnOps
+    import graft.tables.TestTables
+
+    val claims = TestTables.lineitem(spark, dir).select(
+      col("l_orderkey").as("visit_id"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("uid"),
+      col("l_partkey").as("svc"),
+      col("l_shipdate"), col("l_linenumber"),
+      when(col("l_orderkey") % 53 === 0 && col("l_linenumber") === 1, lit(null: String))
+        .otherwise(concat(lit("ICD-"), (col("l_partkey") % 500).cast("string"))).as("icd10"))
+    time("claims_scan")(claims)
+    val noDx = LlmFanout.noDiagnosisVisits(claims, "visit_id", "icd10")
+      .withColumnRenamed("visit_id", "__nodx_visit")
+    time("noDx")(noDx)
+    val kept = ColumnOps.dedupKeepFirst(claims, Seq("visit_id", "svc"),
+      Seq(col("l_shipdate"), col("l_linenumber"), col("uid")))
+    time("kept_window")(kept)
+    val dupUids = claims.select(col("uid")).except(kept.select(col("uid")))
+      .withColumnRenamed("uid", "__dup_uid")
+    time("dupUids_except")(dupUids)
+    val llmInput = claims
+      .join(noDx, claims("visit_id") === col("__nodx_visit"), "left_anti")
+      .join(dupUids, claims("uid") === col("__dup_uid"), "left_anti")
+    time("llmInput")(llmInput)
+    var t0 = System.nanoTime()
+    val predicted = LlmFanout.predict(llmInput, "visit_id", "uid", () => new MockLlmClient())
+      .select(col("uid"), col("medical_prediction"), col("reason"))
+      .dropDuplicates("uid")
+      .withColumnRenamed("uid", "__p_uid")
+    println(f"predict_construct            ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    time("predict_materialize")(predicted)
+    t0 = System.nanoTime()
+    time("full_pipeline")(graft.pipeline.Pipelines.predictions(spark, dir))
+    time("full_pipeline_again")(graft.pipeline.Pipelines.predictions(spark, dir))
     spark.stop()
   }
 }

@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import graft.enrich._
-import graft.ops.ColumnOps
 import graft.parse.FhirParser
 import graft.relational.{EligibilityExtract, ResubmissionExtract}
 import graft.sink.QualityGate
@@ -76,12 +75,25 @@ object Pipelines {
       when(col("l_orderkey") % 53 === 0 && col("l_linenumber") === 1, lit(null: String))
         .otherwise(concat(lit("ICD-"), (col("l_partkey") % 500).cast("string"))).as("icd10"))
 
-    val noDx = LlmFanout.noDiagnosisVisits(claims, "visit_id", "icd10")
-      .withColumnRenamed("visit_id", "__nodx_visit")
-    val kept = ColumnOps.dedupKeepFirst(claims, Seq("visit_id", "svc"),
-      Seq(col("l_shipdate"), col("l_linenumber"), col("uid")))
-    val dupUids = claims.select(col("uid")).except(kept.select(col("uid")))
-      .withColumnRenamed("uid", "__dup_uid")
+    // Both gate sets feed two consumers (the LLM-input anti-joins and
+    // the final marker joins) — materialize once, or each consumer
+    // recomputes the aggregation/window over all claims.
+    val noDx = graft.util.Materialize.once(
+      LlmFanout.noDiagnosisVisits(claims, "visit_id", "icd10")
+        .withColumnRenamed("visit_id", "__nodx_visit"))
+    // Duplicated-service uids fall out of the SAME keep-first window
+    // that defines the kept set: a uid is a duplicate iff NONE of its
+    // rows ranks first in its (visit, svc) group (uids can span
+    // several rows — set semantics, matching the reference's
+    // uid ∉ kept). window + per-uid min beats the old EXCEPT, which
+    // paid a second full window plus a two-sided shuffle distinct.
+    val dupW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("visit_id"), col("svc"))
+      .orderBy(col("l_shipdate").asc, col("l_linenumber").asc, col("uid").asc)
+    val dupUids = graft.util.Materialize.once(
+      claims.withColumn("__rn", row_number().over(dupW))
+        .groupBy(col("uid")).agg(min(col("__rn")).as("__mn"))
+        .filter(col("__mn") > 1).select(col("uid").as("__dup_uid")))
 
     val llmInput = claims
       .join(noDx, claims("visit_id") === col("__nodx_visit"), "left_anti")

@@ -19,6 +19,16 @@ class EnrichOperatorSpec extends AnyFunSuite {
     assert(m.failures.value == transientKeys)
   }
 
+  test("default config widens with the cluster: partition count = defaultParallelism") {
+    val df = (1L to 100L).toDF("k").withColumn("__p", $"k".cast("string"))
+    val out = EnrichOperator.enrich(df, "__p", () => new MockBeneficiaryClient(0))
+    assert(out.rdd.getNumPartitions == spark.sparkContext.defaultParallelism,
+      "unset parallelism must follow the cluster, not a hard-coded constant")
+    val explicit = EnrichOperator.enrich(df, "__p", () => new MockBeneficiaryClient(0),
+      EnrichOperator.Config(parallelism = 3))
+    assert(explicit.rdd.getNumPartitions == 3, "explicit override still wins")
+  }
+
   test("terminal errors surface as values, not exceptions") {
     val df = (1L to 33L).toDF("v").withColumn("__p", $"v".cast("string"))
     val out = EnrichOperator.enrich(df, "__p", () => new MockEligibilityClient(),
