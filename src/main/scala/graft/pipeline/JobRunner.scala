@@ -35,9 +35,23 @@ object JobRunner {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, job, sfDir, outDir)
+    try runNotified(spark, job, sfDir, outDir, new FileNotifier(s"$outDir/_notifications"))
     finally spark.stop()
   }
+
+  /** E5 wrapper: a failed run leaves a durable notification record and
+    * still fails the process (the orchestrator must see the non-zero
+    * exit — notification is an addition to failure, never a swallow).
+    */
+  def runNotified(spark: SparkSession, job: String, sfDir: String, outDir: String,
+                  notifier: FailureNotifier): Long =
+    try run(spark, job, sfDir, outDir)
+    catch {
+      case e: Throwable =>
+        try notifier.notifyFailure(job, e)
+        catch { case ne: Throwable => e.addSuppressed(ne) }
+        throw e
+    }
 
   def run(spark: SparkSession, job: String, sfDir: String, outDir: String): Long = job match {
     case "eligibility" =>

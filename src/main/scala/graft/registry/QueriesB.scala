@@ -163,6 +163,22 @@ object QueriesB {
         .orderBy(col("o_orderkey")).limit(10)
         .select(col("o_orderkey"), col("o_orderstatus"))),
 
+    // B4: Excel round-trip — write a slice to .xlsx (zip+SpreadsheetML,
+    // JDK-only), read it back dtype=str like the reference's
+    // pd.read_excel, coerce, and verify values survive both directions.
+    "q_b04_excel_roundtrip" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_xlsx").toString + "/cust.xlsx"
+      val slice = TestTables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+      graft.sources.Excel.write(slice, path)
+      graft.sources.Excel.read(s, path)
+        .select(col("c_custkey").cast("bigint").as("c_custkey"),
+          col("c_name"), col("c_mktsegment"),
+          col("c_acctbal").cast("double").as("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // D5/D6: constant tagging + deterministic insertion stamp.
     "q_d5_d6_stamping" -> ((s, dir) => {
       val o = TestTables.orders(s, dir)
@@ -306,6 +322,10 @@ object QueriesB {
 
     "q_b30_head" ->
       """SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 10""".stripMargin,
+
+    "q_b04_excel_roundtrip" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_d5_d6_stamping" ->
       """SELECT o_orderkey, 'SNB' AS bu,

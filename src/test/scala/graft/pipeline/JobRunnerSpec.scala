@@ -67,6 +67,19 @@ class JobRunnerSpec extends AnyFunSuite {
       "compaction preserves the max watermark")
   }
 
+  test("failure notification (E5): failed run leaves a durable record AND still throws") {
+    val out = tmp()
+    val ex = intercept[IllegalArgumentException] {
+      JobRunner.runNotified(spark, "no-such-job", "/root/testdata/sf0.001", out,
+        new FileNotifier(s"$out/_notifications"))
+    }
+    assert(ex.getMessage.contains("no-such-job"), "notification never swallows the failure")
+    val log = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "_notifications", "failures.jsonl"))
+    assert(log.contains("\"job\":\"no-such-job\""))
+    assert(log.contains("IllegalArgumentException"))
+  }
+
   test("unknown job name fails loudly") {
     intercept[IllegalArgumentException] { JobRunner.run(spark, "nope", "/root/testdata/sf0.001", tmp()) }
   }
