@@ -18,7 +18,9 @@ import org.apache.spark.sql.types._
   * Scale notes: per-visit group size is skewed (30+ services on some
   * visits) — AQE skew handling applies on the groupBy; the prompt
   * payload sorts service uids so the call is deterministic regardless
-  * of row order. Failed-visit sets are small → broadcast join-back.
+  * of row order. Failed-visit sets join back broadcast only on
+  * measured evidence (Joins.broadcastIfSmall) — usually tiny, but they
+  * grow with the corpus, so the hint is never static.
   */
 object LlmFanout {
 
@@ -80,14 +82,19 @@ object LlmFanout {
               cfg: EnrichOperator.Config = EnrichOperator.Config(),
               metrics: Option[EnrichOperator.Metrics] = None): DataFrame = {
     val exploded = callPerVisit(claims, visitCol, uidCol, "Rejected", makeClient, cfg, metrics)
-    val failedVisits = exploded.filter(col("__failed") === 1).select(col("__visit")).distinct()
+    val failedVisits = graft.util.Materialize.once(
+      exploded.filter(col("__failed") === 1).select(col("__visit")).distinct())
     // Cast the (small) response side back to the claims' key type —
     // casting the fact side per row would both cost and break any
     // pre-existing partitioning on the key.
     val rejections = exploded.filter(col("__uid").isNotNull)
       .select(col("__uid").try_cast(claims.schema(uidCol).dataType.sql).as("__uid"), col("__text"))
+    // failedVisits scales with the corpus (≈1/97 of visits): hint it
+    // broadcast only on measured evidence (it derives from the
+    // checkpointed explode, so the count is cheap).
     claims
-      .join(broadcast(failedVisits), claims(visitCol).cast("string") === col("__visit"), "left")
+      .join(graft.ops.Joins.broadcastIfSmall(failedVisits),
+        claims(visitCol).cast("string") === col("__visit"), "left")
       .join(rejections, claims(uidCol) === col("__uid"), "left")
       .withColumn("medical_prediction",
         when(col("__visit").isNotNull, "Failed to reach LLM")
@@ -105,11 +112,13 @@ object LlmFanout {
               cfg: EnrichOperator.Config = EnrichOperator.Config(),
               metrics: Option[EnrichOperator.Metrics] = None): DataFrame = {
     val exploded = callPerVisit(claims, visitCol, uidCol, "Justifications", makeClient, cfg, metrics)
-    val failedVisits = exploded.filter(col("__failed") === 1).select(col("__visit")).distinct()
+    val failedVisits = graft.util.Materialize.once(
+      exploded.filter(col("__failed") === 1).select(col("__visit")).distinct())
     val texts = exploded.filter(col("__uid").isNotNull)
       .select(col("__uid").try_cast(claims.schema(uidCol).dataType.sql).as("__uid"), col("__text"))
     claims
-      .join(broadcast(failedVisits), claims(visitCol).cast("string") === col("__visit"), "left")
+      .join(graft.ops.Joins.broadcastIfSmall(failedVisits),
+        claims(visitCol).cast("string") === col("__visit"), "left")
       .join(texts, claims(uidCol) === col("__uid"), "left")
       .withColumn("justification",
         when(col("__visit").isNotNull, "Failed to reach LLM").otherwise(col("__text")))

@@ -75,44 +75,44 @@ object Pipelines {
       when(col("l_orderkey") % 53 === 0 && col("l_linenumber") === 1, lit(null: String))
         .otherwise(concat(lit("ICD-"), (col("l_partkey") % 500).cast("string"))).as("icd10"))
 
-    // Both gate sets feed two consumers (the LLM-input anti-joins and
-    // the final marker joins) — materialize once, or each consumer
-    // recomputes the aggregation/window over all claims.
-    val noDx = graft.util.Materialize.once(
-      LlmFanout.noDiagnosisVisits(claims, "visit_id", "icd10")
-        .withColumnRenamed("visit_id", "__nodx_visit"))
-    // Duplicated-service uids fall out of the SAME keep-first window
-    // that defines the kept set: a uid is a duplicate iff NONE of its
-    // rows ranks first in its (visit, svc) group (uids can span
-    // several rows — set semantics, matching the reference's
-    // uid ∉ kept). window + per-uid min beats the old EXCEPT, which
-    // paid a second full window plus a two-sided shuffle distinct.
-    val dupW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("visit_id"), col("svc"))
+    // Both gates annotate claims IN PLACE via windows that all cluster
+    // on the visit_id prefix — one exchange, zero gate joins, no
+    // driver-side set handling at any scale:
+    //  - __nodx: any-null-diagnosis flag over the visit (B18);
+    //  - __rn: keep-first rank within (visit, svc) — the dedup window;
+    //  - __dup: uid-level flag, set iff NO row of the uid ranks first
+    //    (uids can span several rows — set semantics, matching the
+    //    reference's uid ∉ kept).
+    // The old shape (two aggregations + EXCEPT + three left joins of
+    // derived sets) shuffled the claims table five ways; this shuffles
+    // it once and filters/branches on the flags.
+    import org.apache.spark.sql.expressions.Window
+    val wVisit = Window.partitionBy(col("visit_id"))
+    val wGroup = Window.partitionBy(col("visit_id"), col("svc"))
       .orderBy(col("l_shipdate").asc, col("l_linenumber").asc, col("uid").asc)
-    val dupUids = graft.util.Materialize.once(
-      claims.withColumn("__rn", row_number().over(dupW))
-        .groupBy(col("uid")).agg(min(col("__rn")).as("__mn"))
-        .filter(col("__mn") > 1).select(col("uid").as("__dup_uid")))
+    val wUid = Window.partitionBy(col("visit_id"), col("uid"))
+    val annotated = claims
+      .withColumn("__nodx", max(col("icd10").isNull.cast("int")).over(wVisit))
+      .withColumn("__rn", row_number().over(wGroup))
+      .withColumn("__dup", (min(col("__rn")).over(wUid) > 1).cast("int"))
 
-    val llmInput = claims
-      .join(noDx, claims("visit_id") === col("__nodx_visit"), "left_anti")
-      .join(dupUids, claims("uid") === col("__dup_uid"), "left_anti")
+    // The groupBy(visit_id) inside the fan-out reuses the same
+    // clustering — the filter preserves the exchange.
+    val llmInput = annotated.filter(col("__nodx") === 0 && col("__dup") === 0)
+      .select(claims.columns.map(col).toIndexedSeq: _*)
     val predicted = LlmFanout.predict(llmInput, "visit_id", "uid", () => new MockLlmClient())
       .select(col("uid"), col("medical_prediction"), col("reason"))
       .dropDuplicates("uid")
       .withColumnRenamed("uid", "__p_uid")
 
-    claims
-      .join(broadcast(noDx), claims("visit_id") === col("__nodx_visit"), "left")
-      .join(dupUids, claims("uid") === col("__dup_uid"), "left")
-      .join(predicted, claims("uid") === col("__p_uid"), "left")
+    annotated
+      .join(predicted, annotated("uid") === col("__p_uid"), "left")
       .select(col("visit_id"), col("uid"), col("svc"),
-        when(col("__nodx_visit").isNotNull, "Rejected")
-          .when(col("__dup_uid").isNotNull, "Rejected")
+        when(col("__nodx") === 1, "Rejected")
+          .when(col("__dup") === 1, "Rejected")
           .otherwise(coalesce(col("medical_prediction"), lit("Approved"))).as("medical_prediction"),
-        when(col("__nodx_visit").isNotNull, "Missing diagnosis")
-          .when(col("__dup_uid").isNotNull, "Duplicated Service")
+        when(col("__nodx") === 1, "Missing diagnosis")
+          .when(col("__dup") === 1, "Duplicated Service")
           .otherwise(col("reason")).as("reason"))
   }
 

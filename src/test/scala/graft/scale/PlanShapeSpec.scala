@@ -38,9 +38,23 @@ class PlanShapeSpec extends AnyFunSuite {
     val df = graft.datapipe.Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
     // The kept-vocabulary set scales with the corpus; a broadcast HINT
     // of it would OOM at 100 TB. (AQE converting a measured-small side
-    // at runtime is fine — we assert on the logical plan's hints.)
-    val hints = df.queryExecution.optimizedPlan.collect { case h: ResolvedHint => h }
-    assert(hints.isEmpty, s"no broadcast hints expected in:\n${df.queryExecution.optimizedPlan}")
+    // at runtime is fine — we assert on the ANALYZED plan's hints;
+    // the optimizer folds ResolvedHint into the Join and drops the node.)
+    val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    assert(hints.isEmpty, s"no broadcast hints expected in:\n${df.queryExecution.analyzed}")
+  }
+
+  test("broadcastIfSmall hints on measured evidence only") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    import spark.implicits._
+    def hints(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    val small = (1L to 10L).toDF("k")
+    val big = spark.range(0, 1000).toDF("k")
+    assert(hints(graft.ops.Joins.broadcastIfSmall(small).join(big, Seq("k"))).nonEmpty,
+      "provably-small side gets the static hint")
+    assert(hints(graft.ops.Joins.broadcastIfSmall(big, maxRows = 100).join(small, Seq("k"))).isEmpty,
+      "over-threshold side stays unhinted — planner/AQE decides")
   }
 
   test("salted aggregation introduces no extra full-table exchange beyond the two phases") {
