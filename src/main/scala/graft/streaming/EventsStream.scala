@@ -97,4 +97,23 @@ object EventsStream {
     import spark.implicits._
     stateRows.toDF()
   }
+
+  /** Micro-batch MERGE sink: every batch upserts into a partitioned
+    * parquet table on `key` via the partition-pruned, crash-safe
+    * `Sinks.upsertPartitioned`. The merge is idempotent on `key`, which
+    * is the exactly-once story for a plain-parquet target: a replayed
+    * micro-batch (checkpoint says it ran, sink crashed mid-write)
+    * converges to the same table instead of duplicating rows as an
+    * append sink would. The streaming twin of D2-at-scale.
+    */
+  def upsertSink(events: DataFrame, tablePath: String, key: String, partCol: String,
+                 checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sink.Sinks.upsertPartitioned(batch.sparkSession, tablePath, batch, key, partCol)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
 }
