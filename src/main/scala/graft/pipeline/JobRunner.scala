@@ -64,12 +64,20 @@ object JobRunner {
       val out = Pipelines.resubmission(spark, sfDir)
       load(out, s"$outDir/resubmission", upsertKey = None)
     case "incremental" =>
-      val inc = new Incremental(spark, s"$outDir/state", "ts")
+      // The typed `ts` is derived (ns long → timestamp) so a predicate
+      // on it cannot reach the parquet scan; give the watermark cut a
+      // raw-ns form that does (see Incremental.rawPredicate).
+      val inc = new Incremental(spark, s"$outDir/state", "ts",
+        rawPredicate = Some(h => col("ts_ns") > lit(tsNanos(h))))
       inc.runBatch(TestTables.events(spark, sfDir)) { batch =>
-        load(batch.drop("props"), s"$outDir/events", upsertKey = None)
+        load(batch.drop("props", "ts_ns"), s"$outDir/events", upsertKey = None)
       }
     case other => throw new IllegalArgumentException(s"unknown job: $other")
   }
+
+  /** Epoch nanoseconds of a timestamp (floor to its µs precision). */
+  def tsNanos(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000000L + t.getNanos
 
   /** load_data task: E4 short-circuit, CSV archive, append, upsert. */
   private def load(df: DataFrame, base: String, upsertKey: Option[String]): Long = {

@@ -11,8 +11,17 @@ import org.apache.spark.sql.functions._
   * dedup debt. At cluster scale the predicate prunes date partitions
   * before I/O.
   */
+/** @param rawPredicate optional scan-pushable form of the watermark
+  *        cut: maps the watermark to a predicate over a RAW source
+  *        column (e.g. the epoch-ns long the typed timestamp was
+  *        derived from). Must be a SUPERSET of `tsCol > hwm` — rows it
+  *        lets through are still filtered by the exact typed
+  *        predicate. Without it, a derived timestamp column defeats
+  *        parquet pushdown and every poll re-scans the table.
+  */
 final class Incremental(spark: SparkSession, stateDir: String, tsCol: String,
-                        compactAfter: Int = 16) {
+                        compactAfter: Int = 16,
+                        rawPredicate: Option[java.sql.Timestamp => org.apache.spark.sql.Column] = None) {
 
   private val statePath = s"$stateDir/hwm.parquet"
 
@@ -25,7 +34,12 @@ final class Incremental(spark: SparkSession, stateDir: String, tsCol: String,
   /** Rows strictly newer than the stored watermark. */
   def newRows(source: DataFrame): DataFrame =
     currentWatermark() match {
-      case Some(hwm) => source.filter(col(tsCol) > lit(hwm))
+      case Some(hwm) =>
+        val exact = col(tsCol) > lit(hwm)
+        rawPredicate match {
+          case Some(raw) => source.filter(raw(hwm) && exact)
+          case None => source.filter(exact)
+        }
       case None => source
     }
 

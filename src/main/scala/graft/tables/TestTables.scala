@@ -29,6 +29,10 @@ object TestTables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
+      // Keep the RAW ns column: predicates on it push down to the
+      // parquet scan (row-group pruning), which predicates on the
+      // computed timestamp below cannot.
+      .withColumn("ts_ns", col("ts"))
       .withColumn("ts_us", expr("ts div 1000")) // integer division — ts/1000 would go through double and lose precision past 2^53 ns
       .withColumn("ts", timestamp_micros(col("ts_us")))
   }

@@ -44,6 +44,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hints.isEmpty, s"no broadcast hints expected in:\n${df.queryExecution.analyzed}")
   }
 
+  test("incremental watermark cut pushes to the parquet scan via the raw-ns predicate") {
+    import org.apache.spark.sql.functions._
+    val state = java.nio.file.Files.createTempDirectory("plan_inc").toString
+    val inc = new graft.streaming.Incremental(spark, state, "ts",
+      rawPredicate = Some(h => col("ts_ns") > lit(graft.pipeline.JobRunner.tsNanos(h))))
+    val ev = graft.tables.TestTables.events(spark, dir)
+    inc.commit(ev.filter(col("event_id") % 2 === 0)) // plant a watermark
+    val plan = inc.newRows(ev).queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(ts,"),
+      s"raw-ns watermark predicate must reach the scan's PushedFilters:\n$plan")
+  }
+
   test("broadcastIfSmall hints on measured evidence only") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     import spark.implicits._
