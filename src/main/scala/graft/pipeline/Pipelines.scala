@@ -96,10 +96,14 @@ object Pipelines {
       .withColumn("__rn", row_number().over(wGroup))
       .withColumn("__dup", (min(col("__rn")).over(wUid) > 1).cast("int"))
 
-    // The groupBy(visit_id) inside the fan-out reuses the same
-    // clustering — the filter preserves the exchange.
-    val llmInput = annotated.filter(col("__nodx") === 0 && col("__dup") === 0)
-      .select(claims.columns.map(col).toIndexedSeq: _*)
+    // The fan-out only needs (visit, uid): materialize that slim slice
+    // so the LLM stage and its join-back never re-derive the window
+    // lineage (predict's internal join-back would otherwise recompute
+    // the whole annotated subtree a second time — PlanAudit showed the
+    // scan+windows duplicated in the final plan).
+    val llmInput = graft.util.Materialize.once(
+      annotated.filter(col("__nodx") === 0 && col("__dup") === 0)
+        .select(col("visit_id"), col("uid")))
     val predicted = LlmFanout.predict(llmInput, "visit_id", "uid", () => new MockLlmClient())
       .select(col("uid"), col("medical_prediction"), col("reason"))
       .dropDuplicates("uid")
