@@ -29,10 +29,15 @@ object CorpusClean {
       .filter(col("quality") >= minQuality)
 
     // Exact dedup: keep the lowest id per canonical fingerprint.
-    val exactKept = ColumnOps.dedupKeepFirst(
+    // Materialized: the near-dup stage consumes it twice (band table +
+    // verify sizes) and the final anti-join a third time — without
+    // this, the lang/quality scoring and fingerprint window re-run per
+    // consumer. The blocks spill to disk at scale (MEMORY_AND_DISK);
+    // 3× recompute of per-token work costs more than the storage.
+    val exactKept = graft.util.Materialize.once(ColumnOps.dedupKeepFirst(
       gated.withColumn("__fp", TextAnalysis.fingerprint(col(textCol))),
       keys = Seq("__fp"), order = Seq(col(idCol)))
-      .drop("__fp")
+      .drop("__fp"))
 
     // Near-dup removal: greedy drop of the higher id of each verified
     // pair; oversized buckets collapse to their minimum directly.

@@ -96,7 +96,11 @@ object Dedup {
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    minJaccard: Double, numHashes: Int = 16, bands: Int = 4,
                    portable: Boolean = false): DataFrame = {
-    val bandsDf = minhashBands(docs, idCol, textCol, numHashes, bands, portable)
+    // Materialized: the band table feeds both sides of the candidate
+    // self-join; unmaterialized, the tokenize + numHashes×min hashing
+    // (the expensive part) runs twice.
+    val bandsDf = graft.util.Materialize.once(
+      minhashBands(docs, idCol, textCol, numHashes, bands, portable))
     val cand = bandsDf.as("a")
       .join(bandsDf.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
@@ -124,7 +128,10 @@ object Dedup {
   def minhashDropSet(docs: DataFrame, idCol: String, textCol: String,
                      minJaccard: Double, maxBucket: Int = 100,
                      numHashes: Int = 16, bands: Int = 4, portable: Boolean = false): DataFrame = {
-    val bandsDf = minhashBands(docs, idCol, textCol, numHashes, bands, portable)
+    // Materialized for the same reason as in minhashPairs: consumed by
+    // the bucket sizing AND both sides of the candidate self-join.
+    val bandsDf = graft.util.Materialize.once(
+      minhashBands(docs, idCol, textCol, numHashes, bands, portable))
     val sized = bandsDf.join(
       bandsDf.groupBy(col("band"), col("band_key"))
         .agg(count(lit(1)).as("__n"), min(col("doc")).as("__keep")),

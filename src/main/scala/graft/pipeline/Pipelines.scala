@@ -128,7 +128,12 @@ object Pipelines {
     */
   def resubmission(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val claims = ResubmissionExtract.full(spark, dir)
+    // E6: the extract is the shared intermediate (the reference hands
+    // it between Airflow tasks as parquet) — materialize once; the
+    // fan-out's grouping AND its join-back both consume it, and its
+    // lineage is the deepest plan in the engine (union of window
+    // branches over the star join).
+    val claims = graft.util.Materialize.once(ResubmissionExtract.full(spark, dir))
     val justified = LlmFanout.justify(claims, "visit_id", "visit_service_id", () => new MockJustifyClient())
       .select(col("visit_id"), col("seq_no"), col("visit_service_id"), col("service_name"),
         col("justification_type"), col("reason"), col("reason_code"), col("status"), col("justification"))
