@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.CosineSimilarity
 import graft.parse.JsonFindNumbers
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -14,5 +15,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(JsonFindNumbers.fnName),
       new ExpressionInfo(classOf[JsonFindNumbers].getName, JsonFindNumbers.fnName),
       (exprs: Seq[Expression]) => JsonFindNumbers(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier(CosineSimilarity.fnName),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, CosineSimilarity.fnName),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
   }
 }

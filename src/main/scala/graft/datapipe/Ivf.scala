@@ -27,11 +27,15 @@ object Ivf {
       .select(col("cell"), col("vec").as("centroid"))
     for (_ <- 1 to iters) {
       val assigned = assign(vecs, centroids)
-      centroids = assigned
+      // Materialize the k-row centroid table each iteration — the
+      // standard iterative-algorithm checkpoint: otherwise iteration
+      // i's plan nests every previous iteration's, and both analysis
+      // time and the broadcast subtree grow with iters.
+      centroids = graft.util.Materialize.once(assigned
         .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
         .groupBy(col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))), s => s.getField("m")).as("centroid"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))), s => s.getField("m")).as("centroid")))
     }
     centroids
   }

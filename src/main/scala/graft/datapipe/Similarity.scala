@@ -29,7 +29,15 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** HOF formulation — the reference semantics the custom expression is
+    * verified against (bit-identical accumulation order).
+    */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Hot-path cosine: the codegen'd fused-loop Catalyst expression
+    * (graft.functions.CosineSimilarity, mounted by GraftExtensions).
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.CosineSimilarity.of(a, b)
 
   /** Exact top-k cosine neighbors for each query vector. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,

@@ -83,6 +83,29 @@ class DataPipeSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"multi-table LSH recall vs brute force too low: $recall")
   }
 
+  test("cosine_sim expression: bit-identical to the HOF fold, codegen path, edge cases") {
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false") // force doGenCode, no interpreted escape
+    try {
+      val emb = graft.tables.TestTables.embeddings(spark, "/root/testdata/sf0.001")
+      val pairs = emb.limit(50).select($"vec_id".as("a_id"), Similarity.asDouble($"embedding").as("va"))
+        .crossJoin(emb.limit(50).select($"vec_id".as("b_id"), Similarity.asDouble($"embedding").as("vb")))
+      val diff = pairs.select(
+          Similarity.cosine($"va", $"vb").as("fused"),
+          Similarity.cosineHof($"va", $"vb").as("hof"))
+        .filter($"fused" =!= $"hof") // bitwise-exact: any IEEE drift fails
+      assert(diff.isEmpty, "fused loop must reproduce the HOF fold bit-for-bit")
+
+      val edges = Seq(
+        (Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)), // length mismatch
+        (Seq.empty[Double], Seq.empty[Double]) // empty vectors
+      ).toDF("a", "b")
+      val out = edges.select(Similarity.cosine($"a", $"b").as("c")).collect()
+      assert(out(0).isNullAt(0), "length mismatch is null, matching zip_with padding semantics")
+      assert(out(1).isNullAt(0) || out(1).getDouble(0).isNaN, "empty vectors: NaN (0/0), like the HOF")
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("cosineDedupPairs surfaces the planted near-duplicate pair") {
     val emb = graft.tables.TestTables.embeddings(spark, "/root/testdata/sf0.001")
     val base = emb.filter($"vec_id" === 0)
