@@ -50,7 +50,9 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    minJaccard: Double, maxDf: Long = 1000): DataFrame = {
-    val idx = tokenIndex(docs, idCol, textCol, maxDf)
+    // Materialized: both sides of the intersection self-join consume
+    // the index; unmaterialized, tokenize + df-count + semi-join run twice.
+    val idx = graft.util.Materialize.once(tokenIndex(docs, idCol, textCol, maxDf))
     val sizes = docs.select(col(idCol).as("doc"),
       size(array_distinct(TextAnalysis.words(col(textCol)))).as("n"))
     val inter = idx.as("a").join(idx.as("b"), col("a.w") === col("b.w") && col("a.doc") < col("b.doc"))
@@ -178,7 +180,10 @@ object Dedup {
     * by Hamming distance ≤ `maxHamming` (bit_count of XOR).
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 6): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc"), simhash(col(textCol)).as("sh"))
+    // Materialized: the 64-bit sketch per doc is the expensive part
+    // (per-word bit votes) and feeds both sides of the chunk self-join.
+    val sh = graft.util.Materialize.once(
+      docs.select(col(idCol).as("doc"), simhash(col(textCol)).as("sh")))
     val chunks = sh.select(col("doc"), col("sh"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk"), shiftright(col("sh"), i * 16).bitwiseAND(0xFFFF).as("key"))): _*)).as("ck"))

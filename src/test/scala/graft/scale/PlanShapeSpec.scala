@@ -35,7 +35,9 @@ class PlanShapeSpec extends AnyFunSuite {
   test("jaccard token index never hints the vocabulary side broadcast") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     val docs = graft.tables.TestTables.documents(spark, dir)
-    val df = graft.datapipe.Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
+    // Inspect tokenIndex itself — jaccardPairs materializes it, which
+    // would hide its plan behind a LogicalRDD.
+    val df = graft.datapipe.Dedup.tokenIndex(docs, "doc_id", "text", 1000)
     // The kept-vocabulary set scales with the corpus; a broadcast HINT
     // of it would OOM at 100 TB. (AQE converting a measured-small side
     // at runtime is fine — we assert on the ANALYZED plan's hints;
