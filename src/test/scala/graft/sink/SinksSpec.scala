@@ -60,6 +60,32 @@ class SinksSpec extends AnyFunSuite {
       "staging dir is cleaned up")
   }
 
+  test("upsertPartitioned: recovers from crash leftovers (stale staging + aside dirs)") {
+    val dir = java.nio.file.Files.createTempDirectory("pupsert_crash").toString + "/table"
+    Sinks.upsertPartitioned(spark,
+      dir, Seq((1L, "a", "2024-01"), (2L, "b", "2024-02")).toDF("k", "v", "month"), "k", "month")
+
+    // Simulate a crash mid-merge: a stale staging dir and an aside copy
+    // of an old partition version survive on disk.
+    val staleStaging = java.nio.file.Paths.get(dir + ".staging", "month=2024-01")
+    java.nio.file.Files.createDirectories(staleStaging)
+    java.nio.file.Files.writeString(staleStaging.resolve("junk.txt"), "stale")
+    val aside = java.nio.file.Paths.get(dir, ".merge_aside", "month=2024-02")
+    java.nio.file.Files.createDirectories(aside)
+    java.nio.file.Files.writeString(aside.resolve("old.parquet"), "not real parquet")
+
+    // Reads ignore both (dot-dir aside; staging is outside the table dir).
+    assert(spark.read.parquet(dir).count() == 2)
+
+    // The next merge supersedes the leftovers and lands correctly.
+    Sinks.upsertPartitioned(spark,
+      dir, Seq((2L, "B", "2024-02")).toDF("k", "v", "month"), "k", "month")
+    val out = spark.read.parquet(dir).select($"k", $"v").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "B"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + ".staging")))
+    assert(!java.nio.file.Files.exists(aside), "superseded aside is cleaned on the next merge")
+  }
+
   test("archiveCsv writes a header CSV that reads back") {
     val dir = java.nio.file.Files.createTempDirectory("csv_spec").toString + "/archive"
     Sinks.archiveCsv(Seq((1L, "eligible"), (2L, "out-network")).toDF("visit_id", "class"), dir)
