@@ -10,6 +10,12 @@ import org.apache.spark.sql.functions._
   * oracle-checked queries. The mocks are pure functions of the keys, so
   * each pipeline's composite semantics (extract → enrich → parse →
   * rules → merge) has a closed-form SQL oracle.
+  *
+  * Contract note: sink/stateful operators (q_d2_upsert_pruned here,
+  * q_e3_checkpoint_resume, q_b04_excel_roundtrip) deliberately perform
+  * filesystem I/O against a job-scoped temp dir inside the query —
+  * durable side effects ARE the semantics under test; the returned
+  * DataFrame is the read-back, which is what the oracle checks.
   */
 object QueriesPipeline {
 
