@@ -120,8 +120,54 @@ object Excel {
 
   // ---- internals ----
 
+  /** Characters XML 1.0 cannot carry even escaped (most C0 controls,
+    * lone surrogates). Spreadsheet text cells hold arbitrary bytes at
+    * corpus scale, so these use the OOXML `_xHHHH_` cell-string
+    * encoding — the same convention real Excel writes; literal
+    * `_xHHHH_`-looking text escapes its underscore as `_x005F_`.
+    */
+  private def xmlIllegal(c: Char): Boolean =
+    (c < 0x20 && c != '\t' && c != '\n' && c != '\r') || c == 0xFFFE.toChar ||
+      c == 0xFFFF.toChar || Character.isSurrogate(c)
+
+  private val ooxmlEscapePattern = java.util.regex.Pattern.compile("_x[0-9A-Fa-f]{4}_")
+
+  private[sources] def encodeCell(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+          Character.isLowSurrogate(s.charAt(i + 1))) {
+        sb += c += s.charAt(i + 1) // valid pair (emoji etc.) is legal XML
+        i += 2
+      } else {
+        if (xmlIllegal(c)) sb ++= f"_x${c.toInt}%04X_"
+        else if (c == '_' && ooxmlEscapePattern.matcher(s).region(i, s.length).lookingAt())
+          sb ++= "_x005F_"
+        else sb += c
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  private[sources] def decodeCell(s: String): String = {
+    if (!s.contains("_x")) return s
+    val m = ooxmlEscapePattern.matcher(s)
+    val sb = new StringBuilder
+    var last = 0
+    while (m.find()) {
+      sb ++= s.substring(last, m.start())
+      sb += Integer.parseInt(s.substring(m.start() + 2, m.end() - 1), 16).toChar
+      last = m.end()
+    }
+    sb ++= s.substring(last)
+    sb.toString
+  }
+
   private def xmlEscape(s: String): String =
-    s.flatMap {
+    encodeCell(s).flatMap {
       case '&' => "&amp;"
       case '<' => "&lt;"
       case '>' => "&gt;"
@@ -171,7 +217,7 @@ object Excel {
           case XMLStreamConstants.END_ELEMENT =>
             reader.getLocalName match {
               case "t" => inT = false
-              case "si" => inSi = false; strings += current.toString
+              case "si" => inSi = false; strings += decodeCell(current.toString)
               case _ =>
             }
           case _ =>
@@ -223,6 +269,7 @@ object Excel {
                 val value = cellType match {
                   case "s" => raw.toIntOption.flatMap(shared.lift).orNull
                   case _ if raw.isEmpty => null
+                  case "inlineStr" | "str" => decodeCell(raw)
                   case _ => raw
                 }
                 if (value != null) row += ((cellCol, value))
