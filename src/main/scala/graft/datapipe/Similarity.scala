@@ -51,26 +51,16 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cosine"), col("__rn").as("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane seed,
-    * dim j): xxhash64 mapped to (-1, 1). No RNG state, same plane set
-    * on every executor.
-    */
-  private def planeComponent(seed: Int, j: Column): Column =
-    (xxhash64(lit(seed), j).cast("double") / lit(Long.MaxValue.toDouble))
-
   /** Sign-bit signature of a vector under `numPlanes` hyperplanes
     * seeded from `table` (independent plane sets per table).
+    * Codegen'd fused kernel (graft.functions.LshSignature): one pass
+    * over the vector computes every plane, where the HOF form paid a
+    * lambda fold per plane — the per-row hot loop of corpus-scale
+    * dedup/ANN. Planes are a deterministic function of (table, plane,
+    * dim); no RNG state, same plane set on every executor.
     */
-  def lshSignature(vec: Column, numPlanes: Int, table: Int = 0): Column = {
-    val dims = sequence(lit(0), size(vec) - 1)
-    val bits = (0 until numPlanes).map { i =>
-      val d = aggregate(
-        zip_with(vec, dims, (x, j) => x * planeComponent(table * 1000 + i, j)),
-        lit(0.0), (acc, x) => acc + x)
-      when(d >= 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }
-    bits.reduce(_ + _)
-  }
+  def lshSignature(vec: Column, numPlanes: Int, table: Int = 0): Column =
+    graft.functions.LshSignature.of(vec, numPlanes, table)
 
   /** (table, bucket) rows for a vector under multi-table LSH — the
     * standard OR-amplification: a candidate pair only needs to collide

@@ -106,6 +106,23 @@ class DataPipeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("lsh_signature expression: codegen path, determinism, table independence") {
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val v = Seq((1L, Seq(1.0, -2.0, 0.5)), (2L, Seq(1.0, -2.0, 0.5)), (3L, Seq(-1.0, 2.0, -0.5)))
+        .toDF("id", "vec")
+      val sigs = v.select($"id",
+          Similarity.lshSignature($"vec", 16, table = 0).as("t0"),
+          Similarity.lshSignature($"vec", 16, table = 1).as("t1"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(sigs(1L) == sigs(2L), "identical vectors get identical signatures")
+      assert(sigs(1L)._1 != sigs(1L)._2, "different tables use independent plane sets")
+      assert(sigs(1L)._1 == (~sigs(3L)._1 & 0xFFFFL),
+        "negated vector flips every plane's sign bit")
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("cosineDedupPairs surfaces the planted near-duplicate pair") {
     val emb = graft.tables.TestTables.embeddings(spark, "/root/testdata/sf0.001")
     val base = emb.filter($"vec_id" === 0)
