@@ -23,5 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(graft.functions.LshSignature.fnName),
       new ExpressionInfo(classOf[graft.functions.LshSignature].getName, graft.functions.LshSignature.fnName),
       (exprs: Seq[Expression]) => graft.functions.LshSignature(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.SimHash64.fnName),
+      new ExpressionInfo(classOf[graft.functions.SimHash64].getName, graft.functions.SimHash64.fnName),
+      (exprs: Seq[Expression]) => graft.functions.SimHash64(exprs(0))))
   }
 }

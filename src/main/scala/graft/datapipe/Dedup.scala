@@ -158,23 +158,12 @@ object Dedup {
   }
 
   /** 64-bit SimHash over the word multiset: per-bit signed vote of each
-    * word's xxhash64, computed with higher-order functions (no explode,
-    * no shuffle — one pass per row).
+    * word's hash — no explode, no shuffle, one fused codegen'd pass per
+    * row (graft.functions.SimHash64; the old HOF formulation built a
+    * 64-element vote array per word).
     */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TextAnalysis.words(text), w => xxhash64(w))
-    val votes = aggregate(
-      hashes,
-      array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (v, j) => v + when(bit_get(h, j) === 1, 1).otherwise(-1)))
-    // Fold the sign bits into a long; bit 63 kept zero to stay positive.
-    // pow(2, j) is a power of two — exactly representable as a double.
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, j) => when(v > 0 && j < 63, pow(lit(2.0), j).cast("long")).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
-  }
+  def simhash(text: Column): Column =
+    graft.functions.SimHash64.of(TextAnalysis.words(text))
 
   /** SimHash candidate pairs: equal 16-bit chunk ⇒ candidate; verified
     * by Hamming distance ≤ `maxHamming` (bit_count of XOR).
