@@ -46,6 +46,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hints.isEmpty, s"no broadcast hints expected in:\n${df.queryExecution.analyzed}")
   }
 
+  test("predictions: gate windows share one scan; no duplicate annotated subtree") {
+    val df = graft.pipeline.Pipelines.predictions(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"claims must be scanned exactly once in the final plan, found $scans:\n$plan")
+    val windows = "Window".r.findAllIn(plan).length
+    assert(windows == 3, s"three gate windows over the single scan, found $windows")
+  }
+
   test("incremental watermark cut pushes to the parquet scan via the raw-ns predicate") {
     import org.apache.spark.sql.functions._
     val state = java.nio.file.Files.createTempDirectory("plan_inc").toString
