@@ -66,6 +66,14 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Hashing unit: word set by default; `shingle` >= 2 switches to
+    * order-sensitive w-shingles (TextAnalysis.shingles) — the classic
+    * resemblance formulation, under which reordered documents are NOT
+    * near-duplicates.
+    */
+  private def units(text: Column, shingle: Int): Column =
+    if (shingle >= 2) TextAnalysis.shingles(text, shingle) else TextAnalysis.words(text)
+
   /** MinHash signature rows: (doc, band, band_key). `numHashes` hash
     * functions grouped into `bands` bands whose concatenated minima
     * form the LSH bucket key. Two hash families:
@@ -75,9 +83,10 @@ object Dedup {
     *    oracle-checkable (q_dedup_minhash_md5).
     */
   def minhashBands(docs: DataFrame, idCol: String, textCol: String,
-                   numHashes: Int = 16, bands: Int = 4, portable: Boolean = false): DataFrame = {
+                   numHashes: Int = 16, bands: Int = 4, portable: Boolean = false,
+                   shingle: Int = 0): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val tok = docs.select(col(idCol).as("doc"), explode(array_distinct(TextAnalysis.words(col(textCol)))).as("w"))
+    val tok = docs.select(col(idCol).as("doc"), explode(array_distinct(units(col(textCol), shingle))).as("w"))
     val minExprs = (0 until numHashes).map { i =>
       if (portable) min(substring(md5(concat_ws("|", lit(i.toString), col("w"))), 1, 15)).as(s"h$i")
       else min(xxhash64(lit(i), col("w"))).as(s"h$i")
@@ -97,18 +106,18 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    minJaccard: Double, numHashes: Int = 16, bands: Int = 4,
-                   portable: Boolean = false): DataFrame = {
+                   portable: Boolean = false, shingle: Int = 0): DataFrame = {
     // Materialized: the band table feeds both sides of the candidate
     // self-join; unmaterialized, the tokenize + numHashes×min hashing
     // (the expensive part) runs twice.
     val bandsDf = graft.util.Materialize.once(
-      minhashBands(docs, idCol, textCol, numHashes, bands, portable))
+      minhashBands(docs, idCol, textCol, numHashes, bands, portable, shingle))
     val cand = bandsDf.as("a")
       .join(bandsDf.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b")).distinct()
-    val sizes = docs.select(col(idCol).as("doc"), array_distinct(TextAnalysis.words(col(textCol))).as("ws"))
+    val sizes = docs.select(col(idCol).as("doc"), array_distinct(units(col(textCol), shingle)).as("ws"))
     cand
       .join(sizes.select(col("doc").as("doc_a"), col("ws").as("wa")), Seq("doc_a"))
       .join(sizes.select(col("doc").as("doc_b"), col("ws").as("wb")), Seq("doc_b"))
@@ -129,11 +138,12 @@ object Dedup {
     */
   def minhashDropSet(docs: DataFrame, idCol: String, textCol: String,
                      minJaccard: Double, maxBucket: Int = 100,
-                     numHashes: Int = 16, bands: Int = 4, portable: Boolean = false): DataFrame = {
+                     numHashes: Int = 16, bands: Int = 4, portable: Boolean = false,
+                     shingle: Int = 0): DataFrame = {
     // Materialized for the same reason as in minhashPairs: consumed by
     // the bucket sizing AND both sides of the candidate self-join.
     val bandsDf = graft.util.Materialize.once(
-      minhashBands(docs, idCol, textCol, numHashes, bands, portable))
+      minhashBands(docs, idCol, textCol, numHashes, bands, portable, shingle))
     val sized = bandsDf.join(
       bandsDf.groupBy(col("band"), col("band_key"))
         .agg(count(lit(1)).as("__n"), min(col("doc")).as("__keep")),
@@ -144,7 +154,7 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b")).distinct()
-    val sizes = docs.select(col(idCol).as("doc"), array_distinct(TextAnalysis.words(col(textCol))).as("ws"))
+    val sizes = docs.select(col(idCol).as("doc"), array_distinct(units(col(textCol), shingle)).as("ws"))
     val verifiedDrops = cand
       .join(sizes.select(col("doc").as("doc_a"), col("ws").as("wa")), Seq("doc_a"))
       .join(sizes.select(col("doc").as("doc_b"), col("ws").as("wb")), Seq("doc_b"))

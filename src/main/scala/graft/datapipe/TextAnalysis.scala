@@ -25,6 +25,22 @@ object TextAnalysis {
   def words(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
+  /** Sliding word n-grams — "w-shingles" (the classic resemblance
+    * unit): order-SENSITIVE dedup units, where word-set hashing calls
+    * any reordering of the same words a duplicate. Documents shorter
+    * than `n` words collapse to one whole-document shingle. Pure
+    * Column (transform over an index sequence), no explode here — the
+    * consumer explodes once, exactly like with `words`.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    require(n >= 2, "use words() for n=1")
+    val ws = words(text)
+    val count = size(ws) - (n - 1)
+    when(count <= 0, array(array_join(ws, " ")))
+      .otherwise(transform(sequence(lit(0), count - 1),
+        i => array_join(slice(ws, i + 1, lit(n)), " ")))
+  }
+
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
 
   def stopwordCount(text: Column): Column =

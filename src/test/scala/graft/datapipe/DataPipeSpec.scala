@@ -55,6 +55,26 @@ class DataPipeSpec extends AnyFunSuite {
     assert(drops == (101L to 120L).toSet, s"all clones but the minimum (100) drop, got $drops")
   }
 
+  test("shingled minhash is order-sensitive where word-set minhash is not") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val reordered = text.split(' ').reverse.mkString(" ")
+    val docs = Seq((1L, text), (2L, reordered)).toDF("doc_id", "text")
+    val wordSet = Dedup.minhashPairs(docs, "doc_id", "text", minJaccard = 0.9)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(wordSet == Set((1L, 2L)),
+      "word-set hashing calls a full reordering a duplicate (same word set)")
+    val shingled = Dedup.minhashPairs(docs, "doc_id", "text", minJaccard = 0.5, shingle = 3)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(shingled.isEmpty,
+      "3-shingles share no sequences between a text and its reversal — not a near-dup")
+    // And shingles still catch a true near-dup: drop the last word.
+    val nearDup = Seq((1L, text), (3L, text.split(' ').dropRight(1).mkString(" ")))
+      .toDF("doc_id", "text")
+    val caught = Dedup.minhashPairs(nearDup, "doc_id", "text", minJaccard = 0.5, shingle = 3)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(caught == Set((1L, 3L)), "shingled minhash still finds true near-duplicates")
+  }
+
   test("simhash: identical docs have identical hashes; near-dups are close in Hamming") {
     val sh = corpus.select($"doc_id", Dedup.simhash($"text").as("sh"))
       .as[(Long, Long)].collect().toMap
