@@ -15,11 +15,11 @@ object ProfileScratch {
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // Probe 1: does the incremental watermark filter reach the events scan?
-    val ev = graft.tables.TestTables.events(spark, dir)
-    val hwm = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
-    println("=== watermark filter plan ===")
-    println(ev.filter(col("ts") > lit(hwm)).queryExecution.executedPlan.toString)
+    val docs = graft.tables.TestTables.documents(spark, dir).filter(col("doc_id") % 10 === 0)
+    for (sh <- Seq(2, 3); mj <- Seq(0.1, 0.2, 0.3)) {
+      val n = graft.datapipe.Dedup.minhashPairs(docs, "doc_id", "text", minJaccard = mj, shingle = sh).count()
+      println(s"shingle=$sh minJ=$mj pairs=$n")
+    }
 
     spark.stop()
   }

@@ -31,6 +31,22 @@ object QueriesData {
       Dedup.minhashPairs(sampledDocs(s, dir), "doc_id", "text", minJaccard = 0.5)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // Shingled (order-sensitive) MinHash variant — Broder resemblance
+    // over word 3-grams. The synthetic corpus's near-dups are
+    // word-order-scrambled, which shingling correctly rejects, so this
+    // query plants a deterministic last-word-truncated twin of every
+    // sampled doc: the output is exactly those planted high-resemblance
+    // pairs (rows-only; order-sensitivity proven in DataPipeSpec).
+    "q_dedup_minhash_shingled" -> ((s, dir) => {
+      val docs = sampledDocs(s, dir).select(col("doc_id"), col("text"))
+      val ws = split(col("text"), "\\s+")
+      val truncated = docs.select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        array_join(slice(ws, lit(1), size(ws) - 1), " ").as("text"))
+      Dedup.minhashPairs(docs.unionByName(truncated), "doc_id", "text",
+          minJaccard = 0.5, shingle = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Flagship training-data prep: language gate -> quality gate ->
     // exact dedup -> MinHash near-dup removal, fully oracle-checked.
     "q_pipeline_corpus" -> ((s, dir) =>
