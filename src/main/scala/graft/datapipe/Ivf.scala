@@ -48,6 +48,43 @@ object Ivf {
       .agg(max_by(col("cell"), struct(col("cos"), -col("cell"))).as("cell"))
   }
 
+  /** The 100-TB layout: the corpus written partitioned by cell, so a
+    * probe is PARTITION PRUNING + a small scan instead of a full pass.
+    */
+  def writeCellPartitioned(corpus: DataFrame, centroids: DataFrame,
+                           idCol: String, vecCol: String, path: String): Unit = {
+    val vecs = corpus.select(col(idCol).as("id"), asD(col(vecCol)).as("vec"))
+    assign(vecs, centroids).write.partitionBy("cell").mode("overwrite").parquet(path)
+  }
+
+  /** ANN top-k against a cell-partitioned corpus: the probed cell set
+    * (≤ k centroids, a genuinely driver-sized list) becomes an isin
+    * filter that prunes the scan to the probed partitions only.
+    */
+  def topKPruned(spark: SparkSession, queries: DataFrame, corpusPath: String,
+                 centroids: DataFrame, idCol: String, vecCol: String,
+                 k: Int, nprobe: Int = 2): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), asD(col(vecCol)).as("q_vec"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cos", Similarity.cosine(col("q_vec"), col("centroid")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("cell"))))
+      .filter(col("__rn") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("cell"))
+    // Bounded by the number of centroids, not the corpus — safe collect.
+    val cells = probes.select(col("cell")).distinct().collect().map(_.get(0))
+    val corpus = spark.read.parquet(corpusPath)
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+      .select(col("id").as("n_id"), col("vec").as("n_vec"), col("cell"))
+    val scored = probes.join(corpus, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cosine", Similarity.cosine(col("q_vec"), col("n_vec")))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rank"))
+  }
+
   /** ANN top-k: probe the `nprobe` nearest cells per query, exact
     * cosine within the probed cells.
     */

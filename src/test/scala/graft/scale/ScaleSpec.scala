@@ -65,6 +65,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(top.headOption.contains(0L), s"nearest neighbor of the planted copy must be vec 0, got ${top.toSeq}")
   }
 
+  test("cell-partitioned IVF: pruned probe equals the in-memory path and prunes the scan") {
+    val emb = graft.tables.TestTables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" % 200 === 0)
+    val centroids = graft.datapipe.Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivf_cells").toString + "/corpus"
+    graft.datapipe.Ivf.writeCellPartitioned(emb, centroids, "vec_id", "embedding", path)
+
+    val pruned = graft.datapipe.Ivf.topKPruned(spark, queries, path, centroids,
+      "vec_id", "embedding", k = 5, nprobe = 2)
+    val mem = graft.datapipe.Ivf.topK(queries, emb, centroids,
+      "vec_id", "embedding", k = 5, nprobe = 2)
+    val a = pruned.select($"q_id", $"n_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    val b = mem.select($"q_id", $"n_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(a == b, "partition-pruned probe must return exactly the in-memory results")
+
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"the probe's cell set must prune at the partition level:\n$plan")
+  }
+
   test("IVF recall vs brute force is reasonable on random embeddings") {
     val emb = graft.tables.TestTables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter($"vec_id" % 100 === 0)
