@@ -79,15 +79,31 @@ object JobRunner {
   def tsNanos(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000000L + t.getNanos
 
-  /** load_data task: E4 short-circuit, CSV archive, append, upsert. */
-  private def load(df: DataFrame, base: String, upsertKey: Option[String]): Long = {
+  /** Hash-bucket count for the `current` table's partition layout. */
+  val upsertBuckets = 16
+
+  /** load_data task: E4 short-circuit, CSV archive, append, upsert.
+    *
+    * The upsert goes through the partition-pruned rename-aside path
+    * (Sinks.upsertPartitioned), never the full-table rewrite: the
+    * `current` table is laid out in `part_bucket = xxhash64(key) mod
+    * buckets` partitions — stable per key (the same property a date or
+    * tenant partition would give), so an incremental run rewrites only
+    * the buckets containing updated keys and untouched buckets are
+    * never read or written.
+    */
+  private[pipeline] def load(df: DataFrame, base: String, upsertKey: Option[String]): Long = {
     val out = df.persist()
     try {
       val n = out.count()
       if (n == 0) return 0L // E4: AirflowSkipException analog
       Sinks.archiveCsv(out.withColumn("archived_at", lit("run")), s"$base/archive")
       Sinks.append(out, s"$base/append")
-      upsertKey.foreach(k => Sinks.upsertParquet(out.sparkSession, s"$base/current", out, k))
+      upsertKey.foreach { k =>
+        val bucketed = out.withColumn("part_bucket",
+          pmod(xxhash64(col(k)), lit(upsertBuckets.toLong)).cast("int"))
+        Sinks.upsertPartitioned(out.sparkSession, s"$base/current", bucketed, k, "part_bucket")
+      }
       n
     } finally out.unpersist()
   }

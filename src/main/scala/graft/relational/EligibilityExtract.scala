@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: the fact side (orders→visits) arrives already pruned by
   * the incremental window — at cluster scale that predicate lands on a
-  * date-partitioned table and prunes partitions before any I/O. All
-  * dimension sides are broadcast; the plan has NO shuffle except the
-  * final sort, and the customer join is the only row-expanding step.
+  * date-partitioned table and prunes partitions before any I/O. The
+  * BOUNDED lookups (nation/region) carry static broadcast hints; the
+  * data-scaling sides (customer, supplier) are left unhinted so the
+  * planner's size stats / AQE choose — at test SFs they still broadcast,
+  * at 100 TB they shuffle instead of OOMing the build side.
   * The window cutoff derives from max(o_orderdate) (deterministic), not
   * wall clock — VERDICT r1 flagged wall-clock cutoffs as un-oracleable.
   */
@@ -72,7 +74,11 @@ object EligibilityExtract {
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"), "left")
       // A4: expression-key inner join + constant predicate
       // (CGWM.ContractorID = ISNULL(BC.ParentID, BC.ID) AND GateWayID = 3).
-      .join(broadcast(supplier),
+      // supplier GROWS with the data (sf100 → 1 M rows) — no static
+      // broadcast hint; the planner's parquet size stats pick broadcast
+      // while it measures small, and AQE keeps the choice honest at
+      // scale. Only the bounded lookups (nation 25, region 5) are hinted.
+      .join(supplier,
         supplier("s_suppkey") === coalesce(nullif(col("o_custkey") % 10, lit(0)), lit(10)) &&
           supplier("s_nationkey") < 25)
 

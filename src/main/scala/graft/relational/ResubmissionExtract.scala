@@ -20,8 +20,11 @@ import org.apache.spark.sql.functions._
   * operator in isolation.
   *
   * Scale notes (100 TB posture):
-  *  - `part` is a catalog dimension → broadcast into the item join; only
-  *    lineitem (the fact) shuffles, and only once, on l_orderkey.
+  *  - `part` is a catalog dimension but GROWS with SF (sf100 → 20 M
+  *    rows): no static broadcast hint — the planner's parquet size
+  *    stats pick broadcast while it measures small and AQE re-decides
+  *    at runtime, so only lineitem (the fact) shuffles at test scale
+  *    and nothing OOMs at 100×.
   *  - latest-per-group window and the diagnosis string-agg share the
   *    l_orderkey partitioning, so Catalyst reuses one exchange.
   *  - the "flagged" set is produced as a distinct key list and joined
@@ -42,7 +45,7 @@ object ResubmissionExtract {
     */
   def flaggedOrders(lineitem: DataFrame, part: DataFrame): DataFrame =
     lineitem
-      .join(broadcast(part), lineitem("l_partkey") === part("p_partkey"))
+      .join(part, lineitem("l_partkey") === part("p_partkey"))
       .filter(lower(col("p_name")).like("%green%") && col("l_returnflag") === "R")
       .select(col("l_orderkey")).distinct()
 
@@ -68,7 +71,7 @@ object ResubmissionExtract {
     */
   def diagnosisAgg(lineitem: DataFrame, part: DataFrame): DataFrame =
     lineitem
-      .join(broadcast(part), lineitem("l_partkey") === part("p_partkey"))
+      .join(part, lineitem("l_partkey") === part("p_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(ColumnOps.stringAgg(col("l_linenumber"), col("p_name"), " , ").as("diagnosis"))
 
@@ -91,7 +94,7 @@ object ResubmissionExtract {
     items
       .join(orders, items("l_orderkey") === orders("o_orderkey"))
       .join(customer, orders("o_custkey") === customer("c_custkey"), "left")
-      .join(broadcast(part), items("l_partkey") === part("p_partkey"))
+      .join(part, items("l_partkey") === part("p_partkey"))
       .select(
         col("l_orderkey").as("visit_id"),
         col("l_linenumber").as("seq_no"),
@@ -114,7 +117,7 @@ object ResubmissionExtract {
     val li = TestTables.lineitem(spark, dir); val p = TestTables.part(spark, dir)
     val items = latestItems(li)
       .filter(col("l_returnflag") === "R")
-    val withPart = items.join(broadcast(p), items("l_partkey") === p("p_partkey"))
+    val withPart = items.join(p, items("l_partkey") === p("p_partkey"))
       .filter(col("p_brand").isin(rejectionBrands: _*))
       .filter(ColumnOps.notLikeNullSafe(col("p_name"), "%blue%"))
       .select(li.columns.map(col): _*)

@@ -28,7 +28,14 @@ object Sinks {
 
   /** D2 applied to a parquet table path: read-merge-rewrite via a
     * staging directory then swap (the reference's staging-table MERGE,
-    * src/etl_utils.py:87-145).
+    * src/etl_utils.py:87-145). The swap is RENAME-ASIDE: live → `.old`,
+    * staging → live, `.old` deleted — a crash at any point leaves either
+    * the old table in place or recoverable at `.old`, never the
+    * delete-then-rename window where the table has vanished.
+    *
+    * Rewrites 100 % of the table per call: correct for small/scratch
+    * tables only. Production loads of large tables go through
+    * [[upsertPartitioned]], which prunes to the touched partitions.
     */
   def upsertParquet(spark: SparkSession, tablePath: String, updates: DataFrame, key: String): Unit = {
     val merged =
@@ -38,8 +45,14 @@ object Sinks {
     merged.write.mode(SaveMode.Overwrite).parquet(staging)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(tablePath)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(staging), dst)
+    val aside = new org.apache.hadoop.fs.Path(tablePath + ".old")
+    fs.delete(aside, true) // leftover from an earlier crash, superseded
+    val hadLive = fs.exists(dst)
+    if (hadLive && !fs.rename(dst, aside))
+      throw new java.io.IOException(s"rename aside failed for $dst")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), dst))
+      throw new java.io.IOException(s"staging rename failed for $dst")
+    if (hadLive) fs.delete(aside, true)
   }
 
   /** D2 at 100-TB scale: MERGE against a `partCol`-partitioned parquet

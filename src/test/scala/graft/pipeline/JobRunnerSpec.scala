@@ -23,6 +23,45 @@ class JobRunnerSpec extends AnyFunSuite {
     assert(spark.read.option("header", "true").csv(s"$out/eligibility/archive").count() == n1)
   }
 
+  test("load upsert prunes: untouched buckets' files byte-identical after an incremental run") {
+    val out = tmp()
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"),
+      (6L, "f"), (7L, "g"), (8L, "h"), (9L, "i"), (10L, "j")).toDF("visit_id", "v")
+    JobRunner.load(base, s"$out/t", upsertKey = Some("visit_id"))
+
+    def snapshot(): Map[String, Seq[(String, String)]] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(out, "t", "current")
+      java.nio.file.Files.list(root).iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) && p.getFileName.toString.startsWith("part_bucket="))
+        .map { d =>
+          val files = java.nio.file.Files.list(d).iterator().asScala
+            .filter(f => f.getFileName.toString.endsWith(".parquet"))
+            .map(f => (f.getFileName.toString,
+              java.util.Base64.getEncoder.encodeToString(
+                java.security.MessageDigest.getInstance("MD5")
+                  .digest(java.nio.file.Files.readAllBytes(f)))))
+            .toSeq.sortBy(_._1)
+          d.getFileName.toString -> files
+        }.toMap
+    }
+    val before = snapshot()
+    assert(before.size > 1, s"need several buckets to prove pruning, got ${before.keySet}")
+
+    // Incremental run touching exactly one key → at most one bucket rewritten.
+    JobRunner.load(Seq((1L, "A2")).toDF("visit_id", "v"), s"$out/t", upsertKey = Some("visit_id"))
+    val after = snapshot()
+    val changed = after.keySet.filter(k => before.get(k) != after.get(k)) ++ (before.keySet -- after.keySet)
+    assert(changed.size <= 1, s"one updated key must touch at most one bucket, changed: $changed")
+    (after.keySet - changed.headOption.getOrElse("")).foreach { k =>
+      assert(before(k) == after(k), s"untouched bucket $k must be byte-identical")
+    }
+    // Merge semantics still hold through the pruned path.
+    val rows = spark.read.parquet(s"$out/t/current")
+      .select($"visit_id", $"v").as[(Long, String)].collect().toMap
+    assert(rows(1L) == "A2" && rows(2L) == "b" && rows.size == 10)
+  }
+
   test("incremental job: first run drains, second run is a no-op, new data flows once") {
     val out = tmp()
     val n1 = JobRunner.run(spark, "incremental", "/root/testdata/sf0.001", out)

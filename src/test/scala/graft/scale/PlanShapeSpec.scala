@@ -46,6 +46,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hints.isEmpty, s"no broadcast hints expected in:\n${df.queryExecution.analyzed}")
   }
 
+  test("extracts: static broadcast hints only on bounded lookups, never data-scaling tables") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    // nation (25 rows) and region (5) are bounded by the data model;
+    // part/supplier/customer/orders/lineitem all grow with SF, so a
+    // static hint on any of them OOMs the build side at 100×. Their
+    // broadcastability must come from measured size (planner stats/AQE).
+    val scalingCols = Seq("p_partkey", "s_suppkey", "c_custkey", "o_orderkey", "l_orderkey")
+    def assertBoundedHintsOnly(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.foreach { h =>
+        val sub = h.child.toString
+        scalingCols.foreach(c =>
+          assert(!sub.contains(c), s"static broadcast hint covers a data-scaling table:\n$sub"))
+      }
+    assertBoundedHintsOnly(graft.relational.EligibilityExtract.build(spark, dir))
+    assertBoundedHintsOnly(graft.relational.ResubmissionExtract.full(spark, dir))
+  }
+
   test("predictions: gate windows share one scan; no duplicate annotated subtree") {
     val df = graft.pipeline.Pipelines.predictions(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
