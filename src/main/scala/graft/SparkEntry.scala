@@ -96,7 +96,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     baseQueries ++ graft.registry.QueriesB.queries ++ graft.registry.QueriesParse.queries ++
       graft.registry.QueriesEnrich.queries ++ graft.registry.QueriesPipeline.queries ++
-      graft.registry.QueriesData.queries ++ graft.registry.QueriesStream.queries
+      graft.registry.QueriesData.queries ++ graft.registry.QueriesStream.queries ++
+      graft.registry.QueriesAnalysis.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1: table scan with predicate.
@@ -302,7 +303,7 @@ object SparkEntry {
     baseOracleSql ++ moreOracleSql ++ graft.registry.QueriesB.oracleSql ++
       graft.registry.QueriesParse.oracleSql ++ graft.registry.QueriesEnrich.oracleSql ++
       graft.registry.QueriesPipeline.oracleSql ++ graft.registry.QueriesData.oracleSql ++
-      graft.registry.QueriesStream.oracleSql
+      graft.registry.QueriesStream.oracleSql ++ graft.registry.QueriesAnalysis.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "q_a01_scan_filter" ->

@@ -66,7 +66,14 @@ object Pipelines {
     * auto-reject (B18) → duplicate-service drop (B8/B19) → per-visit
     * LLM fan-out (C4) → fill remaining as Approved (B11).
     */
-  def predictions(spark: SparkSession, dir: String): DataFrame = {
+  def predictions(spark: SparkSession, dir: String): DataFrame =
+    predictions(spark, dir, keepDay = false)
+
+  /** `keepDay = true` appends the claim's service day (`day`) for the
+    * KPI rollup surface — the run-log Date axis of the reference's
+    * dashboard (analysis.py:16-58).
+    */
+  def predictions(spark: SparkSession, dir: String, keepDay: Boolean): DataFrame = {
     val claims = TestTables.lineitem(spark, dir).select(
       col("l_orderkey").as("visit_id"),
       (col("l_orderkey") * 10 + col("l_linenumber")).as("uid"),
@@ -109,15 +116,17 @@ object Pipelines {
       .dropDuplicates("uid")
       .withColumnRenamed("uid", "__p_uid")
 
+    val baseCols = Seq(col("visit_id"), col("uid"), col("svc"),
+      when(col("__nodx") === 1, "Rejected")
+        .when(col("__dup") === 1, "Rejected")
+        .otherwise(coalesce(col("medical_prediction"), lit("Approved"))).as("medical_prediction"),
+      when(col("__nodx") === 1, "Missing diagnosis")
+        .when(col("__dup") === 1, "Duplicated Service")
+        .otherwise(col("reason")).as("reason"))
+    val cols = if (keepDay) baseCols :+ to_date(col("l_shipdate")).as("day") else baseCols
     annotated
       .join(predicted, annotated("uid") === col("__p_uid"), "left")
-      .select(col("visit_id"), col("uid"), col("svc"),
-        when(col("__nodx") === 1, "Rejected")
-          .when(col("__dup") === 1, "Rejected")
-          .otherwise(coalesce(col("medical_prediction"), lit("Approved"))).as("medical_prediction"),
-        when(col("__nodx") === 1, "Missing diagnosis")
-          .when(col("__dup") === 1, "Duplicated Service")
-          .otherwise(col("reason")).as("reason"))
+      .select(cols: _*)
   }
 
   val clinicUnits: Seq[String] = Seq("AKW", "ALW", "LCH", "MKR", "SNB")

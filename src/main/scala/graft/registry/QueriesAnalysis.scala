@@ -1,0 +1,146 @@
+package graft.registry
+
+import graft.pipeline.Pipelines
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Registry: the KPI dashboard rollup (reference analysis.py:16-58) and
+  * the weekly EDA consistency checks the reference runs against the
+  * predictions history (Notebooks/predicitions_analysis.ipynb) —
+  * prediction conflicts per (visit, service), missing-prediction rate,
+  * duplicate-insertion detection. All four are plain aggregations over
+  * the predictions pipeline output, so they inherit its closed-form
+  * DuckDB oracle (QueriesPipeline.predictionsSql) and hash-check fully.
+  *
+  * Scale shape: one groupBy each over the predictions output — a single
+  * shuffle on the grouping key; the KPI rollup's output is one row per
+  * day and the EDA outputs are the (small) violation sets. Nothing is
+  * collected to the driver.
+  */
+object QueriesAnalysis {
+
+  /** Deterministic per-service processing-time analog (seconds·10) for
+    * the run-log Time axis — the reference logs ETL wall-clock per run,
+    * which has no closed form, so the oracle-checkable stand-in derives
+    * from the claim id. Integer-summed, divided once: bit-identical on
+    * any engine (no double accumulation order dependence).
+    */
+  private val timeTenths = col("uid") % 300 + 5
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // KPI daily rollup (analysis.py:16-58): Services/Visits/Rejected/
+    // Approved/Time per day + avg time per service and per visit.
+    "q_kpi_daily" -> ((s, dir) =>
+      Pipelines.predictions(s, dir, keepDay = true)
+        .groupBy(col("day"))
+        .agg(
+          count(lit(1)).as("services"),
+          countDistinct(col("visit_id")).as("visits"),
+          sum(when(col("medical_prediction") === "Rejected", 1L).otherwise(0L)).as("rejected"),
+          (sum(timeTenths).cast("double") / lit(10.0).cast("double")).as("time_sec"))
+        .withColumn("approved", col("services") - col("rejected"))
+        .withColumn("avg_time_per_service", col("time_sec") / col("services"))
+        .withColumn("avg_time_per_visit", col("time_sec") / col("visits"))
+        .orderBy(col("day"))),
+
+    // EDA 1 (notebook cell 12): conflicting predictions for the same
+    // (visit, service) — the kept row's LLM verdict vs the duplicate
+    // rows' auto-reject makes these non-empty by construction.
+    "q_eda_conflicts" -> ((s, dir) =>
+      Pipelines.predictions(s, dir)
+        .groupBy(col("visit_id"), col("svc"))
+        .agg(
+          countDistinct(col("medical_prediction")).as("n_predictions"),
+          array_join(array_sort(collect_set(col("medical_prediction"))), ",").as("predictions"),
+          count(lit(1)).as("n_rows"))
+        .filter(col("n_predictions") > 1)
+        .orderBy(col("visit_id"), col("svc"))),
+
+    // EDA 2 (notebook cells 18-19): rate of (visit, service) pairs with
+    // no usable prediction — here the LLM-failure terminal marker.
+    "q_eda_missing_rate" -> ((s, dir) => {
+      val pairKey = concat(col("visit_id").cast("string"), lit("|"), col("svc").cast("string"))
+      Pipelines.predictions(s, dir)
+        .agg(
+          countDistinct(when(col("medical_prediction") === "Failed to reach LLM", pairKey))
+            .as("n_missing_pairs"),
+          countDistinct(pairKey).as("total_pairs"))
+        .withColumn("missing_rate", col("n_missing_pairs").cast("double") / col("total_pairs"))
+    }),
+
+    // EDA 3 (notebook cell 20): duplicate-insertion detection — the
+    // same (visit, service) inserted more than once; first/last id and
+    // span stand in for the insertion-timestamp window.
+    "q_eda_dup_insertions" -> ((s, dir) =>
+      Pipelines.predictions(s, dir)
+        .groupBy(col("visit_id"), col("svc"))
+        .agg(
+          count(lit(1)).as("n_times"),
+          min(col("uid")).as("first_uid"),
+          max(col("uid")).as("last_uid"))
+        .filter(col("n_times") > 1)
+        .select(col("visit_id"), col("svc"), col("n_times"), col("first_uid"), col("last_uid"),
+          (col("last_uid") - col("first_uid")).as("uid_span"))
+        .orderBy(col("visit_id"), col("svc"))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_kpi_daily" ->
+      s"""WITH preds AS (
+         |${QueriesPipeline.predictionsSql(withDay = true)}
+         |),
+         |daily AS (
+         |  SELECT day,
+         |    CAST(count(*) AS BIGINT) AS services,
+         |    CAST(count(DISTINCT visit_id) AS BIGINT) AS visits,
+         |    CAST(sum(CASE WHEN medical_prediction = 'Rejected' THEN 1 ELSE 0 END) AS BIGINT) AS rejected,
+         |    CAST(sum(uid % 300 + 5) AS DOUBLE) / CAST(10.0 AS DOUBLE) AS time_sec
+         |  FROM preds GROUP BY day)
+         |SELECT day, services, visits, rejected, time_sec,
+         |  services - rejected AS approved,
+         |  time_sec / services AS avg_time_per_service,
+         |  time_sec / visits AS avg_time_per_visit
+         |FROM daily ORDER BY day""".stripMargin,
+
+    "q_eda_conflicts" ->
+      s"""WITH preds AS (
+         |${QueriesPipeline.predictionsSql()}
+         |)
+         |SELECT visit_id, svc,
+         |  CAST(count(DISTINCT medical_prediction) AS BIGINT) AS n_predictions,
+         |  array_to_string(list_sort(list_distinct(list(medical_prediction))), ',') AS predictions,
+         |  CAST(count(*) AS BIGINT) AS n_rows
+         |FROM preds
+         |GROUP BY visit_id, svc
+         |HAVING count(DISTINCT medical_prediction) > 1
+         |ORDER BY visit_id, svc""".stripMargin,
+
+    "q_eda_missing_rate" ->
+      s"""WITH preds AS (
+         |${QueriesPipeline.predictionsSql()}
+         |),
+         |agg AS (
+         |  SELECT
+         |    CAST(count(DISTINCT CASE WHEN medical_prediction = 'Failed to reach LLM'
+         |      THEN CAST(visit_id AS VARCHAR) || '|' || CAST(svc AS VARCHAR) END) AS BIGINT) AS n_missing_pairs,
+         |    CAST(count(DISTINCT CAST(visit_id AS VARCHAR) || '|' || CAST(svc AS VARCHAR)) AS BIGINT) AS total_pairs
+         |  FROM preds)
+         |SELECT n_missing_pairs, total_pairs,
+         |  CAST(n_missing_pairs AS DOUBLE) / total_pairs AS missing_rate
+         |FROM agg""".stripMargin,
+
+    "q_eda_dup_insertions" ->
+      s"""WITH preds AS (
+         |${QueriesPipeline.predictionsSql()}
+         |)
+         |SELECT visit_id, svc,
+         |  CAST(count(*) AS BIGINT) AS n_times,
+         |  min(uid) AS first_uid,
+         |  max(uid) AS last_uid,
+         |  max(uid) - min(uid) AS uid_span
+         |FROM preds
+         |GROUP BY visit_id, svc
+         |HAVING count(*) > 1
+         |ORDER BY visit_id, svc""".stripMargin,
+  )
+}

@@ -117,11 +117,22 @@ object QueriesData {
         .orderBy(col("q_id"), col("rank"))
     }),
 
-    // Embedding-cosine near-dup pairs inside LSH buckets (rows-only).
-    "q_sim_cosine_dedup" -> ((s, dir) =>
-      Similarity.cosineDedupPairs(TestTables.embeddings(s, dir), "vec_id", "embedding",
+    // Embedding-cosine near-dup pairs inside LSH buckets. The synthetic
+    // embeddings have no natural pair >= 0.9 at small SF, which made
+    // this rows-only entry vacuous (0 rows proves nothing) — so, like
+    // q_dedup_minhash_shingled, plant a deterministic twin of every
+    // sampled vector: positive scaling preserves both the cosine
+    // (cos(v, 2v) = 1) and every hyperplane sign, so the output is
+    // exactly the planted (vec, twin) pairs.
+    "q_sim_cosine_dedup" -> ((s, dir) => {
+      val emb = TestTables.embeddings(s, dir).filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val twins = emb.select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      Similarity.cosineDedupPairs(emb.unionByName(twins), "vec_id", "embedding",
           minCosine = 0.9)
-        .orderBy(col("doc_a"), col("doc_b"))),
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
 
     // Multimodal metadata algebra: frame sampling + resize, no decode.
     "q_mm_metadata" -> ((s, dir) => {

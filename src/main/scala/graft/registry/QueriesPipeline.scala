@@ -80,34 +80,7 @@ object QueriesPipeline {
         |WHERE o_orderstatus <> 'F' AND o_orderpriority <> '5-LOW'
         |ORDER BY visit_id""".stripMargin,
 
-    "q_pipeline_predictions" ->
-      """WITH claims AS (
-        |  SELECT l_orderkey AS visit_id, l_orderkey * 10 + l_linenumber AS uid,
-        |         l_partkey AS svc, l_shipdate, l_linenumber,
-        |         CASE WHEN l_orderkey % 53 = 0 AND l_linenumber = 1 THEN NULL
-        |              ELSE 'ICD-' || CAST(l_partkey % 500 AS VARCHAR) END AS icd10
-        |  FROM lineitem),
-        |nodx AS (
-        |  SELECT visit_id FROM claims GROUP BY visit_id
-        |  HAVING max(CASE WHEN icd10 IS NULL THEN 1 ELSE 0 END) = 1),
-        |kept AS (
-        |  SELECT uid FROM (
-        |    SELECT uid, row_number() OVER (PARTITION BY visit_id, svc
-        |      ORDER BY l_shipdate ASC, l_linenumber ASC, uid ASC) AS rn
-        |    FROM claims) t WHERE rn = 1),
-        |dup AS (SELECT uid FROM claims EXCEPT SELECT uid FROM kept)
-        |SELECT visit_id, uid, svc,
-        |  CASE WHEN visit_id IN (SELECT visit_id FROM nodx) THEN 'Rejected'
-        |       WHEN uid IN (SELECT uid FROM dup) THEN 'Rejected'
-        |       WHEN visit_id % 97 = 0 THEN 'Failed to reach LLM'
-        |       WHEN uid % 5 = 0 THEN 'Rejected'
-        |       ELSE 'Approved' END AS medical_prediction,
-        |  CASE WHEN visit_id IN (SELECT visit_id FROM nodx) THEN 'Missing diagnosis'
-        |       WHEN uid IN (SELECT uid FROM dup) THEN 'Duplicated Service'
-        |       WHEN visit_id % 97 = 0 THEN NULL
-        |       WHEN uid % 5 = 0 THEN 'service ' || CAST(uid AS VARCHAR) || ' is a duplicate order'
-        |       END AS reason
-        |FROM claims ORDER BY visit_id, uid, svc""".stripMargin,
+    "q_pipeline_predictions" -> (predictionsSql() + " ORDER BY visit_id, uid, svc"),
 
     "q_pipeline_resubmission" -> resubmissionOracle,
 
@@ -126,6 +99,43 @@ object QueriesPipeline {
         |  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month
         |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
+
+  /** Closed-form DuckDB SQL for the predictions pipeline output —
+    * shared with the KPI/EDA oracles (QueriesAnalysis), which wrap it
+    * as a derived table. `withDay = true` appends the claim's service
+    * day, mirroring Pipelines.predictions(keepDay = true).
+    */
+  def predictionsSql(withDay: Boolean = false): String = {
+    val dayCol = if (withDay) ", CAST(l_shipdate AS DATE) AS day" else ""
+    val daySel = if (withDay) ", day" else ""
+    s"""WITH claims AS (
+       |  SELECT l_orderkey AS visit_id, l_orderkey * 10 + l_linenumber AS uid,
+       |         l_partkey AS svc, l_shipdate, l_linenumber$dayCol,
+       |         CASE WHEN l_orderkey % 53 = 0 AND l_linenumber = 1 THEN NULL
+       |              ELSE 'ICD-' || CAST(l_partkey % 500 AS VARCHAR) END AS icd10
+       |  FROM lineitem),
+       |nodx AS (
+       |  SELECT visit_id FROM claims GROUP BY visit_id
+       |  HAVING max(CASE WHEN icd10 IS NULL THEN 1 ELSE 0 END) = 1),
+       |kept AS (
+       |  SELECT uid FROM (
+       |    SELECT uid, row_number() OVER (PARTITION BY visit_id, svc
+       |      ORDER BY l_shipdate ASC, l_linenumber ASC, uid ASC) AS rn
+       |    FROM claims) t WHERE rn = 1),
+       |dup AS (SELECT uid FROM claims EXCEPT SELECT uid FROM kept)
+       |SELECT visit_id, uid, svc$daySel,
+       |  CASE WHEN visit_id IN (SELECT visit_id FROM nodx) THEN 'Rejected'
+       |       WHEN uid IN (SELECT uid FROM dup) THEN 'Rejected'
+       |       WHEN visit_id % 97 = 0 THEN 'Failed to reach LLM'
+       |       WHEN uid % 5 = 0 THEN 'Rejected'
+       |       ELSE 'Approved' END AS medical_prediction,
+       |  CASE WHEN visit_id IN (SELECT visit_id FROM nodx) THEN 'Missing diagnosis'
+       |       WHEN uid IN (SELECT uid FROM dup) THEN 'Duplicated Service'
+       |       WHEN visit_id % 97 = 0 THEN NULL
+       |       WHEN uid % 5 = 0 THEN 'service ' || CAST(uid AS VARCHAR) || ' is a duplicate order'
+       |       END AS reason
+       |FROM claims""".stripMargin
+  }
 
   /** The resubmission oracle reuses SparkEntry's full-extraction SQL as
     * a derived table and cross-joins the five business units.
