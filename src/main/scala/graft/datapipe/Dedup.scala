@@ -140,6 +140,22 @@ object Dedup {
                      minJaccard: Double, maxBucket: Int = 100,
                      numHashes: Int = 16, bands: Int = 4, portable: Boolean = false,
                      shingle: Int = 0): DataFrame = {
+    val (verified, bigDrops) =
+      minhashVerifiedEdges(docs, idCol, textCol, minJaccard, maxBucket, numHashes, bands, portable, shingle)
+    verified.select(col("doc_b").as("doc")).unionByName(bigDrops).distinct()
+  }
+
+  /** Shared candidate machinery for the two survivor rules: returns the
+    * VERIFIED near-dup edge list `(doc_a, doc_b)` (true Jaccard ≥
+    * threshold, small buckets only) and the oversized-bucket drop set
+    * `(doc)` (buckets > `maxBucket` skip quadratic verification and
+    * keep their minimum directly — the pairs bound).
+    */
+  private[datapipe] def minhashVerifiedEdges(
+      docs: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double, maxBucket: Int,
+      numHashes: Int = 16, bands: Int = 4, portable: Boolean = false,
+      shingle: Int = 0): (DataFrame, DataFrame) = {
     // Materialized for the same reason as in minhashPairs: consumed by
     // the bucket sizing AND both sides of the candidate self-join.
     val bandsDf = graft.util.Materialize.once(
@@ -155,16 +171,16 @@ object Dedup {
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b")).distinct()
     val sizes = docs.select(col(idCol).as("doc"), array_distinct(units(col(textCol), shingle)).as("ws"))
-    val verifiedDrops = cand
+    val verified = cand
       .join(sizes.select(col("doc").as("doc_a"), col("ws").as("wa")), Seq("doc_a"))
       .join(sizes.select(col("doc").as("doc_b"), col("ws").as("wb")), Seq("doc_b"))
       .filter(
         size(array_intersect(col("wa"), col("wb"))).cast("double") /
           size(array_union(col("wa"), col("wb"))).cast("double") >= minJaccard)
-      .select(col("doc_b").as("doc"))
+      .select(col("doc_a"), col("doc_b"))
     val bigDrops = sized.filter(col("__n") > maxBucket && col("doc") =!= col("__keep"))
       .select(col("doc"))
-    verifiedDrops.unionByName(bigDrops).distinct()
+    (verified, bigDrops)
   }
 
   /** 64-bit SimHash over the word multiset: per-bit signed vote of each

@@ -55,6 +55,16 @@ object QueriesData {
         .select(col("doc_id"), col("lang"), col("lang_detected"), col("quality"))
         .orderBy(col("doc_id"))),
 
+    // Connected-components survivor variant: each component of the
+    // verified near-dup graph keeps exactly its minimum id (transitive
+    // closure — the standard pretraining-pipeline rule). Oracle is the
+    // same DuckDB chain with a recursive-CTE closure for the drop set.
+    "q_pipeline_corpus_cc" -> ((s, dir) =>
+      graft.datapipe.CorpusClean.cleanCC(TestTables.documents(s, dir), "doc_id", "text",
+          minQuality = 1.1, minJaccard = 0.8, portableHash = true)
+        .select(col("doc_id"), col("lang"), col("lang_detected"), col("quality"))
+        .orderBy(col("doc_id"))),
+
     // MinHash-LSH with the portable md5 hash family — the full banding
     // pipeline under a value-level DuckDB oracle.
     "q_dedup_minhash_md5" -> ((s, dir) =>
@@ -236,17 +246,41 @@ object QueriesData {
       .replace("%STOP%", stopwordsIn)
 
   /** The corpus-cleaning oracle: language gate → quality gate → exact
-    * dedup → minhash near-dup greedy removal, mirroring
-    * CorpusClean.clean stage for stage.
+    * dedup → minhash near-dup removal, mirroring CorpusClean stage for
+    * stage. `ccSurvivor = false` drops the higher id of each verified
+    * pair (greedy, CorpusClean.clean); `true` computes the transitive
+    * closure with a recursive CTE and drops every non-minimum component
+    * member (CorpusClean.cleanCC).
     */
-  private def corpusCleanOracle: String = {
+  private def corpusCleanOracle: String = corpusCleanOracle(ccSurvivor = false)
+
+  private def corpusCleanOracle(ccSurvivor: Boolean): String = {
     val hits = TextAnalysis.langMarkers.map { case (lang, ms) => lang -> langHitsSql(ms) }
     val hitCols = hits.map { case (lang, h) => s"($h) AS hit_$lang" }.mkString(",\n  ")
     val best = "greatest(" + hits.map(h => s"hit_${h._1}").mkString(", ") + ")"
     val langCase = "CASE WHEN __best <= 0 THEN 'und' " +
       hits.map { case (lang, _) => s"WHEN hit_$lang = __best THEN '$lang'" }.mkString(" ") +
       " ELSE 'und' END"
-    s"""WITH hitted AS (
+    val dropsCtes =
+      if (!ccSurvivor)
+        """drops AS (
+          |  SELECT doc_b AS doc FROM verified UNION SELECT doc FROM big_drops)""".stripMargin
+      else
+        // Transitive closure of the verified-pair graph: every node
+        // reachable from `root`; component = min reachable node (the
+        // edge list is symmetrized, so reachability = connectivity).
+        """edges AS (
+          |  SELECT doc_a AS a, doc_b AS b FROM verified
+          |  UNION ALL SELECT doc_b, doc_a FROM verified),
+          |reach(node, root) AS (
+          |  SELECT a, a FROM edges
+          |  UNION
+          |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node),
+          |comp AS (SELECT node, min(root) AS root FROM reach GROUP BY node),
+          |drops AS (
+          |  SELECT node AS doc FROM comp WHERE root <> node
+          |  UNION SELECT doc FROM big_drops)""".stripMargin
+    s"""WITH RECURSIVE hitted AS (
        |  SELECT doc_id, text, lang,
        |  $hitCols,
        |  $qualitySql AS quality
@@ -262,8 +296,7 @@ object QueriesData {
        |      ORDER BY doc_id) AS rn
        |    FROM gated) t WHERE rn = 1),
        |${minhashMd5Ctes("exact_kept", 0.8, maxBucket = Some(100))},
-       |drops AS (
-       |  SELECT doc_b AS doc FROM verified UNION SELECT doc FROM big_drops)
+       |$dropsCtes
        |SELECT doc_id, lang, lang_detected, quality FROM exact_kept
        |WHERE doc_id NOT IN (SELECT doc FROM drops)
        |ORDER BY doc_id""".stripMargin
@@ -272,6 +305,7 @@ object QueriesData {
   def oracleSql: Map[String, String] = Map(
     "q_dedup_minhash_md5" -> minhashMd5Oracle,
     "q_pipeline_corpus" -> corpusCleanOracle,
+    "q_pipeline_corpus_cc" -> corpusCleanOracle(ccSurvivor = true),
 
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,

@@ -75,6 +75,38 @@ class DataPipeSpec extends AnyFunSuite {
     assert(caught == Set((1L, 3L)), "shingled minhash still finds true near-duplicates")
   }
 
+  test("connected components: chains collapse to the minimum; separate components stay apart") {
+    // chain 1-2-3-...-10 plus an island {100, 101}
+    val edges = ((1L to 9L).map(i => (i, i + 1)) :+ (100L, 101L)).toDF("a", "b")
+    val comps = ConnectedComponents.components(edges)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 10L).forall(comps(_) == 1L), s"chain must collapse to 1: $comps")
+    assert(comps(100L) == 100L && comps(101L) == 100L)
+    assert(comps.size == 12)
+  }
+
+  test("cleanCC closes transitive chains where greedy clean keeps one doc per edge") {
+    // Word sets: doc3 = full 10 words, doc1 drops the last, doc2 drops
+    // the second. j(1,3) = j(2,3) = 0.9 >= 0.85 (verified edges) but
+    // j(1,2) = 8/10 < 0.85 — so the component {1,2,3} exists only
+    // through doc3. Greedy drops doc_b=3 per edge and keeps {1,2};
+    // connected components keeps only the component minimum {1}.
+    val full = "the alpha beta gamma delta epsilon zeta eta theta kappa"
+    val ws = full.split(' ')
+    val docs = Seq(
+      (1L, ws.dropRight(1).mkString(" ")),
+      (2L, (ws.take(1) ++ ws.drop(2)).mkString(" ")),
+      (3L, full)).toDF("doc_id", "text")
+    val greedy = CorpusClean.clean(docs, "doc_id", "text",
+      minQuality = -10, minJaccard = 0.85, portableHash = true)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(greedy == Set(1L, 2L), s"greedy keeps the lowest id per EDGE, got $greedy")
+    val cc = CorpusClean.cleanCC(docs, "doc_id", "text",
+      minQuality = -10, minJaccard = 0.85, portableHash = true)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(cc == Set(1L), s"closure keeps only the component minimum, got $cc")
+  }
+
   test("simhash: identical docs have identical hashes; near-dups are close in Hamming") {
     val sh = corpus.select($"doc_id", Dedup.simhash($"text").as("sh"))
       .as[(Long, Long)].collect().toMap
