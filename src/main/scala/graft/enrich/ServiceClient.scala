@@ -24,6 +24,11 @@ trait ServiceClient extends Serializable {
   * retry path without making the final output nondeterministic.
   */
 class MockBeneficiaryClient(transientEvery: Int = 7) extends ServiceClient {
+  // Per-payload attempt counter, used only to make the FIRST attempt of
+  // selected keys fail. Grows with distinct payloads seen by this
+  // (per-partition) instance — fine for a mock over a bounded test
+  // batch, but a real client must NOT copy this shape: track only
+  // in-flight attempts (or an LRU), or the map leaks across a long run.
   private val attempts = scala.collection.mutable.Map.empty[String, Int]
   override def call(payload: String): Either[String, String] = {
     val n = attempts.getOrElse(payload, 0) + 1
