@@ -130,10 +130,11 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
-    // A4: inner join on expression key + constant predicate.
+    // A4: inner join on expression key + constant predicate. Supplier
+    // scales with the data, so the broadcast hint is evidence-gated.
     "q_a04_expr_join" -> ((s, dir) => {
       val o = TestTables.orders(s, dir); val sup = TestTables.supplier(s, dir)
-      o.join(broadcast(sup),
+      o.join(graft.ops.Joins.broadcastIfSmall(sup),
           sup("s_suppkey") === coalesce(nullif(o("o_custkey") % 10, lit(0)), lit(10)) &&
             sup("s_nationkey") < 25)
         .select(col("o_orderkey"), col("s_suppkey"), col("s_name"))

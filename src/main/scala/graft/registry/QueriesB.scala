@@ -71,7 +71,7 @@ object QueriesB {
     // B12: left equi-join merge (predictions ↔ claims on service id).
     "q_b12_left_merge" -> ((s, dir) => {
       val li = TestTables.lineitem(s, dir); val p = TestTables.part(s, dir)
-      li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "left")
+      li.join(graft.ops.Joins.broadcastIfSmall(p), li("l_partkey") === p("p_partkey"), "left")
         .select(col("l_orderkey"), col("l_linenumber"), col("p_name"), col("p_retailprice"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("p_name"))
     }),

@@ -63,6 +63,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assertBoundedHintsOnly(graft.relational.ResubmissionExtract.full(spark, dir))
   }
 
+  test("relational/registry sources: static broadcast() only on bounded targets") {
+    // Complement of the plan-level test above: broadcastIfSmall hints
+    // based on a measured count, so at test SF its hint legitimately
+    // shows up on supplier/part — the analyzed plan can't tell a gated
+    // hint from a static one. Lint the source instead: in the relational
+    // surface, a literal broadcast(x) may only wrap provably bounded
+    // sets (1-row watermark `hi`, 25-row nation, 5-row region, literal
+    // id lists); anything data-scaling must route through
+    // Joins.broadcastIfSmall.
+    import scala.jdk.CollectionConverters._
+    // clinicUnits is a 5-element literal Seq (business-unit tags).
+    val allowed = Set("hi", "n", "r", "nation", "region", "ids", "clinicUnits")
+    val roots = Seq("src/main/scala/graft/relational", "src/main/scala/graft/registry",
+      "src/main/scala/graft/SparkEntry.scala", "src/main/scala/graft/pipeline")
+    val bc = """broadcast\((\w+)""".r
+    roots.flatMap { root =>
+      val p = java.nio.file.Paths.get(root)
+      val files =
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.list(p)
+          try s.iterator().asScala.toList.filter(_.toString.endsWith(".scala")) finally s.close()
+        } else List(p)
+      files.flatMap { f =>
+        val src = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        bc.findAllMatchIn(src).map(m => (f.toString, m.group(1))).toList
+      }
+    }.foreach { case (file, target) =>
+      assert(allowed.contains(target),
+        s"$file statically broadcasts `$target` — use Joins.broadcastIfSmall for data-scaling sets")
+    }
+  }
+
   test("predictions: gate windows share one scan; no duplicate annotated subtree") {
     val df = graft.pipeline.Pipelines.predictions(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
