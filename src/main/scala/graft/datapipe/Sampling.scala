@@ -1,0 +1,117 @@
+package graft.datapipe
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data curation.
+  *
+  * Random `rand()` sampling is useless in a 100-TB pipeline: reruns
+  * pick different rows (no reproducibility, no incremental joins
+  * against yesterday's sample) and the oracle can't check it. Every
+  * operator here instead derives its randomness from `md5(salt|key)` —
+  * a per-row uniform that is stable across runs, engines, partitionings
+  * and cluster sizes, so a sample is a pure function of (data, salt).
+  * All selections are narrow Column filters (no shuffle); only the
+  * per-group reservoir shuffles, once, on the group key.
+  */
+object Sampling {
+
+  /** First 8 hex chars of md5(salt|key) — 32 uniform bits as a
+    * fixed-width lowercase hex string. Fixed width means lexicographic
+    * order == numeric order, so thresholding needs no base conversion.
+    */
+  def hashHex(key: Column, salt: String): Column =
+    substring(md5(concat_ws("|", lit(salt), key.cast("string"))), 1, 8)
+
+  /** Hex threshold selecting `fraction` of the 2^32 hash space via a
+    * strict `<` compare. fraction >= 1 returns "g", which sorts after
+    * every hex digit (keep all); fraction <= 0 returns "00000000"
+    * (keep none).
+    */
+  def hexThreshold(fraction: Double): String =
+    if (fraction >= 1.0) "g"
+    else if (fraction <= 0.0) "00000000"
+    else f"${math.round(fraction * 4294967296.0)}%08x"
+
+  /** Uniform double in [0,1) from the same 32 hash bits (for thresholds
+    * that vary per row, where a constant hex string can't express the
+    * cut).
+    */
+  def uniform01(key: Column, salt: String): Column =
+    conv(hashHex(key, salt), 16, 10).cast("double") / lit(4294967296.0)
+
+  /** Keep a deterministic `fraction` of rows, keyed by `key`. */
+  def sampleByHash(df: DataFrame, key: Column, fraction: Double, salt: String = "s0"): DataFrame =
+    df.filter(hashHex(key, salt) < lit(hexThreshold(fraction)))
+
+  /** Stratified sample: per-stratum fractions (e.g. per-language quotas
+    * for a pretraining mix), `defaultFraction` for unlisted strata.
+    */
+  def stratifiedSample(df: DataFrame, strata: Column, key: Column,
+                       fractions: Map[String, Double], defaultFraction: Double,
+                       salt: String = "s0"): DataFrame = {
+    val threshold = fractions.foldLeft(when(lit(false), "")) { case (acc, (s, f)) =>
+      acc.when(strata === s, hexThreshold(f))
+    }.otherwise(hexThreshold(defaultFraction))
+    df.filter(hashHex(key, salt) < threshold)
+  }
+
+  /** Weighted sample: keep each row with probability `weight` (a Column
+    * in [0,1], e.g. a quality score squashed to a keep-rate). Rows with
+    * weight >= 1 are always kept, <= 0 never.
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, salt: String = "s0"): DataFrame =
+    df.filter(uniform01(key, salt) < weight)
+
+  /** Deterministic per-group reservoir: exactly min(k, |group|) rows
+    * per group, uniformly chosen by hash rank (ties broken by key for
+    * full determinism). One shuffle on the group key — the distributed
+    * equivalent of reservoir sampling without the sequential scan.
+    */
+  def reservoirPerGroup(df: DataFrame, group: Column, key: Column, k: Int,
+                        salt: String = "s0"): DataFrame =
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(group).orderBy(hashHex(key, salt), key)))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+
+  /** Keep rows whose `metric` is at or above the exact `p`-th
+    * percentile (type-7 linear interpolation — identical in Spark's
+    * `percentile` and DuckDB's `quantile_cont`). The threshold is a
+    * 1-row aggregate broadcast to the filter: two passes over the
+    * metric column, no full sort. At 100 TB swap `percentile` for
+    * `approx_percentile` and accept the documented drift — the plan
+    * shape is the same.
+    */
+  def percentileGate(df: DataFrame, metric: Column, p: Double): DataFrame = {
+    val thr = df.agg(percentile(metric, lit(p)).as("__thr"))
+    df.join(broadcast(thr)).filter(metric >= col("__thr")).drop("__thr")
+  }
+
+  /** Token-budget sequence packing (pretraining batch construction):
+    * assign each document to a (bucket, bin) so every bin holds a
+    * contiguous run of documents with ~`budget` total tokens.
+    *
+    * Documents are hash-bucketed (`buckets` ways), then packed
+    * greedily within each bucket in key order: a document starts in
+    * bin floor((cumsum − tokens) / budget), so a bin may overflow the
+    * budget by at most one document's length (the streaming-pack rule;
+    * first-fit-decreasing is inherently sequential and not worth a
+    * driver loop). Buckets are independent — the window sort is
+    * per-bucket, so parallelism is `buckets`-wide and no global sort
+    * exists anywhere.
+    */
+  def packSequences(df: DataFrame, key: Column, tokens: Column,
+                    budget: Long, buckets: Int, salt: String = "pack"): DataFrame = {
+    val bucket = conv(hashHex(key, salt), 16, 10).cast("bigint") % buckets
+    val w = Window.partitionBy(col("bucket")).orderBy(col("key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(key.as("key"), tokens.cast("bigint").as("n_tokens"), bucket.as("bucket"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      // floor() in both engines — a DOUBLE→BIGINT cast truncates in
+      // Spark but rounds in DuckDB, so the cast alone is not portable.
+      .withColumn("bin", floor((col("__cum") - col("n_tokens")) / budget))
+      .select(col("key"), col("bucket"), col("bin"), col("n_tokens"))
+  }
+}

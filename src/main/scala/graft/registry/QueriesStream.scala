@@ -1,5 +1,6 @@
 package graft.registry
 
+import graft.ops.ColumnOps
 import graft.streaming.EventsStream
 import graft.tables.TestTables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -28,6 +29,23 @@ object QueriesStream {
             .withColumn("value", col("value").cast("decimal(18,2)")))
         .withColumn("total_value", col("total_value").cast("double"))
         .orderBy(col("user_id"), col("session_start_us"))),
+
+    // Exactly-once over the reference's overlapping poll windows: the
+    // current 4.5h window unioned with the previous poll's tail
+    // (30-minute overlap), deduped to one copy per event. The streaming
+    // twin (dropDuplicatesWithinWatermark) is exercised in StreamingSpec.
+    "q_stream_dedup_overlap" -> ((s, dir) => {
+      val ev = TestTables.events(s, dir)
+      val hi = ev.agg(max(col("ts")).as("__hi"))
+      val base = ev.join(broadcast(hi))
+      def slim(df: DataFrame): DataFrame =
+        df.select(col("event_id"), col("ts_us"), col("event_type"), col("value"))
+      val current = base.filter(col("ts") >= ColumnOps.minutesBefore(col("__hi"), 270))
+      val previous = base.filter(col("ts") >= ColumnOps.minutesBefore(col("__hi"), 510) &&
+        col("ts") < ColumnOps.minutesBefore(col("__hi"), 240))
+      EventsStream.dedupOverlap(Seq(slim(current), slim(previous)))
+        .orderBy(col("event_id"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -55,5 +73,16 @@ object QueriesStream {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM numbered GROUP BY user_id, session
         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "q_stream_dedup_overlap" ->
+      """WITH e AS (
+        |  SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, value,
+        |    CAST(ts AS TIMESTAMP) AS tst
+        |  FROM events),
+        |hi AS (SELECT max(tst) AS h FROM e)
+        |SELECT DISTINCT event_id, ts_us, event_type, value FROM e, hi
+        |WHERE tst >= h - INTERVAL 270 MINUTES
+        |   OR (tst >= h - INTERVAL 510 MINUTES AND tst < h - INTERVAL 240 MINUTES)
+        |ORDER BY event_id""".stripMargin,
   )
 }

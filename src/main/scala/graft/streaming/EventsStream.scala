@@ -98,6 +98,25 @@ object EventsStream {
     stateRows.toDF()
   }
 
+  /** Exactly-once over overlapping poll windows. The reference re-reads
+    * a 30-minute overlap on every 4-hour poll (the T-SQL window is
+    * 4.5 h wide) and relies on downstream dedup to not double-load the
+    * overlap rows. Batch twin: union the overlapping extraction windows
+    * and keep one copy per key — overlap copies are identical rows, so
+    * a full-row distinct is the deterministic formulation (and the
+    * oracle is a plain SELECT DISTINCT). Streaming twin:
+    * `dropDuplicatesWithinWatermark(key)` on the event-time-watermarked
+    * stream — state for a key is held only within the watermark delay,
+    * which is exactly the overlap width, so state stays bounded no
+    * matter how long the stream runs.
+    */
+  def dedupOverlap(windows: Seq[DataFrame]): DataFrame =
+    windows.reduce(_ unionByName _).distinct()
+
+  def dedupStream(events: DataFrame, key: String, tsCol: String = "ts",
+                  overlap: String = "30 minutes"): DataFrame =
+    events.withWatermark(tsCol, overlap).dropDuplicatesWithinWatermark(key)
+
   /** Micro-batch MERGE sink: every batch upserts into a partitioned
     * parquet table on `key` via the partition-pruned, crash-safe
     * `Sinks.upsertPartitioned`. The merge is idempotent on `key`, which

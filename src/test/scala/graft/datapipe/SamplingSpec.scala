@@ -1,0 +1,99 @@
+package graft.datapipe
+
+import graft.SharedSpark
+import graft.tables.TestTables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+  private def docs = TestTables.documents(spark, dir)
+
+  test("hexThreshold maps fractions to the hash space with sane boundaries") {
+    assert(Sampling.hexThreshold(0.0) == "00000000")
+    assert(Sampling.hexThreshold(1.0) == "g") // sorts after every hex char
+    assert(Sampling.hexThreshold(0.25) == "40000000")
+    assert(Sampling.hexThreshold(0.5) == "80000000")
+  }
+
+  test("sampleByHash is deterministic and hits the target fraction") {
+    val total = docs.count()
+    val a = Sampling.sampleByHash(docs, col("doc_id"), 0.25).select($"doc_id").as[Long].collect().toSet
+    val b = Sampling.sampleByHash(docs, col("doc_id"), 0.25).select($"doc_id").as[Long].collect().toSet
+    assert(a == b, "same data + salt must select the same rows")
+    // 4-sigma band around the binomial expectation.
+    val sd = math.sqrt(total * 0.25 * 0.75)
+    assert(math.abs(a.size - total * 0.25) < 4 * sd, s"got ${a.size} of $total")
+    // A different salt draws a genuinely different sample.
+    val c = Sampling.sampleByHash(docs, col("doc_id"), 0.25, salt = "other").select($"doc_id").as[Long].collect().toSet
+    assert(a != c)
+  }
+
+  test("stratifiedSample applies per-stratum fractions") {
+    val byLang = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val sampled = Sampling.stratifiedSample(docs, $"lang", $"doc_id",
+        Map("en" -> 0.5, "zh" -> 0.3), defaultFraction = 0.1)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    def check(lang: String, f: Double): Unit = {
+      val n = byLang(lang); val got = sampled.getOrElse(lang, 0L)
+      val sd = math.sqrt(n * f * (1 - f))
+      assert(math.abs(got - n * f) < 4 * sd + 1, s"$lang: got $got of $n at fraction $f")
+    }
+    check("en", 0.5); check("zh", 0.3); check("de", 0.1); check("fr", 0.1); check("es", 0.1)
+  }
+
+  test("weightedSample keeps everything at weight 1 and nothing at weight 0") {
+    assert(Sampling.weightedSample(docs, $"doc_id", lit(1.0)).count() == docs.count())
+    assert(Sampling.weightedSample(docs, $"doc_id", lit(0.0)).count() == 0)
+    val half = Sampling.weightedSample(docs, $"doc_id", lit(0.5)).count()
+    val sd = math.sqrt(docs.count() * 0.25)
+    assert(math.abs(half - docs.count() * 0.5) < 4 * sd)
+  }
+
+  test("reservoirPerGroup returns exactly min(k, |group|) deterministic rows per group") {
+    val k = 5
+    val sizes = Sampling.reservoirPerGroup(docs, $"lang", $"doc_id", k)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val full = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    full.foreach { case (lang, n) =>
+      assert(sizes(lang) == math.min(k.toLong, n), s"$lang: ${sizes(lang)}")
+    }
+    val again = Sampling.reservoirPerGroup(docs, $"lang", $"doc_id", k)
+      .select($"doc_id").as[Long].collect().toSet
+    val first = Sampling.reservoirPerGroup(docs, $"lang", $"doc_id", k)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == first)
+  }
+
+  test("percentileGate keeps exactly the rows at or above the exact percentile") {
+    val scored = docs.select($"doc_id", TextAnalysis.qualityScore($"text").as("q"))
+    val kept = Sampling.percentileGate(scored, $"q", 0.9)
+    val total = scored.count(); val n = kept.count()
+    assert(n >= total / 20 && n <= total / 5, s"top-10% gate kept $n of $total")
+    val minKept = kept.agg(min($"q")).as[Double].head()
+    val dropped = scored.join(kept.select($"doc_id"), Seq("doc_id"), "left_anti")
+    val maxDropped = dropped.agg(max($"q")).as[Double].head()
+    assert(maxDropped < minKept, s"gate must be a clean cut: dropped max $maxDropped vs kept min $minKept")
+  }
+
+  test("packSequences assigns every doc once and bins only overflow by their last doc") {
+    val budget = 512L
+    val packed = Sampling.packSequences(docs, $"doc_id",
+      TextAnalysis.tokenCountWs($"text"), budget = budget, buckets = 8)
+    assert(packed.count() == docs.count())
+    assert(packed.select($"key").distinct().count() == docs.count())
+    // Streaming-pack rule: a doc STARTS in its bin, so a bin's token
+    // total minus its last doc stays under budget.
+    val viol = packed.groupBy($"bucket", $"bin")
+      .agg(sum($"n_tokens").as("tot"), max($"n_tokens").as("biggest"))
+      .filter($"tot" - $"biggest" >= budget)
+    assert(viol.count() == 0, "bin start offsets must stay under the budget")
+    // Bins are contiguous per bucket: max(bin)+1 == distinct bins.
+    val bins = packed.groupBy($"bucket").agg(max($"bin").as("mx"), countDistinct($"bin").as("n"))
+      .filter($"mx" + 1 =!= $"n")
+    assert(bins.count() == 0, "bin ids must be dense per bucket")
+  }
+}

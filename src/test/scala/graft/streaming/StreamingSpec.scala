@@ -75,6 +75,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterReplay == afterFirst, "replay must converge, not duplicate")
   }
 
+  test("overlap dedup: re-delivered poll window is exactly-once on the stream") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = java.nio.file.Files.createTempDirectory("events_dedup")
+    // The same poll window delivered twice (the reference's 30-min
+    // overlap re-read) as two source files, forced into separate
+    // micro-batches so the second is a true replay against state.
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("poll1.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("poll2.parquet"))
+    val src = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = EventsStream.dedupStream(src, "event_id")
+      .writeStream.format("memory").queryName("dedup_overlap")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dedup_overlap").select($"event_id").as[Long].collect().sorted
+    val batch = graft.tables.TestTables.events(spark, "/root/testdata/sf0.001")
+      .select($"event_id").distinct().as[Long].collect().sorted
+    assert(streamed.length == streamed.distinct.length, "no event may be emitted twice")
+    assert(streamed.toSeq == batch.toSeq, "stream must emit each event exactly once")
+  }
+
   test("stateful sessionization: closed stream sessions match batch sessions") {
     val src = streamSource().select($"user_id", $"ts_us", $"value").as[EventsStream.SessionEvent]
     val q = EventsStream.sessionizeStream(src)
