@@ -97,7 +97,8 @@ object SparkEntry {
     baseQueries ++ graft.registry.QueriesB.queries ++ graft.registry.QueriesParse.queries ++
       graft.registry.QueriesEnrich.queries ++ graft.registry.QueriesPipeline.queries ++
       graft.registry.QueriesData.queries ++ graft.registry.QueriesStream.queries ++
-      graft.registry.QueriesAnalysis.queries ++ graft.registry.QueriesSample.queries
+      graft.registry.QueriesAnalysis.queries ++ graft.registry.QueriesSample.queries ++
+      graft.registry.QueriesTemporal.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1: table scan with predicate.
@@ -305,7 +306,7 @@ object SparkEntry {
       graft.registry.QueriesParse.oracleSql ++ graft.registry.QueriesEnrich.oracleSql ++
       graft.registry.QueriesPipeline.oracleSql ++ graft.registry.QueriesData.oracleSql ++
       graft.registry.QueriesStream.oracleSql ++ graft.registry.QueriesAnalysis.oracleSql ++
-      graft.registry.QueriesSample.oracleSql
+      graft.registry.QueriesSample.oracleSql ++ graft.registry.QueriesTemporal.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "q_a01_scan_filter" ->

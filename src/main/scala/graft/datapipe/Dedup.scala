@@ -103,20 +103,51 @@ object Dedup {
 
   /** MinHash-LSH near-dup pairs: candidates share a band bucket, then
     * are verified with true word-set Jaccard.
+    *
+    * `maxBucket` bounds the quadratic term: buckets up to the cap emit
+    * all candidate pairs; oversized buckets — which only form when the
+    * corpus is redundant en masse (a 10×-replicated corpus benched at
+    * ~sf1 produced a 2500-doc bucket, 3.1M pairs from one bucket and a
+    * 68× blowup) — emit only the STAR against the bucket minimum
+    * (|bucket|−1 pairs, still Jaccard-verified). Within an oversized
+    * bucket the members are near-identical by construction, so the star
+    * reports each member's duplication without enumerating the clique.
+    * The default keeps the exact all-pairs semantics.
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    minJaccard: Double, numHashes: Int = 16, bands: Int = 4,
-                   portable: Boolean = false, shingle: Int = 0): DataFrame = {
+                   portable: Boolean = false, shingle: Int = 0,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
     // Materialized: the band table feeds both sides of the candidate
     // self-join; unmaterialized, the tokenize + numHashes×min hashing
     // (the expensive part) runs twice.
     val bandsDf = graft.util.Materialize.once(
       minhashBands(docs, idCol, textCol, numHashes, bands, portable, shingle))
-    val cand = bandsDf.as("a")
-      .join(bandsDf.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b")).distinct()
+    val cand =
+      if (maxBucket == Int.MaxValue) {
+        bandsDf.as("a")
+          .join(bandsDf.as("b"),
+            col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+              col("a.doc") < col("b.doc"))
+          .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b")).distinct()
+      } else {
+        val sized = bandsDf.join(
+          bandsDf.groupBy(col("band"), col("band_key"))
+            .agg(count(lit(1)).as("__n"), min(col("doc")).as("__keep")),
+          Seq("band", "band_key"))
+        val small = sized.filter(col("__n") <= maxBucket)
+          .select(col("doc"), col("band"), col("band_key"))
+        val allPairs = small.as("a")
+          .join(small.as("b"),
+            col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+              col("a.doc") < col("b.doc"))
+          .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+        val starPairs = sized.filter(col("__n") > maxBucket && col("doc") =!= col("__keep"))
+          .select(col("__keep").as("doc_a"), col("doc").as("doc_b"))
+        // A pair can surface as all-pairs in one band and as a star in
+        // another — distinct over the union, not per branch.
+        allPairs.unionByName(starPairs).distinct()
+      }
     val sizes = docs.select(col(idCol).as("doc"), array_distinct(units(col(textCol), shingle)).as("ws"))
     cand
       .join(sizes.select(col("doc").as("doc_a"), col("ws").as("wa")), Seq("doc_a"))

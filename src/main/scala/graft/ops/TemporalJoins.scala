@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark has no native form of: point-in-time
+  * (as-of) join and interval-containment (range) join. Both avoid the
+  * naive range-join blowup — the plans are one equi-shuffle each, so
+  * they scale like ordinary joins.
+  */
+object TemporalJoins {
+
+  /** As-of join: for each left row, attach the LATEST right payload
+    * with `right.tsCol <= left.tsCol`, per `key` (the point-in-time
+    * lookup of feature stores and slowly-changing enrichment).
+    *
+    * Not a range join: both sides union on (key, ts) and a single
+    * `last(payload, ignoreNulls)` window sweep carries the most recent
+    * right payload forward into each left row. ONE shuffle on the key,
+    * linear in rows, no candidate explosion; per-key skew is bounded by
+    * that key's own history, and the window is a running frame — Spark
+    * evaluates it in one pass without buffering the partition.
+    *
+    * The right side must be unique per (key, ts) for deterministic
+    * results (pre-aggregate if not). At equal timestamps the right row
+    * is visible to the left row (inclusive, DuckDB ASOF semantics).
+    *
+    * Output: all left columns, plus each right payload column as
+    * `asof_<name>` (null when no right row precedes the left row).
+    */
+  def asOf(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+           payload: Seq[String]): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+    val r = right.select(
+      col(key), col(tsCol), lit(0).as("__side"),
+      struct(payload.map(col): _*).as("__payload"))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = unioned
+      .withColumn("__last", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val keep = left.columns.map(col) ++
+      payload.map(p => col(s"__last.$p").as(s"asof_$p"))
+    out.select(keep: _*)
+  }
+
+  /** Interval-containment join: `rows` whose `tsCol` falls inside
+    * [startCol, endCol] of an interval with matching `keys`.
+    *
+    * Intervals explode into the fixed-width time bands they cover;
+    * each row computes its single band; the join is an ordinary
+    * equi-join on (keys, band) with the true containment predicate
+    * verifying candidates. A row meets an interval in exactly one band
+    * (its own), so no post-join dedup is needed even for band-spanning
+    * intervals. Cost is |intervals| x span/bandWidth index rows — pick
+    * `bandWidth` near the typical interval span so most intervals
+    * explode into O(1) bands.
+    *
+    * The band id divides as DOUBLE then floors, rather than integer
+    * division, because both engines make identical IEEE choices on the
+    * boundary — keeping the oracle SQL a literal transcription.
+    */
+  def bandJoin(rows: DataFrame, intervals: DataFrame, keys: Seq[String],
+               tsCol: String, startCol: String, endCol: String,
+               bandWidth: Long): DataFrame = {
+    def band(c: Column): Column = floor(c / lit(bandWidth.toDouble))
+    val ivl = intervals.withColumn("__band",
+      explode(sequence(band(col(startCol)), band(col(endCol)))))
+    val evs = rows.withColumn("__band", band(col(tsCol)))
+    evs.join(ivl, keys :+ "__band")
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__band")
+  }
+
+  /** Global incident windows: maximal runs of `bucketUs`-wide time
+    * buckets containing at least one row, bridging gaps of up to
+    * `maxGapBuckets` empty buckets — "error burst" detection over an
+    * event stream, producing the interval source for `bandJoin`.
+    *
+    * The raw rows first collapse to DISTINCT buckets (an ordinary
+    * shuffle reduction), so the unavoidable single-partition global
+    * window runs over at most time-range/bucketUs rows (~526k for a
+    * year of minutes) no matter how many billions of events feed it.
+    * All arithmetic is integer (`div`), so the oracle transcribes
+    * exactly.
+    */
+  def incidentWindows(rows: DataFrame, tsCol: String, bucketUs: Long,
+                      maxGapBuckets: Int): DataFrame = {
+    val w = Window.orderBy(col("bkt"))
+    // `div`, not `/`: long / long goes through double in Spark, and a
+    // truncating cast of a near-integer quotient can disagree with
+    // DuckDB's `//` floor division at bucket boundaries.
+    rows.select(expr(s"$tsCol div ${bucketUs}L").as("bkt")).distinct()
+      .withColumn("__new",
+        when(lag(col("bkt"), 1).over(w).isNull, 1)
+          .when(col("bkt") - lag(col("bkt"), 1).over(w) > maxGapBuckets + 1, 1)
+          .otherwise(0))
+      .withColumn("__run", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__run"))
+      .agg((min(col("bkt")) * bucketUs).as("start_us"),
+        ((max(col("bkt")) + 1) * bucketUs - 1).as("end_us"),
+        count(lit(1)).as("n_buckets"))
+      .drop("__run")
+  }
+}

@@ -27,8 +27,12 @@ object QueriesData {
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // MinHash-LSH near-dup pairs (rows-only: banded xxhash64 buckets).
+    // Capped at 64: this is the BENCHED query, and an uncapped pairs
+    // enumeration is quadratic in duplicate-cluster size (68× blowup on
+    // a 10×-replicated corpus).
     "q_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashPairs(sampledDocs(s, dir), "doc_id", "text", minJaccard = 0.5)
+      Dedup.minhashPairs(sampledDocs(s, dir), "doc_id", "text", minJaccard = 0.5,
+          maxBucket = 64)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // Shingled (order-sensitive) MinHash variant — Broder resemblance
@@ -69,6 +73,14 @@ object QueriesData {
     // pipeline under a value-level DuckDB oracle.
     "q_dedup_minhash_md5" -> ((s, dir) =>
       Dedup.minhashPairs(sampledDocs(s, dir), "doc_id", "text", minJaccard = 0.5, portable = true)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // The CAPPED pairs path under the same value-level oracle: cap 20
+    // is below the sf0.01 max bucket (28), so oversized-bucket star
+    // verification is genuinely exercised by the driver compare.
+    "q_dedup_minhash_md5_capped" -> ((s, dir) =>
+      Dedup.minhashPairs(sampledDocs(s, dir), "doc_id", "text", minJaccard = 0.5,
+          portable = true, maxBucket = 20)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // SimHash near-dup pairs (rows-only).
@@ -181,7 +193,8 @@ object QueriesData {
     * generated so the hash indices stay in lockstep with
     * Dedup.minhashBands.
     */
-  private def minhashMd5Ctes(src: String, minJaccard: Double, maxBucket: Option[Int] = None): String = {
+  private def minhashMd5Ctes(src: String, minJaccard: Double, maxBucket: Option[Int] = None,
+                             starPairs: Boolean = false): String = {
     val minAggs = (0 until 16)
       .map(i => s"min(substr(md5('$i' || '|' || w), 1, 15)) AS h$i").mkString(",\n  ")
     val bandRows = (0 until 4).map { b =>
@@ -190,6 +203,17 @@ object QueriesData {
     }.mkString("\n  UNION ALL ")
     val candSrc = maxBucket match {
       case Some(cap) =>
+        // starPairs: oversized buckets contribute (bucket-min, member)
+        // star pairs to the candidate set (the capped-pairs operator);
+        // otherwise they contribute the unverified big_drops set (the
+        // dedup drop-set operator).
+        val starCand =
+          if (starPairs)
+            """
+              |  UNION
+              |  SELECT keep_doc AS doc_a, b.doc AS doc_b FROM bands b
+              |  JOIN bsz USING (band, band_key) WHERE n > %CAP% AND b.doc <> keep_doc""".stripMargin
+          else ""
         s"""bsz AS (
            |  SELECT band, band_key, count(*) AS n, min(doc) AS keep_doc
            |  FROM bands GROUP BY band, band_key),
@@ -202,7 +226,7 @@ object QueriesData {
            |cand AS (
            |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
            |  FROM small a JOIN small b
-           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc),""".stripMargin
+           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc${starCand.replace("%CAP%", cap.toString)}),""".stripMargin
       case None =>
         """cand AS (
           |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
@@ -234,6 +258,11 @@ object QueriesData {
   private def minhashMd5Oracle: String =
     s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
        |${minhashMd5Ctes("docs", 0.5)}
+       |SELECT doc_a, doc_b, jaccard FROM verified ORDER BY doc_a, doc_b""".stripMargin
+
+  private def minhashMd5CappedOracle: String =
+    s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+       |${minhashMd5Ctes("docs", 0.5, maxBucket = Some(20), starPairs = true)}
        |SELECT doc_a, doc_b, jaccard FROM verified ORDER BY doc_a, doc_b""".stripMargin
 
   private val qualitySql: String =
@@ -304,6 +333,7 @@ object QueriesData {
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_minhash_md5" -> minhashMd5Oracle,
+    "q_dedup_minhash_md5_capped" -> minhashMd5CappedOracle,
     "q_pipeline_corpus" -> corpusCleanOracle,
     "q_pipeline_corpus_cc" -> corpusCleanOracle(ccSurvivor = true),
 

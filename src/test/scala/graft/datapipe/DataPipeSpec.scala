@@ -55,6 +55,23 @@ class DataPipeSpec extends AnyFunSuite {
     assert(drops == (101L to 120L).toSet, s"all clones but the minimum (100) drop, got $drops")
   }
 
+  test("capped minhashPairs: oversized bucket emits a verified star, not the clique") {
+    val clone = "massively duplicated document body with many identical words repeated verbatim"
+    val bigCluster = (100L to 120L).map(i => (i, clone))
+    val pairDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"))
+    val corpus = (bigCluster ++ pairDocs).toDF("doc_id", "text")
+    val capped = Dedup.minhashPairs(corpus, "doc_id", "text", minJaccard = 0.8, maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 21-clone cluster: 20 star pairs against the minimum instead of 210.
+    assert(capped == (101L to 120L).map(i => (100L, i)).toSet + ((1L, 2L)),
+      s"star to bucket minimum + untouched small-bucket pair, got $capped")
+    val uncapped = Dedup.minhashPairs(corpus, "doc_id", "text", minJaccard = 0.8)
+      .count()
+    assert(uncapped == 210 + 1, "uncapped default keeps exact all-pairs semantics")
+  }
+
   test("shingled minhash is order-sensitive where word-set minhash is not") {
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val reordered = text.split(' ').reverse.mkString(" ")
