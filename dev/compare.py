@@ -6,7 +6,7 @@ rows, compare values exactly. Dev tool only — the engine never uses it.
 
 Usage: python3 dev/compare.py <sfDir> <verifyOutDir> [query ...]
 """
-import sys, json, glob, math
+import sys, os, json, glob, math
 import duckdb
 import pandas as pd
 
@@ -30,7 +30,10 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # Spark-written table dir (e.g. ScaleUp output)
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):

@@ -28,7 +28,11 @@ object Bench {
     "q_text_stats",
     "q_sim_bruteforce",
     "q_stream_windowed_agg",
-    "q_stream_sessions")
+    "q_stream_sessions",
+    "q_asof_join",
+    "q_range_incident_join",
+    "q_pack_sequences",
+    "q_sample_stratified")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -71,7 +71,7 @@ object Dedup {
     * resemblance formulation, under which reordered documents are NOT
     * near-duplicates.
     */
-  private def units(text: Column, shingle: Int): Column =
+  private[datapipe] def units(text: Column, shingle: Int): Column =
     if (shingle >= 2) TextAnalysis.shingles(text, shingle) else TextAnalysis.words(text)
 
   /** MinHash signature rows: (doc, band, band_key). `numHashes` hash

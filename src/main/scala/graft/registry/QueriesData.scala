@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.datapipe.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.datapipe.{Dedup, IncrementalDedup, Multimodal, Similarity, TextAnalysis}
 import graft.tables.TestTables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -74,6 +74,20 @@ object QueriesData {
     "q_dedup_minhash_md5" -> ((s, dir) =>
       Dedup.minhashPairs(sampledDocs(s, dir), "doc_id", "text", minJaccard = 0.5, portable = true)
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Incremental batch-vs-corpus dedup (portable md5 family, full
+    // oracle): the %20==10 docs arrive as a new batch against the
+    // %20==0 corpus's band index; output is the per-new-doc drop
+    // decision with its matched representative.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = TestTables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") % 20 === 0)
+      val batch = docs.filter(col("doc_id") % 20 === 10)
+      val corpusBands = Dedup.minhashBands(corpus, "doc_id", "text", portable = true)
+      IncrementalDedup.matchesAgainst(batch, "doc_id", "text", corpusBands, corpus,
+          minJaccard = 0.5, maxBucket = 10, portable = true)
+        .orderBy(col("new_doc"))
+    }),
 
     // The CAPPED pairs path under the same value-level oracle: cap 20
     // is below the sf0.01 max bucket (28), so oversized-bucket star
@@ -255,6 +269,62 @@ object QueriesData {
        |      / CAST(len(list_distinct(list_concat(wa.w, wb.w))) AS DOUBLE) >= $minJaccard)""".stripMargin
   }
 
+  /** Prefixed tok/sigs/bands CTE chain — lets one query band two
+    * independent sources (the incremental batch-vs-corpus match).
+    */
+  private def minhashBandsCtes(prefix: String, src: String): String = {
+    val minAggs = (0 until 16)
+      .map(i => s"min(substr(md5('$i' || '|' || w), 1, 15)) AS h$i").mkString(",\n  ")
+    val bandRows = (0 until 4).map { b =>
+      val hs = (b * 4 until (b + 1) * 4).map(i => s"h$i").mkString(" || '|' || ")
+      s"SELECT doc, $b AS band, md5($hs) AS band_key FROM ${prefix}sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""${prefix}tok AS (
+       |  SELECT DISTINCT doc_id AS doc, w
+       |  FROM $src, unnest(string_split_regex(lower(text), '\\s+')) AS t(w) WHERE w <> ''),
+       |${prefix}sigs AS (SELECT doc,
+       |  $minAggs
+       |  FROM ${prefix}tok GROUP BY doc),
+       |${prefix}bands AS (
+       |  $bandRows)""".stripMargin
+  }
+
+  private def incrementalDedupOracle: String =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+       |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 10),
+       |${minhashBandsCtes("c_", "corpus")},
+       |${minhashBandsCtes("b_", "batch")},
+       |bsz AS (
+       |  SELECT band, band_key, count(*) AS n, min(doc) AS keep_doc
+       |  FROM c_bands GROUP BY band, band_key),
+       |idx AS (
+       |  SELECT c.doc, c.band, c.band_key FROM c_bands c
+       |  JOIN bsz USING (band, band_key) WHERE n <= 10 OR c.doc = keep_doc),
+       |cand AS (
+       |  SELECT DISTINCT b.doc AS new_doc, i.doc AS corpus_doc
+       |  FROM b_bands b JOIN idx i ON b.band = i.band AND b.band_key = i.band_key),
+       |bws AS (
+       |  SELECT doc_id AS doc,
+       |    list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+       |  FROM batch),
+       |cws AS (
+       |  SELECT doc_id AS doc,
+       |    list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+       |  FROM corpus),
+       |verified AS (
+       |  SELECT new_doc, corpus_doc,
+       |    CAST(len(list_intersect(bws.w, cws.w)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(bws.w, cws.w))) AS DOUBLE) AS jaccard
+       |  FROM cand JOIN bws ON bws.doc = new_doc JOIN cws ON cws.doc = corpus_doc
+       |  WHERE CAST(len(list_intersect(bws.w, cws.w)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(bws.w, cws.w))) AS DOUBLE) >= 0.5),
+       |picked AS (
+       |  SELECT new_doc, corpus_doc, jaccard,
+       |    row_number() OVER (PARTITION BY new_doc ORDER BY corpus_doc) AS rn
+       |  FROM verified)
+       |SELECT new_doc, corpus_doc AS matched_corpus, jaccard FROM picked WHERE rn = 1
+       |ORDER BY new_doc""".stripMargin
+
   private def minhashMd5Oracle: String =
     s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
        |${minhashMd5Ctes("docs", 0.5)}
@@ -334,6 +404,7 @@ object QueriesData {
   def oracleSql: Map[String, String] = Map(
     "q_dedup_minhash_md5" -> minhashMd5Oracle,
     "q_dedup_minhash_md5_capped" -> minhashMd5CappedOracle,
+    "q_dedup_incremental" -> incrementalDedupOracle,
     "q_pipeline_corpus" -> corpusCleanOracle,
     "q_pipeline_corpus_cc" -> corpusCleanOracle(ccSurvivor = true),
 

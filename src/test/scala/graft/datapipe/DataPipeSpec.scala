@@ -72,6 +72,31 @@ class DataPipeSpec extends AnyFunSuite {
     assert(uncapped == 210 + 1, "uncapped default keeps exact all-pairs semantics")
   }
 
+  test("incremental dedup: batch matches corpus near-dups; re-ingest is idempotent") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated corpus text about glacier formation dynamics")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // near-dup of 1
+      (11L, "fresh survey of deep sea hydrothermal vent ecosystems")).toDF("doc_id", "text")
+    val corpusBands = Dedup.minhashBands(corpus, "doc_id", "text")
+    val matches = IncrementalDedup.matchesAgainst(batch, "doc_id", "text",
+        corpusBands, corpus, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matches == Set((10L, 1L)), s"near-dup drops against its corpus twin, got $matches")
+
+    val (survivors, survivorBands) = IncrementalDedup.ingest(batch, "doc_id", "text",
+      corpusBands, corpus, minJaccard = 0.5)
+    assert(survivors.select($"doc_id").as[Long].collect().toSeq == Seq(11L))
+    // Append survivors to the index (what a real ingest persists), then
+    // replay the same batch: doc 11 now matches itself → nothing new.
+    val grownBands = corpusBands.unionByName(survivorBands)
+    val grownDocs = corpus.unionByName(survivors)
+    val (replay, _) = IncrementalDedup.ingest(batch, "doc_id", "text",
+      grownBands, grownDocs, minJaccard = 0.5)
+    assert(replay.count() == 0, "replayed ingest must drop every doc")
+  }
+
   test("shingled minhash is order-sensitive where word-set minhash is not") {
     val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val reordered = text.split(' ').reverse.mkString(" ")
