@@ -87,6 +87,53 @@ object TextAnalysis {
       .otherwise("und")
   }
 
+  /** Fraction of word occurrences that are repeats of an earlier word
+    * (1 − distinct/total): the intra-document repetition signal behind
+    * "excessive duplication" quality filters. 0.0 for empty docs.
+    */
+  def dupWordFraction(text: Column): Column = {
+    val ws = words(text)
+    when(size(ws) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws).cast("double"))
+  }
+
+  /** Same repetition signal over word n-grams — catches copy-pasted
+    * phrases that distinct-word counting misses.
+    */
+  def dupShingleFraction(text: Column, n: Int): Column = {
+    val sh = shingles(text, n)
+    lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double")
+  }
+
+  /** Fraction of n-gram occurrences taken by the single most frequent
+    * n-gram. Computed as the longest equal-run of the SORTED shingle
+    * array — a pure fold, no explode/shuffle: state is
+    * (prev, run, best), each element either extends the run or resets
+    * it.
+    */
+  def topShingleFraction(text: Column, n: Int): Column = {
+    val sh = array_sort(shingles(text, n))
+    val folded = aggregate(
+      sh,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      })
+    folded.getField("best").cast("double") / size(sh).cast("double")
+  }
+
+  /** PII scrubbing: replace email addresses and NANP-style phone
+    * numbers with typed placeholder tags. Pure regexp_replace chain —
+    * codegen'd, linear, no shuffle; the regexes stay inside the RE2 ∩
+    * java.util.regex common dialect so any engine agrees.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailPattern, "[EMAIL]"), phonePattern, "[PHONE]")
+
   /** Content fingerprint: md5 over whitespace-normalized lowercase. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))

@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.datapipe.{Dedup, IncrementalDedup, Multimodal, Similarity, TextAnalysis}
+import graft.datapipe.{Decontam, Dedup, IncrementalDedup, Multimodal, Similarity, TextAnalysis}
 import graft.tables.TestTables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -120,6 +120,44 @@ object QueriesData {
           TextAnalysis.langId(col("text")).as("lang_detected"))
         .orderBy(col("doc_id"))),
 
+    // Intra-document repetition metrics (Gopher-style quality
+    // filters): duplicate-word fraction, duplicate-trigram fraction,
+    // and the share of the single most frequent trigram — all pure
+    // Column folds, no explode/shuffle.
+    "q_text_repetition" -> ((s, dir) =>
+      TestTables.documents(s, dir).select(
+          col("doc_id"),
+          size(TextAnalysis.words(col("text"))).as("n_words"),
+          TextAnalysis.dupWordFraction(col("text")).as("dup_word_frac"),
+          TextAnalysis.dupShingleFraction(col("text"), 3).as("dup_trigram_frac"),
+          TextAnalysis.topShingleFraction(col("text"), 3).as("top_trigram_frac"))
+        .orderBy(col("doc_id"))),
+
+    // PII redaction over planted emails/phones (the synthetic corpus
+    // has none, so both engines append a deterministic contact line —
+    // the redaction itself is what's under test).
+    "q_text_redact" -> ((s, dir) => {
+      val planted = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com or 555-123-4567 now"))
+      TestTables.documents(s, dir).select(
+          col("doc_id"),
+          regexp_count(planted, lit(TextAnalysis.emailPattern)).as("n_emails"),
+          regexp_count(planted, lit(TextAnalysis.phonePattern)).as("n_phones"),
+          TextAnalysis.redactPii(planted).as("clean_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark decontamination: corpus docs (doc_id % 25 != 7) scored
+    // by trigram overlap against the benchmark slice (doc_id % 25 = 7).
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = TestTables.documents(s, dir)
+      Decontam.overlapReport(
+          docs.filter(col("doc_id") % 25 =!= 7), "doc_id", "text",
+          docs.filter(col("doc_id") % 25 === 7), "text",
+          n = 3, minOverlap = 0.15)
+        .orderBy(col("doc"))
+    }),
+
     // Fingerprints: normalized md5 + order-sensitive rolling chain.
     "q_text_fingerprint" -> ((s, dir) =>
       TestTables.documents(s, dir).select(
@@ -194,6 +232,18 @@ object QueriesData {
   )
 
   private val stopwordsIn = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** DuckDB twin of TextAnalysis.words over the `text` column. */
+  private val wordsSql: String =
+    """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
+
+  /** DuckDB twin of TextAnalysis.shingles(_, 3) over a word-list column
+    * (short docs collapse to one whole-document shingle, like the
+    * Column version).
+    */
+  private def shinglesSql(ws: String): String =
+    s"CASE WHEN len($ws) <= 2 THEN [array_to_string($ws, ' ')] " +
+      s"ELSE list_transform(range(1, len($ws) - 1), i -> array_to_string(list_slice($ws, i, i + 2), ' ')) END"
 
   private def langHitsSql(markers: Seq[String]): String =
     markers.map { m =>
@@ -457,6 +507,44 @@ object QueriesData {
          |FROM (SELECT doc_id, lang, text, $best AS __best FROM documents) t
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q_text_repetition" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |sh AS (SELECT doc_id, ws, ${shinglesSql("ws")} AS sg FROM w),
+         |top AS (
+         |  SELECT doc_id, max(c) AS top_c FROM (
+         |    SELECT doc_id, g, count(*) AS c FROM sh, unnest(sg) AS t(g) GROUP BY doc_id, g)
+         |  GROUP BY doc_id)
+         |SELECT sh.doc_id, len(ws) AS n_words,
+         |  CASE WHEN len(ws) = 0 THEN CAST(0.0 AS DOUBLE)
+         |       ELSE CAST(1.0 AS DOUBLE) - CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END AS dup_word_frac,
+         |  CAST(1.0 AS DOUBLE) - CAST(len(list_distinct(sg)) AS DOUBLE) / CAST(len(sg) AS DOUBLE) AS dup_trigram_frac,
+         |  CAST(top_c AS DOUBLE) / CAST(len(sg) AS DOUBLE) AS top_trigram_frac
+         |FROM sh JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_text_redact" -> {
+      val planted = s"text || ' contact user' || doc_id || '@example.com or 555-123-4567 now'"
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all($planted, '${TextAnalysis.emailPattern}')) AS n_emails,
+         |  len(regexp_extract_all($planted, '${TextAnalysis.phonePattern}')) AS n_phones,
+         |  regexp_replace(regexp_replace($planted, '${TextAnalysis.emailPattern}', '[EMAIL]', 'g'),
+         |                 '${TextAnalysis.phonePattern}', '[PHONE]', 'g') AS clean_text
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesSql("ws")} AS sg FROM w),
+         |bench AS (SELECT DISTINCT g FROM sh, unnest(sg) AS t(g) WHERE doc_id % 25 = 7),
+         |corp AS (SELECT doc_id AS doc, unnest(list_distinct(sg)) AS g FROM sh WHERE doc_id % 25 <> 7),
+         |ov AS (
+         |  SELECT doc, count(*) AS n_shingles,
+         |    count(*) FILTER (g IN (SELECT g FROM bench)) AS n_matched
+         |  FROM corp GROUP BY doc)
+         |SELECT doc, n_shingles, n_matched,
+         |  CAST(n_matched AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS overlap,
+         |  CAST(n_matched AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= CAST(0.15 AS DOUBLE) AS contaminated
+         |FROM ov ORDER BY doc""".stripMargin,
 
     "q_text_fingerprint" ->
       """SELECT doc_id,

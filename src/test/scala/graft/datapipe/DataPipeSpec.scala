@@ -242,6 +242,42 @@ class DataPipeSpec extends AnyFunSuite {
     assert(out(1L) != out(2L))
   }
 
+  test("repetition metrics: dup fractions and top-shingle share") {
+    val df = Seq(
+      (1L, "a b c a b c a b c"),          // 9 words, 3 distinct; trigram "a b c" 3× of 7
+      (2L, "all distinct words here now"), // no repetition
+      (3L, "")                             // empty: fractions 0, shingle collapses
+    ).toDF("doc_id", "text")
+    val byId = df.select($"doc_id",
+        TextAnalysis.dupWordFraction($"text").as("dw"),
+        TextAnalysis.topShingleFraction($"text", 3).as("top"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(byId(1L)._1 - (1.0 - 3.0 / 9.0)) < 1e-12)
+    assert(math.abs(byId(1L)._2 - 3.0 / 7.0) < 1e-12, "top trigram 'a b c' occurs 3 of 7")
+    assert(byId(2L)._1 == 0.0 && byId(2L)._2 == 1.0 / 3.0)
+    assert(byId(3L)._1 == 0.0 && byId(3L)._2 == 1.0, "empty doc collapses to one shingle")
+  }
+
+  test("redactPii strips emails and phones, leaves the rest") {
+    val out = Seq((1L, "mail me at a.b+c@mail-host.org or 555-123-4567 thanks"))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.redactPii($"text")).as[String].head()
+    assert(out == "mail me at [EMAIL] or [PHONE] thanks")
+  }
+
+  test("decontamination flags the doc that copies benchmark text") {
+    val bench = Seq((100L, "the secret benchmark question about spark shuffles")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the secret benchmark question about spark shuffles appears verbatim here"),
+      (2L, "totally unrelated corpus document describing pasta recipes in detail")
+    ).toDF("doc_id", "text")
+    val out = Decontam.overlapReport(corpus, "doc_id", "text", bench, "text",
+        n = 3, minOverlap = 0.5)
+      .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Boolean]("contaminated")).toMap
+    assert(out(1L), "verbatim-copy doc is contaminated")
+    assert(!out(2L), "unrelated doc is clean")
+  }
+
   test("langId picks the language whose markers dominate") {
     val df = Seq(
       (1L, "the cat and the dog of the house"),
