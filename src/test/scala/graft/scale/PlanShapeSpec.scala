@@ -129,6 +129,35 @@ class PlanShapeSpec extends AnyFunSuite {
       "over-threshold side stays unhinted — planner/AQE decides")
   }
 
+  test("decontamination: benchmark side broadcasts on evidence; one corpus exchange") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.tables.TestTables.documents(spark, dir)
+    val df = graft.datapipe.Decontam.overlapReport(
+      docs.filter(col("doc_id") % 25 =!= 7), "doc_id", "text",
+      docs.filter(col("doc_id") % 25 === 7), "text", n = 3, minOverlap = 0.15)
+    val plan = df.queryExecution.executedPlan.toString
+    // Bench shingle set measured small at test SF → broadcast join, so
+    // the corpus never shuffles on the shingle string; the only
+    // hashpartitioning exchange left is the per-doc aggregation (the
+    // benchmark's internal distinct may add bounded-side exchanges).
+    assert(plan.contains("BroadcastHashJoin"), s"bench side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not shuffle on shingle:\n$plan")
+  }
+
+  test("top-k-per-group rank filters run through native WindowGroupLimit pushdown") {
+    // latest-per-group (rn = 1) and TOP-N shapes lean on Spark 4's
+    // InferWindowGroupLimit: per-partition group limits drop rows
+    // before the full window sort — the reason we compose row_number
+    // instead of hand-building a partial top-k operator.
+    import org.apache.spark.sql.functions._
+    val li = graft.tables.TestTables.lineitem(spark, dir)
+    val plan = graft.ops.ColumnOps.latestPerGroup(li, Seq(col("l_orderkey")),
+        Seq(col("l_shipdate"), col("l_linenumber")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"row_number filter must infer a group limit:\n$plan")
+  }
+
   test("salted aggregation introduces no extra full-table exchange beyond the two phases") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
