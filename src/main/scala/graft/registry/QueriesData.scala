@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.datapipe.{Decontam, Dedup, IncrementalDedup, Multimodal, Similarity, TextAnalysis}
+import graft.datapipe.{Decontam, Dedup, IncrementalDedup, Multimodal, Quantize, Similarity, TextAnalysis}
 import graft.tables.TestTables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -188,6 +188,30 @@ object QueriesData {
       val centroids = graft.datapipe.Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
       graft.datapipe.Ivf.topK(emb.filter(col("vec_id") % 50 === 0), emb, centroids,
           "vec_id", "embedding", k = 3, nprobe = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Int8 scalar quantization of the embedding table (full oracle —
+    // the affine code arithmetic is fixed-order IEEE, so DuckDB
+    // reproduces every code; codes emitted as a joined string since
+    // the driver compare is scalar-typed).
+    "q_embed_quantize" -> ((s, dir) => {
+      val q = Quantize.quantizeTable(
+        TestTables.embeddings(s, dir).filter(col("vec_id") % 5 === 0), "vec_id", "embedding")
+      q.select(col("vec_id"), col("qmin"), col("qmax"),
+          array_join(col("qvec"), ",").as("qcodes"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Asymmetric quantized ANN: full-precision queries against the
+    // int8 corpus (rows-only; recall vs exact brute force bounded in
+    // ScalaTest).
+    "q_sim_quantized_ann" -> ((s, dir) => {
+      val emb = TestTables.embeddings(s, dir)
+      Quantize.bruteForceTopKQuantized(
+          emb.filter(col("vec_id") % 50 === 0),
+          Quantize.quantizeTable(emb, "vec_id", "embedding"),
+          "vec_id", "embedding", k = 3)
         .orderBy(col("q_id"), col("rank"))
     }),
 
@@ -554,6 +578,18 @@ object QueriesData {
         |              list_prepend('', list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')),
         |              (x, y) -> md5(x || y)) END AS rolling_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_embed_quantize" ->
+      """SELECT vec_id, mn AS qmin, mx AS qmax,
+        |  CASE WHEN mx = mn THEN array_to_string(list_transform(emb, x -> 0), ',')
+        |       ELSE array_to_string(list_transform(emb, x ->
+        |              least(255, CAST(floor((CAST(x AS DOUBLE) - mn) * CAST(255.0 AS DOUBLE) / (mx - mn)) AS INT))), ',')
+        |  END AS qcodes
+        |FROM (SELECT vec_id, embedding AS emb,
+        |        CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+        |        CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx
+        |      FROM embeddings WHERE vec_id % 5 = 0) t
+        |ORDER BY vec_id""".stripMargin,
 
     "q_sim_bruteforce" ->
       """WITH q AS (

@@ -177,6 +177,29 @@ class DataPipeSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"multi-table LSH recall vs brute force too low: $recall")
   }
 
+  test("int8 quantization: bounded roundtrip error, high quantized-ANN recall") {
+    val emb = graft.tables.TestTables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = Quantize.quantizeTable(emb, "vec_id", "embedding")
+    // Roundtrip: every reconstructed component within one quantization
+    // cell (scale/255) of the original.
+    val err = q.join(emb, "vec_id")
+      .select(aggregate(
+        zip_with(Quantize.dequantize($"qvec", $"qmin", $"qmax"),
+          Similarity.asDouble($"embedding"), (a, b) => abs(a - b)),
+        lit(0.0), (acc, x) => greatest(acc, x)).as("e"),
+        (($"qmax" - $"qmin") / lit(255.0)).as("cell"))
+      .filter($"e" > $"cell").count()
+    assert(err == 0, "reconstruction must stay inside one quantization cell")
+
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val bf = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val qq = Quantize.bruteForceTopKQuantized(queries, q, "vec_id", "embedding", k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val recall = (bf & qq).size.toDouble / bf.size.toDouble
+    assert(recall >= 0.8, s"int8 ANN recall vs exact brute force too low: $recall")
+  }
+
   test("cosine_sim expression: bit-identical to the HOF fold, codegen path, edge cases") {
     val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
     spark.conf.set("spark.sql.codegen.fallback", "false") // force doGenCode, no interpreted escape
