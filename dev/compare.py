@@ -33,7 +33,17 @@ def main():
         path = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(path):  # Spark-written table dir (e.g. ScaleUp output)
             path = f"{path}/*.parquet"
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        sel = "*"
+        if t == "events":
+            # Spark-written replicas store ts as BIGINT ns (Spark has no
+            # nanos timestamp type); normalize to TIMESTAMP exactly like
+            # TestTables.events does (integer-div truncation to us), so
+            # the same oracles run against both physical schemas.
+            typ = con.execute(
+                f"SELECT typeof(ts) FROM read_parquet('{path}') LIMIT 1").fetchone()[0]
+            if typ == "BIGINT":
+                sel = "* REPLACE (make_timestamp(ts // 1000) AS ts)"
+        con.execute(f"CREATE VIEW {t} AS SELECT {sel} FROM read_parquet('{path}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
