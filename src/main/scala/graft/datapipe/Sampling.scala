@@ -76,6 +76,26 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
 
+  /** Domain-mixture rebalance (the pretraining "data mixture" op):
+    * deterministically keep floor(weight_d × total) rows per domain,
+    * chosen by hash rank — target proportions regardless of each
+    * source's natural size. Domains absent from `weights` are dropped;
+    * a domain smaller than its quota under-fills (up-sampling by
+    * repetition is an epochs decision, not a row-selection one). One
+    * shuffle, on the domain column.
+    */
+  def toMixture(df: DataFrame, domain: Column, key: Column,
+                weights: Map[String, Double], total: Long,
+                salt: String = "mix"): DataFrame = {
+    val quota = weights.toSeq.sortBy(_._1).foldLeft(when(lit(false), 0L)) {
+      case (acc, (d, w)) => acc.when(domain === d, lit(math.floor(w * total).toLong))
+    }.otherwise(lit(0L))
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(domain).orderBy(hashHex(key, salt), key)))
+      .filter(col("__rn") <= quota)
+      .drop("__rn")
+  }
+
   /** Keep rows whose `metric` is at or above the exact `p`-th
     * percentile (type-7 linear interpolation — identical in Spark's
     * `percentile` and DuckDB's `quantile_cont`). The threshold is a

@@ -62,6 +62,15 @@ object QueriesSample {
         .orderBy(col("doc_id"))
     }),
 
+    // Domain-mixture rebalance: rebuild the corpus at target source
+    // proportions (30/20/10/5% of a 60-doc budget; unlisted sources
+    // dropped) by deterministic hash rank.
+    "q_sample_mixture" -> ((s, dir) =>
+      Sampling.toMixture(TestTables.documents(s, dir), col("source"), col("doc_id"),
+          Map("src0" -> 0.3, "src1" -> 0.2, "src2" -> 0.1, "src3" -> 0.05), total = 60L)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("source"), col("doc_id"))),
+
     // Per-group reservoir: exactly 5 uniform picks per language.
     "q_sample_reservoir" -> ((s, dir) =>
       Sampling.reservoirPerGroup(TestTables.documents(s, dir), col("lang"), col("doc_id"), k = 5)
@@ -103,6 +112,15 @@ object QueriesSample {
          |WHERE ${uniform01Sql("doc_id", "s0")} <
          |  least(greatest((($qualitySql) + CAST(2.0 AS DOUBLE)) / CAST(6.0 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
          |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_mixture" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source ORDER BY ${hashHexSql("doc_id", "mix")}, doc_id) AS rn
+         |  FROM documents) t
+         |WHERE rn <= CASE source WHEN 'src0' THEN 18 WHEN 'src1' THEN 12
+         |                        WHEN 'src2' THEN 6 WHEN 'src3' THEN 3 ELSE 0 END
+         |ORDER BY source, doc_id""".stripMargin,
 
     "q_sample_reservoir" ->
       s"""SELECT doc_id, lang FROM (

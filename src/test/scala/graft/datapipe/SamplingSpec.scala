@@ -68,6 +68,19 @@ class SamplingSpec extends AnyFunSuite {
     assert(again == first)
   }
 
+  test("toMixture hits exact per-domain quotas, drops unlisted domains, is stable") {
+    val weights = Map("src0" -> 0.3, "src1" -> 0.2, "src2" -> 0.1)
+    val out = Sampling.toMixture(docs, col("source"), col("doc_id"), weights, total = 60L)
+    val counts = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("src0" -> 18L, "src1" -> 12L, "src2" -> 6L),
+      s"exact floor(w*total) per domain, nothing else: $counts")
+    // Stability: a rerun picks the identical rows (pure function of data+salt).
+    val a = out.select($"doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.toMixture(docs, col("source"), col("doc_id"), weights, total = 60L)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
   test("percentileGate keeps exactly the rows at or above the exact percentile") {
     val scored = docs.select($"doc_id", TextAnalysis.qualityScore($"text").as("q"))
     val kept = Sampling.percentileGate(scored, $"q", 0.9)
