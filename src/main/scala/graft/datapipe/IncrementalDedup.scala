@@ -1,7 +1,9 @@
 package graft.datapipe
 
+import graft.util.Materialize
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Continuous-ingest near-duplicate gating: match a new batch of
   * documents against the EXISTING corpus without re-hashing the corpus.
@@ -80,4 +82,46 @@ object IncrementalDedup {
       numHashes, bands, portable, shingle)
     (survivors, survivorBands)
   }
+
+  /** Continuous corpus ingest: each micro-batch of documents dedups
+    * against the PERSISTED corpus (`docsPath` + `bandsPath` parquet
+    * tables) and appends its survivors plus their band rows — the
+    * streaming face of `ingest`.
+    *
+    * Exactly-once without a transactional table format: a replayed
+    * micro-batch (checkpoint committed, sink crashed mid-append) finds
+    * its own survivors already in the index and drops every doc, so
+    * the docs table CONVERGES — ingest idempotence is the dedup sink's
+    * exactly-once story, like key-idempotence is `upsertSink`'s. Band
+    * rows are appended BEFORE docs: a crash between the two can only
+    * leave bands whose doc text is missing, which the verification
+    * join ignores (and the replay then re-appends both) — the reverse
+    * order would re-admit a document whose bands were lost. Batch-
+    * internal duplicates are the caller's concern (compose a corpus
+    * clean upstream); this operator is strictly batch-vs-corpus.
+    */
+  def ingestSink(batches: DataFrame, idCol: String, textCol: String,
+                 docsPath: String, bandsPath: String, checkpointDir: String,
+                 minJaccard: Double, maxBucket: Int = 100,
+                 numHashes: Int = 16, bands: Int = 4,
+                 portable: Boolean = false, shingle: Int = 0): StreamingQuery =
+    batches.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val haveCorpus = new java.io.File(docsPath).exists()
+        val survivorPair =
+          if (!haveCorpus) (batch, Dedup.minhashBands(batch, idCol, textCol, numHashes, bands, portable, shingle))
+          else ingest(batch, idCol, textCol,
+            spark.read.parquet(bandsPath), spark.read.parquet(docsPath),
+            minJaccard, maxBucket, numHashes, bands, portable, shingle)
+        // Materialize before appending: the survivors' lineage reads
+        // the same paths the appends write to.
+        val survivors = Materialize.once(survivorPair._1)
+        val survivorBands = Materialize.once(survivorPair._2)
+        graft.sink.Sinks.append(survivorBands, bandsPath)
+        graft.sink.Sinks.append(survivors, docsPath)
+      }
+      .start()
 }

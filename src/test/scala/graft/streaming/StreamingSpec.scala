@@ -75,6 +75,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterReplay == afterFirst, "replay must converge, not duplicate")
   }
 
+  test("streaming corpus ingest: batches dedup against the persisted index; replay converges") {
+    val base = java.nio.file.Files.createTempDirectory("ingest").toString
+    val (docsPath, bandsPath) = (s"$base/docs", s"$base/bands")
+    val srcDir = java.nio.file.Files.createTempDirectory("ingest_src")
+    def deliver(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$srcDir/$name")
+
+    // Arrival 1: two unrelated docs — both survive (index bootstrap).
+    deliver("b1", Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated corpus text about glacier formation dynamics")))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def run(ckpt: String): Unit = {
+      val src = spark.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+      graft.datapipe.IncrementalDedup.ingestSink(src, "doc_id", "text",
+        docsPath, bandsPath, ckpt, minJaccard = 0.5).awaitTermination(120000)
+    }
+    run(s"$base/ckpt")
+    assert(spark.read.parquet(docsPath).select($"doc_id").as[Long].collect().toSet
+      == Set(1L, 2L))
+
+    // Arrival 2 (same checkpoint — the scheduled-ingest cadence): a
+    // near-dup of doc 1 drops, a fresh doc survives.
+    deliver("b2", Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "fresh survey of deep sea hydrothermal vent ecosystems")))
+    run(s"$base/ckpt")
+    val afterTwo = spark.read.parquet(docsPath).select($"doc_id").as[Long].collect().toSet
+    assert(afterTwo == Set(1L, 2L, 11L), s"near-dup must drop against the index: $afterTwo")
+
+    // Full replay from a FRESH checkpoint (lost-checkpoint disaster):
+    // every doc now matches the grown index, nothing is re-admitted.
+    run(s"$base/ckpt_replayed")
+    val afterReplay = spark.read.parquet(docsPath).select($"doc_id").as[Long].collect().toSet
+    assert(afterReplay == afterTwo, s"replayed ingest must converge: $afterReplay")
+  }
+
   test("overlap dedup: re-delivered poll window is exactly-once on the stream") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = java.nio.file.Files.createTempDirectory("events_dedup")
