@@ -96,6 +96,17 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Leakage-safe train/validation split: the assignment is a pure
+    * function of the GROUP key, so every row of a group (all chunks of
+    * one document, all documents of one source) lands in the same
+    * split — near-duplicates inside a group can never straddle the
+    * train/val boundary. Zero shuffle: the split is a narrow Column.
+    */
+  def groupSplit(df: DataFrame, group: Column, valFraction: Double,
+                 salt: String = "split"): DataFrame =
+    df.withColumn("split",
+      when(hashHex(group, salt) < lit(hexThreshold(valFraction)), "val").otherwise("train"))
+
   /** Keep rows whose `metric` is at or above the exact `p`-th
     * percentile (type-7 linear interpolation — identical in Spark's
     * `percentile` and DuckDB's `quantile_cont`). The threshold is a

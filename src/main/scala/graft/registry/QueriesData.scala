@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.datapipe.{Decontam, Dedup, IncrementalDedup, Multimodal, Quantize, Similarity, TextAnalysis}
+import graft.datapipe.{Decontam, Dedup, IncrementalDedup, Keywords, Multimodal, Quantize, Similarity, TextAnalysis}
 import graft.tables.TestTables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -157,6 +157,12 @@ object QueriesData {
           n = 3, minOverlap = 0.15)
         .orderBy(col("doc"))
     }),
+
+    // Per-doc TF-IDF top-3 keywords (log-free idf surrogate keeps the
+    // score bit-reproducible — see Keywords scaladoc).
+    "q_text_keywords" -> ((s, dir) =>
+      Keywords.topTfIdf(TestTables.documents(s, dir), "doc_id", "text", k = 3)
+        .orderBy(col("doc"), col("rank"))),
 
     // Fingerprints: normalized md5 + order-sensitive rolling chain.
     "q_text_fingerprint" -> ((s, dir) =>
@@ -569,6 +575,21 @@ object QueriesData {
          |  CAST(n_matched AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS overlap,
          |  CAST(n_matched AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= CAST(0.15 AS DOUBLE) AS contaminated
          |FROM ov ORDER BY doc""".stripMargin,
+
+    "q_text_keywords" ->
+      s"""WITH w AS (SELECT doc_id AS doc, unnest($wordsSql) AS term FROM documents),
+         |tf AS (SELECT doc, term, count(*) AS tf FROM w GROUP BY doc, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc, term, tf, df,
+         |    CAST(tf AS DOUBLE) * ((CAST(n_docs AS DOUBLE) + CAST(1.0 AS DOUBLE))
+         |      / (CAST(df AS DOUBLE) + CAST(1.0 AS DOUBLE))) AS score
+         |  FROM tf JOIN dfreq USING (term), n),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc ORDER BY score DESC, term) AS INT) AS rank
+         |      FROM scored)
+         |SELECT doc, rank, term, tf, df, score FROM r WHERE rank <= 3
+         |ORDER BY doc, rank""".stripMargin,
 
     "q_text_fingerprint" ->
       """SELECT doc_id,

@@ -71,6 +71,13 @@ object QueriesSample {
         .select(col("doc_id"), col("source"))
         .orderBy(col("source"), col("doc_id"))),
 
+    // Leakage-safe split: whole sources assigned to train/val (20%)
+    // by group hash — no shuffle, rows of one source never straddle.
+    "q_sample_split" -> ((s, dir) =>
+      Sampling.groupSplit(TestTables.documents(s, dir), col("source"), valFraction = 0.2)
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy(col("doc_id"))),
+
     // Per-group reservoir: exactly 5 uniform picks per language.
     "q_sample_reservoir" -> ((s, dir) =>
       Sampling.reservoirPerGroup(TestTables.documents(s, dir), col("lang"), col("doc_id"), k = 5)
@@ -121,6 +128,11 @@ object QueriesSample {
          |WHERE rn <= CASE source WHEN 'src0' THEN 18 WHEN 'src1' THEN 12
          |                        WHEN 'src2' THEN 6 WHEN 'src3' THEN 3 ELSE 0 END
          |ORDER BY source, doc_id""".stripMargin,
+
+    "q_sample_split" ->
+      s"""SELECT doc_id, source,
+         |  CASE WHEN ${hashHexSql("source", "split")} < '33333333' THEN 'val' ELSE 'train' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_sample_reservoir" ->
       s"""SELECT doc_id, lang FROM (

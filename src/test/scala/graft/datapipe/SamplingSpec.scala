@@ -81,6 +81,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("groupSplit assigns whole groups to one side and roughly hits the fraction") {
+    val out = Sampling.groupSplit(docs, col("source"), valFraction = 0.2)
+    val perGroup = out.groupBy("source").agg(countDistinct("split").as("n"))
+      .filter($"n" > 1).count()
+    assert(perGroup == 0, "a group must never straddle the split")
+    val valGroups = out.filter($"split" === "val").select($"source").distinct().count()
+    assert(valGroups >= 1 && valGroups <= 10,
+      s"~20% of 20 sources in val, got $valGroups") // hash noise allowed, emptiness not
+  }
+
+  test("keywords: rare repeated term outranks common terms; k respected") {
+    import graft.datapipe.Keywords
+    val df = Seq(
+      (1L, "zebra zebra common common common"),
+      (2L, "common plain words here"),
+      (3L, "common plain words there")).toDF("doc_id", "text")
+    val top = Keywords.topTfIdf(df, "doc_id", "text", k = 2)
+    val doc1 = top.filter($"doc" === 1L).orderBy($"rank")
+      .select($"term").as[String].collect().toSeq
+    assert(doc1.head == "zebra", s"doc-unique repeated term must rank first: $doc1")
+    assert(top.groupBy($"doc").count().filter($"count" > 2).count() == 0)
+  }
+
   test("percentileGate keeps exactly the rows at or above the exact percentile") {
     val scored = docs.select($"doc_id", TextAnalysis.qualityScore($"text").as("q"))
     val kept = Sampling.percentileGate(scored, $"q", 0.9)
