@@ -158,6 +158,36 @@ object QueriesData {
         .orderBy(col("doc"))
     }),
 
+    // Corpus-health report: per (source, lang) rollup of doc/token/
+    // char counts, exact-dup docs, and a corpus quality score. All
+    // aggregation is over INTEGERS (exact in any order); the only
+    // doubles are computed once from the integer totals, so the whole
+    // dashboard hash-checks — a double `avg(quality)` would be
+    // accumulation-order-dependent and is deliberately avoided.
+    "q_corpus_report" -> ((s, dir) => {
+      val d = TestTables.documents(s, dir).select(
+        col("source"), col("lang"),
+        TextAnalysis.tokenCountWs(col("text")).cast("bigint").as("t"),
+        TextAnalysis.punctCount(col("text")).cast("bigint").as("p"),
+        TextAnalysis.stopwordCount(col("text")).cast("bigint").as("st"),
+        length(col("text")).cast("bigint").as("c"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      d.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("t")).as("n_tokens"),
+          sum(col("c")).as("n_chars"),
+          countDistinct(col("fp")).as("uniq_docs"),
+          sum(col("st")).as("n_stop"),
+          sum(col("p")).as("n_punct"))
+        .withColumn("dup_docs", col("n_docs") - col("uniq_docs"))
+        .withColumn("corpus_quality",
+          col("n_stop").cast("double") / greatest(col("n_tokens").cast("double"), lit(1.0)) * lit(2.0)
+            - col("n_punct").cast("double") / greatest(col("n_chars").cast("double"), lit(1.0)) * lit(4.0))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+          col("n_chars"), col("dup_docs"), col("corpus_quality"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // Per-doc TF-IDF top-3 keywords (log-free idf surrogate keeps the
     // score bit-reproducible — see Keywords scaladoc).
     "q_text_keywords" -> ((s, dir) =>
@@ -262,6 +292,10 @@ object QueriesData {
   )
 
   private val stopwordsIn = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** DuckDB twin of TextAnalysis.tokenCountWs over the `text` column. */
+  private val tokensWsSqlData: String =
+    """len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))"""
 
   /** DuckDB twin of TextAnalysis.words over the `text` column. */
   private val wordsSql: String =
@@ -575,6 +609,26 @@ object QueriesData {
          |  CAST(n_matched AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS overlap,
          |  CAST(n_matched AS DOUBLE) / CAST(n_shingles AS DOUBLE) >= CAST(0.15 AS DOUBLE) AS contaminated
          |FROM ov ORDER BY doc""".stripMargin,
+
+    "q_corpus_report" ->
+      s"""WITH d AS (
+         |  SELECT source, lang,
+         |    CAST($tokensWsSqlData AS BIGINT) AS t,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS p,
+         |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ($stopwordsIn))) AS BIGINT) AS st,
+         |    CAST(length(text) AS BIGINT) AS c,
+         |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |g AS (
+         |  SELECT source, lang, count(*) AS n_docs,
+         |    CAST(sum(t) AS BIGINT) AS n_tokens, CAST(sum(c) AS BIGINT) AS n_chars,
+         |    count(DISTINCT fp) AS uniq_docs,
+         |    CAST(sum(st) AS BIGINT) AS n_stop, CAST(sum(p) AS BIGINT) AS n_punct
+         |  FROM d GROUP BY source, lang)
+         |SELECT source, lang, n_docs, n_tokens, n_chars, n_docs - uniq_docs AS dup_docs,
+         |  CAST(n_stop AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(2.0 AS DOUBLE)
+         |    - CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(4.0 AS DOUBLE) AS corpus_quality
+         |FROM g ORDER BY source, lang""".stripMargin,
 
     "q_text_keywords" ->
       s"""WITH w AS (SELECT doc_id AS doc, unnest($wordsSql) AS term FROM documents),
