@@ -32,7 +32,9 @@ object Bench {
     "q_asof_join",
     "q_range_incident_join",
     "q_pack_sequences",
-    "q_sample_stratified")
+    "q_sample_stratified",
+    "q_text_keywords",
+    "q_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -27,5 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(graft.functions.SimHash64.fnName),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, graft.functions.SimHash64.fnName),
       (exprs: Seq[Expression]) => graft.functions.SimHash64(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.WordShingles.fnName),
+      new ExpressionInfo(classOf[graft.functions.WordShingles].getName, graft.functions.WordShingles.fnName),
+      (exprs: Seq[Expression]) => graft.functions.WordShingles(exprs(0), exprs(1))))
   }
 }

@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 /** Dev-only stage profiler / plan probe (not part of the driver contract). */
 object ProfileScratch {
   def main(args: Array[String]): Unit = {
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
@@ -15,12 +15,29 @@ object ProfileScratch {
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val docs = graft.tables.TestTables.documents(spark, dir).filter(col("doc_id") % 10 === 0)
-    for (sh <- Seq(2, 3); mj <- Seq(0.1, 0.2, 0.3)) {
-      val n = graft.datapipe.Dedup.minhashPairs(docs, "doc_id", "text", minJaccard = mj, shingle = sh).count()
-      println(s"shingle=$sh minJ=$mj pairs=$n")
+    import graft.datapipe.TextAnalysis
+    val docs = graft.tables.TestTables.documents(spark, dir)
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$label%-40s ${(System.nanoTime() - t0) / 1e9}%.2f s  ($n rows)")
     }
-
+    for (_ <- 1 to 2) {
+      time("corpus words explode+count") {
+        docs.select(explode(TextAnalysis.words(col("text"))).as("w")).groupBy("w").count().count()
+      }
+      time("corpus shingles explode+count") {
+        docs.select(explode(TextAnalysis.shingles(col("text"), 3)).as("s")).groupBy("s").count().count()
+      }
+      time("corpus distinct-shingles explode+count") {
+        docs.select(explode(array_distinct(TextAnalysis.shingles(col("text"), 3))).as("s"))
+          .groupBy("s").count().count()
+      }
+      time("decontam full") {
+        graft.datapipe.Decontam.overlapReport(
+          docs.filter(col("doc_id") % 25 =!= 7), "doc_id", "text",
+          docs.filter(col("doc_id") % 25 === 7), "text", n = 3, minOverlap = 0.15).count()
+      }
+    }
     spark.stop()
   }
 }

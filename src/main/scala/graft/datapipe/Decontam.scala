@@ -30,10 +30,13 @@ object Decontam {
   def overlapReport(corpus: DataFrame, idCol: String, textCol: String,
                     benchmark: DataFrame, benchTextCol: String,
                     n: Int = 3, minOverlap: Double = 0.5): DataFrame = {
-    val benchShingles = Joins.broadcastIfSmall(
+    // Materialize the distinct shingle set once: broadcastIfSmall's
+    // evidence count and the broadcast itself would otherwise each
+    // re-run the explode+distinct.
+    val benchShingles = Joins.broadcastIfSmall(graft.util.Materialize.once(
       benchmark
         .select(explode(array_distinct(TextAnalysis.shingles(col(benchTextCol), n))).as("shingle"))
-        .distinct())
+        .distinct()))
     corpus
       .select(col(idCol).as("doc"),
         explode(array_distinct(TextAnalysis.shingles(col(textCol), n))).as("shingle"))

@@ -34,6 +34,15 @@ object TextAnalysis {
     */
   def shingles(text: Column, n: Int): Column = {
     require(n >= 2, "use words() for n=1")
+    graft.functions.WordShingles.of(words(text), n)
+  }
+
+  /** The pre-kernel HOF formulation of `shingles` — kept as the
+    * executable specification the codegen kernel is equality-tested
+    * against (graft.functions.WordShingles scaladoc has the numbers).
+    */
+  def shinglesHof(text: Column, n: Int): Column = {
+    require(n >= 2, "use words() for n=1")
     val ws = words(text)
     val count = size(ws) - (n - 1)
     when(count <= 0, array(array_join(ws, " ")))

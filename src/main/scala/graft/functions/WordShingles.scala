@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionDescription}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Sliding word w-shingles as a native Catalyst expression.
+  *
+  * The HOF form (`transform(sequence(0, count-1), i =>
+  * array_join(slice(ws, i+1, n), " "))`) allocates a sequence array,
+  * one sliced array, and one join per shingle — measured at ~2.8 s for
+  * a 1.5 M-shingle corpus scan where the word split itself costs
+  * 0.3 s. This kernel emits each shingle with a single
+  * `UTF8String.concatWs` inside whole-stage codegen.
+  *
+  * Semantics are IDENTICAL to TextAnalysis.shingles (oracle-locked):
+  * documents shorter than `n` words collapse to one whole-document
+  * shingle, and null words are skipped by the join exactly like
+  * `array_join`.
+  */
+@ExpressionDescription(
+  usage = "word_shingles(words, n) - sliding n-gram shingles of a word array.")
+case class WordShingles(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<string>, int), got (${l.sql}, ${r.sql})")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(words: Any, n: Any): Any =
+    WordShingles.make(words.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (words, n) => {
+      val cls = WordShingles.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.make($words, $n);"
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): WordShingles =
+    copy(left = l, right = r)
+}
+
+object WordShingles {
+  val fnName = "word_shingles"
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Join words[from until) with single spaces, skipping nulls (the
+    * `array_join` convention).
+    */
+  private def joinRange(words: ArrayData, from: Int, until: Int): UTF8String = {
+    val parts = new Array[UTF8String](until - from)
+    var i = from
+    while (i < until) { parts(i - from) = words.getUTF8String(i); i += 1 }
+    UTF8String.concatWs(Space, parts: _*)
+  }
+
+  /** Fused kernel (shared by eval and generated code). */
+  def make(words: ArrayData, n: Int): ArrayData = {
+    val sz = words.numElements()
+    val count = sz - (n - 1)
+    if (count <= 0) new GenericArrayData(Array[Any](joinRange(words, 0, sz)))
+    else {
+      val out = new Array[Any](count)
+      var i = 0
+      while (i < count) { out(i) = joinRange(words, i, i + n); i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** Column-API entry point; requires GraftExtensions on the session. */
+  def of(words: Column, n: Int): Column = call_function(fnName, words, lit(n))
+}

@@ -200,6 +200,29 @@ class DataPipeSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"int8 ANN recall vs exact brute force too low: $recall")
   }
 
+  test("word_shingles expression: identical to the HOF form, codegen path, edge cases") {
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val docs = graft.tables.TestTables.documents(spark, "/root/testdata/sf0.001")
+      for (n <- Seq(2, 3, 5)) {
+        val diff = docs.select(
+            TextAnalysis.shingles($"text", n).as("kernel"),
+            TextAnalysis.shinglesHof($"text", n).as("hof"))
+          .filter($"kernel" =!= $"hof")
+        assert(diff.isEmpty, s"kernel must reproduce the HOF shingles exactly at n=$n")
+      }
+      val edges = Seq("", "one", "one two", "one two three", "  padded   spaces  ")
+        .toDF("text")
+      val out = edges.select(
+          TextAnalysis.shingles($"text", 3).as("kernel"),
+          TextAnalysis.shinglesHof($"text", 3).as("hof"))
+        .collect()
+      out.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+      assert(out(0).getSeq[String](0) == Seq(""), "empty doc collapses to one empty shingle")
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("cosine_sim expression: bit-identical to the HOF fold, codegen path, edge cases") {
     val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
     spark.conf.set("spark.sql.codegen.fallback", "false") // force doGenCode, no interpreted escape
