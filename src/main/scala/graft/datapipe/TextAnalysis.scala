@@ -50,6 +50,26 @@ object TextAnalysis {
         i => array_join(slice(ws, i + 1, lit(n)), " ")))
   }
 
+  /** Context-window chunking: split a document's word sequence into
+    * windows of `size` words advancing by `stride` (< size ⇒ overlap,
+    * the usual boundary-context trick). Chunk i covers words
+    * [i·stride, i·stride + size); the last chunk may be short; empty
+    * docs produce one empty chunk. Pure Column — the array of chunk
+    * strings; the consumer explodes with `posexplode` for
+    * (chunk_id, chunk).
+    */
+  def chunks(text: Column, width: Int, stride: Int): Column = {
+    require(width >= 1 && stride >= 1 && stride <= width, "need 1 <= stride <= width")
+    val ws = words(text)
+    // Number of chunks: smallest c with c·stride + (width−stride) >= n,
+    // i.e. ceil(max(n − width, 0) / stride) + 1 — windows starting past
+    // the end would duplicate the tail.
+    val n = size(ws)
+    val nChunks = ceil(greatest(n - width, lit(0)).cast("double") / lit(stride.toDouble)).cast("int") + 1
+    transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(ws, i * stride + 1, lit(width)), " "))
+  }
+
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
 
   def stopwordCount(text: Column): Column =

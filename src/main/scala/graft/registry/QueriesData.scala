@@ -188,6 +188,15 @@ object QueriesData {
         .orderBy(col("source"), col("lang"))
     }),
 
+    // Context-window chunking: 32-word windows advancing by 24 (8-word
+    // overlap) — the pretraining document-splitting op.
+    "q_text_chunk" -> ((s, dir) =>
+      TestTables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunks(col("text"), width = 32, stride = 24))
+            .as(Seq("chunk_id", "chunk")))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // Per-doc TF-IDF top-3 keywords (log-free idf surrogate keeps the
     // score bit-reproducible — see Keywords scaladoc).
     "q_text_keywords" -> ((s, dir) =>
@@ -629,6 +638,16 @@ object QueriesData {
          |  CAST(n_stop AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(2.0 AS DOUBLE)
          |    - CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(4.0 AS DOUBLE) AS corpus_quality
          |FROM g ORDER BY source, lang""".stripMargin,
+
+    "q_text_chunk" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |c AS (SELECT doc_id, ws,
+         |  CAST(ceil(CAST(greatest(len(ws) - 32, 0) AS DOUBLE) / CAST(24.0 AS DOUBLE)) AS INT) + 1 AS nch
+         |  FROM w)
+         |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+         |  array_to_string(list_slice(ws, i * 24 + 1, i * 24 + 32), ' ') AS chunk
+         |FROM c, unnest(range(0, nch)) AS t(i)
+         |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_text_keywords" ->
       s"""WITH w AS (SELECT doc_id AS doc, unnest($wordsSql) AS term FROM documents),

@@ -30,6 +30,17 @@ object QueriesStream {
         .withColumn("total_value", col("total_value").cast("double"))
         .orderBy(col("user_id"), col("session_start_us"))),
 
+    // Click attribution batch twin: purchases × same-user clicks in the
+    // preceding 30 minutes (StreamingSpec runs the SAME function as a
+    // watermarked stream-stream interval join and asserts equality).
+    "q_stream_attribution" -> ((s, dir) => {
+      val ev = TestTables.events(s, dir)
+      EventsStream.attributionJoin(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "click"))
+        .orderBy(col("purchase_id"), col("click_id"))
+    }),
+
     // Exactly-once over the reference's overlapping poll windows: the
     // current 4.5h window unioned with the previous poll's tail
     // (30-minute overlap), deduped to one copy per event. The streaming
@@ -73,6 +84,19 @@ object QueriesStream {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM numbered GROUP BY user_id, session
         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "q_stream_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS t,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events)
+        |SELECT p.event_id AS purchase_id, p.user_id, p.ts_us AS purchase_ts_us,
+        |  c.event_id AS click_id, c.ts_us AS click_ts_us
+        |FROM e p JOIN e c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.user_id = p.user_id
+        | AND c.t >= p.t - INTERVAL 30 MINUTES AND c.t <= p.t
+        |ORDER BY purchase_id, click_id""".stripMargin,
 
     "q_stream_dedup_overlap" ->
       """WITH e AS (

@@ -28,6 +28,27 @@ object EventsStream {
   def withWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", delay)
 
+  /** Click attribution: each purchase joined to every click by the same
+    * user within the preceding `window`. Defined once over two frames:
+    * on batch inputs it's a plain range join; on WATERMARKED streaming
+    * inputs the same call is a stream-stream interval join — the time-
+    * range condition is what lets Spark expire join state, so the state
+    * store holds only one window of clicks per user, not the stream's
+    * history. Output carries integer-µs timestamps (engine-exact).
+    */
+  def attributionJoin(purchases: DataFrame, clicks: DataFrame,
+                      window: String = "30 minutes"): DataFrame = {
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id").as("p_user"), col("ts").as("p_ts"), col("ts_us").as("purchase_ts_us"))
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user"), col("ts").as("c_ts"), col("ts_us").as("click_ts_us"))
+    p.join(c, col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $window") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("p_user").as("user_id"), col("purchase_ts_us"),
+        col("click_id"), col("click_ts_us"))
+  }
+
   final case class SessionEvent(user_id: Long, ts_us: Long, value: Double)
   final case class SessionOut(user_id: Long, session_start_us: Long, n_events: Int, total_value: Double)
   final case class SessionState(startUs: Long, lastUs: Long, nEvents: Int, sumValue: Double)

@@ -200,6 +200,24 @@ class DataPipeSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"int8 ANN recall vs exact brute force too low: $recall")
   }
 
+  test("chunks: overlap reconstruction, short docs, exact window math") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
+      (2L, "a b c"),                                  // shorter than width
+      (3L, "")                                        // empty
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        posexplode(TextAnalysis.chunks($"text", width = 4, stride = 3)).as(Seq("cid", "chunk")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    // ceil((10-4)/3)+1 = 3 chunks: [1..4], [4..7], [7..10]
+    assert(d1.toSeq == Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"), d1.toSeq)
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq == Seq("a b c"))
+    assert(out.filter(_._1 == 3L).map(_._3).toSeq == Seq(""))
+    // Every word occurs in some chunk; consecutive chunks share width-stride words.
+    assert(d1.flatMap(_.split(' ')).toSet == (1 to 10).map(i => s"w$i").toSet)
+  }
+
   test("word_shingles expression: identical to the HOF form, codegen path, edge cases") {
     val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
     spark.conf.set("spark.sql.codegen.fallback", "false")

@@ -75,6 +75,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterReplay == afterFirst, "replay must converge, not duplicate")
   }
 
+  test("click attribution: stream-stream interval join equals the batch range join") {
+    val purchases = streamSource().filter($"event_type" === "purchase").withWatermark("ts", "1 hour")
+    val clicks = streamSource().filter($"event_type" === "click").withWatermark("ts", "1 hour")
+    val q = EventsStream.attributionJoin(purchases, clicks)
+      .writeStream.format("memory").queryName("attribution")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = spark.table("attribution")
+      .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+
+    val ev = graft.tables.TestTables.events(spark, "/root/testdata/sf0.001")
+    val batch = EventsStream.attributionJoin(
+        ev.filter($"event_type" === "purchase"), ev.filter($"event_type" === "click"))
+      .select($"purchase_id", $"click_id").as[(Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream-stream interval join must equal batch: ${streamed.size} vs ${batch.size} pairs")
+  }
+
   test("streaming corpus ingest: batches dedup against the persisted index; replay converges") {
     val base = java.nio.file.Files.createTempDirectory("ingest").toString
     val (docsPath, bandsPath) = (s"$base/docs", s"$base/bands")
