@@ -126,6 +126,57 @@ object Sinks {
     }
     fs.delete(staging, true)
   }
+
+  /** Small-files maintenance for a partitioned table: rewrite ONLY the
+    * partitions holding more than `maxFiles` parquet files, coalescing
+    * each to ~`targetBytes` output files, and swap them in with the
+    * same crash-safe rename-aside as `upsertPartitioned`. Layout-only
+    * — rows are bit-identical before and after; untouched partitions
+    * are never read, written, or renamed (asserted byte-identical in
+    * SinksSpec). Incremental loads append small files every run; at
+    * 100 TB the scan's task count follows file count, so periodic
+    * partition-local compaction is what keeps read parallelism sane.
+    * The driver loop is one iteration per OVERSIZED partition (a
+    * maintenance-scoped, bounded set), each a distributed job.
+    * Returns the compacted partition dir names.
+    */
+  def compactPartitions(spark: SparkSession, tablePath: String, partCol: String,
+                        maxFiles: Int = 8, targetBytes: Long = 128L << 20): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    if (!fs.exists(table)) return Seq.empty
+    val oversized = fs.listStatus(table).filter { st =>
+      st.isDirectory && st.getPath.getName.startsWith(s"$partCol=")
+    }.flatMap { st =>
+      val files = fs.listStatus(st.getPath).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (files.length > maxFiles) Some((st.getPath, files.map(_.getLen).sum)) else None
+    }
+    if (oversized.isEmpty) return Seq.empty
+
+    val staging = new org.apache.hadoop.fs.Path(tablePath + ".compacting")
+    fs.delete(staging, true)
+    oversized.foreach { case (partDir, bytes) =>
+      val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      // A partition dir's files don't carry partCol — the dir name does;
+      // reading and rewriting the dir alone preserves that invariant.
+      spark.read.parquet(partDir.toString).coalesce(nOut)
+        .write.parquet(new org.apache.hadoop.fs.Path(staging, partDir.getName).toString)
+    }
+    val asideRoot = new org.apache.hadoop.fs.Path(table, ".merge_aside")
+    fs.mkdirs(asideRoot)
+    oversized.foreach { case (partDir, _) =>
+      val staged = new org.apache.hadoop.fs.Path(staging, partDir.getName)
+      val aside = new org.apache.hadoop.fs.Path(asideRoot, partDir.getName)
+      fs.delete(aside, true)
+      if (!fs.rename(partDir, aside))
+        throw new java.io.IOException(s"rename aside failed for $partDir")
+      if (!fs.rename(staged, partDir))
+        throw new java.io.IOException(s"staging rename failed for $partDir")
+      fs.delete(aside, true)
+    }
+    fs.delete(staging, true)
+    oversized.map(_._1.getName).toSeq
+  }
 }
 
 /** E1: the pre-load data-quality gate (dags/eligibilty_etl.py:280-321):

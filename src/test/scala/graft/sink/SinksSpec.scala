@@ -86,6 +86,38 @@ class SinksSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(aside), "superseded aside is cleaned on the next merge")
   }
 
+  test("compactPartitions: shrinks only oversized partitions, data identical, others untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("compact_spec").toString + "/table"
+    // month 2024-01: 12 tiny files (oversized); 2024-02: 2 files (fine).
+    (1 to 12).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)
+        .write.mode("append").parquet(s"$dir/month=2024-01")
+    }
+    (13 to 14).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("k", "v").coalesce(1)
+        .write.mode("append").parquet(s"$dir/month=2024-02")
+    }
+    def files(month: String): Seq[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir, s"month=$month"))
+        .iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+    }
+    val febBefore = files("2024-02").map(f =>
+      f.getFileName.toString -> java.nio.file.Files.size(f)).toMap
+    val before = spark.read.parquet(dir).as[(Long, String, String)].collect().toSet
+
+    val compacted = graft.sink.Sinks.compactPartitions(spark, dir, "month", maxFiles = 8)
+    assert(compacted == Seq("month=2024-01"), s"only the oversized partition: $compacted")
+    assert(files("2024-01").size < 12, "file count must shrink")
+    assert(files("2024-02").map(f =>
+      f.getFileName.toString -> java.nio.file.Files.size(f)).toMap == febBefore,
+      "under-threshold partition untouched")
+    val after = spark.read.parquet(dir).as[(Long, String, String)].collect().toSet
+    assert(after == before, "compaction is layout-only")
+    // Idempotent second pass: nothing oversized remains.
+    assert(graft.sink.Sinks.compactPartitions(spark, dir, "month", maxFiles = 8).isEmpty)
+  }
+
   test("archiveCsv writes a header CSV that reads back") {
     val dir = java.nio.file.Files.createTempDirectory("csv_spec").toString + "/archive"
     Sinks.archiveCsv(Seq((1L, "eligible"), (2L, "out-network")).toDF("visit_id", "class"), dir)
