@@ -45,4 +45,35 @@ object Keywords {
       .filter(col("rank") <= k)
       .select(col("doc"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
   }
+
+  /** Corpus-level collocations: bigrams ranked by lift —
+    * `count(ab) · total_unigrams / (count(a) · count(b))`, the log-free
+    * PMI surrogate (same monotonicity, one IEEE division — engine-
+    * exact like `topTfIdf`'s idf). `minCount` drops noise bigrams
+    * before the join, so the scored set stays vocabulary²-bounded in
+    * theory but minCount-pruned in practice. Output: top `k` by lift.
+    */
+  def collocations(docs: DataFrame, textCol: String, k: Int, minCount: Long = 5L): DataFrame = {
+    val uni = docs.select(explode(TextAnalysis.words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("n_uni"))
+    val bi = docs.select(explode(TextAnalysis.shingles(col(textCol), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      // A <2-word doc collapses to a whole-doc "bigram" that may not
+      // have exactly two words; a real bigram splits into exactly 2.
+      .withColumn("__parts", split(col("bigram"), " "))
+      .filter(size(col("__parts")) === 2)
+      .select(col("bigram"), element_at(col("__parts"), 1).as("wa"),
+        element_at(col("__parts"), 2).as("wb"), col("c_ab"))
+    bi.join(Joins.broadcastIfSmall(uni.select(col("w").as("wa"), col("c").as("c_a"))), Seq("wa"))
+      .join(Joins.broadcastIfSmall(uni.select(col("w").as("wb"), col("c").as("c_b"))), Seq("wb"))
+      .join(broadcast(total))
+      .withColumn("lift",
+        (col("c_ab").cast("double") * col("n_uni").cast("double"))
+          / (col("c_a").cast("double") * col("c_b").cast("double")))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(k)
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"), col("lift"))
+  }
 }

@@ -188,6 +188,11 @@ object QueriesData {
         .orderBy(col("source"), col("lang"))
     }),
 
+    // Corpus collocations: top-20 bigrams by lift (log-free PMI
+    // surrogate), min count 5.
+    "q_text_collocations" -> ((s, dir) =>
+      Keywords.collocations(TestTables.documents(s, dir), "text", k = 20, minCount = 5L)),
+
     // Context-window chunking: 32-word windows advancing by 24 (8-word
     // overlap) — the pretraining document-splitting op.
     "q_text_chunk" -> ((s, dir) =>
@@ -310,13 +315,13 @@ object QueriesData {
   private val wordsSql: String =
     """list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"""
 
-  /** DuckDB twin of TextAnalysis.shingles(_, 3) over a word-list column
+  /** DuckDB twin of TextAnalysis.shingles(_, n) over a word-list column
     * (short docs collapse to one whole-document shingle, like the
     * Column version).
     */
-  private def shinglesSql(ws: String): String =
-    s"CASE WHEN len($ws) <= 2 THEN [array_to_string($ws, ' ')] " +
-      s"ELSE list_transform(range(1, len($ws) - 1), i -> array_to_string(list_slice($ws, i, i + 2), ' ')) END"
+  private def shinglesSql(ws: String, n: Int = 3): String =
+    s"CASE WHEN len($ws) <= ${n - 1} THEN [array_to_string($ws, ' ')] " +
+      s"ELSE list_transform(range(1, len($ws) - ${n - 2}), i -> array_to_string(list_slice($ws, i, i + ${n - 1}), ' ')) END"
 
   private def langHitsSql(markers: Seq[String]): String =
     markers.map { m =>
@@ -638,6 +643,21 @@ object QueriesData {
          |  CAST(n_stop AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(2.0 AS DOUBLE)
          |    - CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(4.0 AS DOUBLE) AS corpus_quality
          |FROM g ORDER BY source, lang""".stripMargin,
+
+    "q_text_collocations" ->
+      s"""WITH wl AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |w AS (SELECT unnest(ws) AS w FROM wl),
+         |uni AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+         |bi0 AS (SELECT unnest(${shinglesSql("ws", 2)}) AS bigram FROM wl),
+         |bi AS (SELECT bigram, count(*) AS c_ab FROM bi0 GROUP BY bigram HAVING count(*) >= 5),
+         |b2 AS (SELECT bigram, c_ab, string_split(bigram, ' ') AS parts FROM bi),
+         |b3 AS (SELECT bigram, c_ab, parts[1] AS wa, parts[2] AS wb FROM b2 WHERE len(parts) = 2)
+         |SELECT bigram, c_ab, ua.c AS c_a, ub.c AS c_b,
+         |  (CAST(c_ab AS DOUBLE) * CAST(n_uni AS DOUBLE))
+         |    / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS lift
+         |FROM b3 JOIN uni ua ON ua.w = wa JOIN uni ub ON ub.w = wb, tot
+         |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin,
 
     "q_text_chunk" ->
       s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),

@@ -104,6 +104,16 @@ class SamplingSpec extends AnyFunSuite {
     assert(top.groupBy($"doc").count().filter($"count" > 2).count() == 0)
   }
 
+  test("collocations: always-adjacent pair outranks frequent-but-independent words") {
+    import graft.datapipe.Keywords
+    // "hong kong" always adjacent (lift max); "the" pairs with many words.
+    val df = (1 to 10).map(i =>
+      (i.toLong, s"visit hong kong the city the park the trip number$i")).toDF("doc_id", "text")
+    val top = Keywords.collocations(df, "text", k = 5, minCount = 5L)
+      .select($"bigram").as[String].collect().toSeq
+    assert(top.head == "hong kong", s"perfect collocation must rank first: $top")
+  }
+
   test("percentileGate keeps exactly the rows at or above the exact percentile") {
     val scored = docs.select($"doc_id", TextAnalysis.qualityScore($"text").as("q"))
     val kept = Sampling.percentileGate(scored, $"q", 0.9)
