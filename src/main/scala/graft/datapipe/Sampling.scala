@@ -96,6 +96,26 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Fractional-epoch up-sampling — the other half of data mixing:
+    * where `toMixture` down-selects oversized domains, this repeats
+    * rows of prized domains `epochs` times (e.g. 2.3 epochs ⇒ every
+    * row twice, a deterministic hash-chosen 30% a third time). Output
+    * carries `epoch` (0-based copy index) so downstream shuffling can
+    * interleave copies. Pure narrow op: explode of a per-row sequence,
+    * no shuffle, no driver state.
+    */
+  def withEpochs(df: DataFrame, key: Column, epochs: Double,
+                 salt: String = "epoch"): DataFrame = {
+    // Up-sampling only: epochs < 1 is sampleByHash's job (sequence()
+    // would otherwise DESCEND for zero copies and fabricate rows).
+    require(epochs >= 1.0, "epochs must be >= 1; use sampleByHash to down-sample")
+    val whole = math.floor(epochs).toLong
+    val frac = epochs - whole
+    val copies = lit(whole) +
+      when(uniform01(key, salt) < lit(frac), 1L).otherwise(0L)
+    df.withColumn("epoch", explode(sequence(lit(0L), copies - 1)))
+  }
+
   /** Leakage-safe train/validation split: the assignment is a pure
     * function of the GROUP key, so every row of a group (all chunks of
     * one document, all documents of one source) lands in the same

@@ -71,6 +71,15 @@ object QueriesSample {
         .select(col("doc_id"), col("source"))
         .orderBy(col("source"), col("doc_id"))),
 
+    // Fractional-epoch up-sampling: 2.3 epochs of the high-quality
+    // slice — every doc twice, a hash-chosen 30% a third time.
+    "q_sample_epochs" -> ((s, dir) =>
+      Sampling.withEpochs(
+          TestTables.documents(s, dir).filter(col("doc_id") % 4 === 0)
+            .select(col("doc_id"), col("source")),
+          col("doc_id"), epochs = 2.3)
+        .orderBy(col("doc_id"), col("epoch"))),
+
     // Leakage-safe split: whole sources assigned to train/val (20%)
     // by group hash — no shuffle, rows of one source never straddle.
     "q_sample_split" -> ((s, dir) =>
@@ -128,6 +137,16 @@ object QueriesSample {
          |WHERE rn <= CASE source WHEN 'src0' THEN 18 WHEN 'src1' THEN 12
          |                        WHEN 'src2' THEN 6 WHEN 'src3' THEN 3 ELSE 0 END
          |ORDER BY source, doc_id""".stripMargin,
+
+    "q_sample_epochs" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    2 + CASE WHEN ${uniform01Sql("doc_id", "epoch")} < (CAST(2.3 AS DOUBLE) - CAST(2.0 AS DOUBLE))
+         |             THEN 1 ELSE 0 END AS copies
+         |  FROM documents WHERE doc_id % 4 = 0)
+         |SELECT doc_id, source, CAST(i AS BIGINT) AS epoch
+         |FROM d, unnest(range(0, copies)) AS t(i)
+         |ORDER BY doc_id, epoch""".stripMargin,
 
     "q_sample_split" ->
       s"""SELECT doc_id, source,

@@ -81,6 +81,19 @@ class SamplingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("withEpochs repeats every row floor(e) times plus a stable fractional extra") {
+    val out = Sampling.withEpochs(docs.select($"doc_id"), $"doc_id", epochs = 2.3)
+    val perDoc = out.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(perDoc.values.forall(c => c == 2L || c == 3L), "2 or 3 copies each")
+    val three = perDoc.values.count(_ == 3L).toDouble / perDoc.size
+    assert(three > 0.15 && three < 0.45, s"~30% get the third copy, got $three")
+    // Copy indexes are 0..copies-1 and the op is deterministic.
+    assert(out.filter($"epoch" < 0 || $"epoch" > 2).count() == 0)
+    val again = Sampling.withEpochs(docs.select($"doc_id"), $"doc_id", epochs = 2.3)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(again == perDoc)
+  }
+
   test("groupSplit assigns whole groups to one side and roughly hits the fraction") {
     val out = Sampling.groupSplit(docs, col("source"), valFraction = 0.2)
     val perGroup = out.groupBy("source").agg(countDistinct("split").as("n"))
