@@ -31,7 +31,10 @@ object Keywords {
   def topTfIdf(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val words = docs.select(col(idCol).as("doc"),
       explode(TextAnalysis.words(col(textCol))).as("term"))
-    val tf = words.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    // tf feeds both the df rollup and the final join — materialize so
+    // the corpus is scanned and aggregated once, not twice.
+    val tf = graft.util.Materialize.once(
+      words.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     val scored = tf
@@ -54,8 +57,11 @@ object Keywords {
     * theory but minCount-pruned in practice. Output: top `k` by lift.
     */
   def collocations(docs: DataFrame, textCol: String, k: Int, minCount: Long = 5L): DataFrame = {
-    val uni = docs.select(explode(TextAnalysis.words(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // The unigram table feeds both word joins and the total — without
+    // materialization the corpus would be re-aggregated three times.
+    val uni = graft.util.Materialize.once(
+      docs.select(explode(TextAnalysis.words(col(textCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c")))
     val total = uni.agg(sum(col("c")).as("n_uni"))
     val bi = docs.select(explode(TextAnalysis.shingles(col(textCol), 2)).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
