@@ -34,7 +34,8 @@ object Bench {
     "q_pack_sequences",
     "q_sample_stratified",
     "q_text_keywords",
-    "q_decontaminate")
+    "q_decontaminate",
+    "q_pipeline_pretrain")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

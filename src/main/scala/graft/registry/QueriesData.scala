@@ -188,6 +188,27 @@ object QueriesData {
         .orderBy(col("source"), col("lang"))
     }),
 
+    // Full pretraining data pipeline in ONE plan: lang gate → quality
+    // gate → exact dedup → near-dup removal → benchmark
+    // decontamination → context-window chunking with token counts.
+    // Every stage is an engine primitive; the composition is what a
+    // pretraining-data team actually ships.
+    "q_pipeline_pretrain" -> ((s, dir) => {
+      val docs = TestTables.documents(s, dir)
+      val cleaned = graft.datapipe.CorpusClean.clean(docs, "doc_id", "text",
+        minQuality = 1.1, minJaccard = 0.8, portableHash = true)
+      val dropIds = Decontam.overlapReport(cleaned, "doc_id", "text",
+          docs.filter(col("doc_id") % 25 === 7), "text", n = 3, minOverlap = 0.5)
+        .filter(col("contaminated")).select(col("doc").as("doc_id"))
+      cleaned.join(dropIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.chunks(col("text"), width = 32, stride = 24))
+            .as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"), col("chunk_id"),
+          TextAnalysis.tokenCountWs(col("chunk")).as("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // Corpus collocations: top-20 bigrams by lift (log-free PMI
     // surrogate), min count 5.
     "q_text_collocations" -> ((s, dir) =>
@@ -481,7 +502,16 @@ object QueriesData {
     */
   private def corpusCleanOracle: String = corpusCleanOracle(ccSurvivor = false)
 
-  private def corpusCleanOracle(ccSurvivor: Boolean): String = {
+  private def corpusCleanOracle(ccSurvivor: Boolean): String =
+    s"""WITH RECURSIVE ${corpusCleanCtes(ccSurvivor)}
+       |SELECT doc_id, lang, lang_detected, quality FROM exact_kept
+       |WHERE doc_id NOT IN (SELECT doc FROM drops)
+       |ORDER BY doc_id""".stripMargin
+
+  /** The corpus-clean CTE chain (through `exact_kept` and `drops`) —
+    * shared by the clean oracles and the full-pipeline composition.
+    */
+  private def corpusCleanCtes(ccSurvivor: Boolean): String = {
     val hits = TextAnalysis.langMarkers.map { case (lang, ms) => lang -> langHitsSql(ms) }
     val hitCols = hits.map { case (lang, h) => s"($h) AS hit_$lang" }.mkString(",\n  ")
     val best = "greatest(" + hits.map(h => s"hit_${h._1}").mkString(", ") + ")"
@@ -507,7 +537,7 @@ object QueriesData {
           |drops AS (
           |  SELECT node AS doc FROM comp WHERE root <> node
           |  UNION SELECT doc FROM big_drops)""".stripMargin
-    s"""WITH RECURSIVE hitted AS (
+    s"""hitted AS (
        |  SELECT doc_id, text, lang,
        |  $hitCols,
        |  $qualitySql AS quality
@@ -523,11 +553,38 @@ object QueriesData {
        |      ORDER BY doc_id) AS rn
        |    FROM gated) t WHERE rn = 1),
        |${minhashMd5Ctes("exact_kept", 0.8, maxBucket = Some(100))},
-       |$dropsCtes
-       |SELECT doc_id, lang, lang_detected, quality FROM exact_kept
-       |WHERE doc_id NOT IN (SELECT doc FROM drops)
-       |ORDER BY doc_id""".stripMargin
+       |$dropsCtes""".stripMargin
   }
+
+  /** Full pretraining composition oracle: corpus clean → benchmark
+    * decontamination (vs the doc_id%25=7 slice) → 32/24 chunking with
+    * per-chunk token counts.
+    */
+  private def pretrainOracle: String =
+    s"""WITH RECURSIVE ${corpusCleanCtes(ccSurvivor = false)},
+       |kept AS (
+       |  SELECT doc_id, text FROM exact_kept
+       |  WHERE doc_id NOT IN (SELECT doc FROM drops)),
+       |bw AS (SELECT doc_id, $wordsSql AS ws FROM documents WHERE doc_id % 25 = 7),
+       |bsh AS (SELECT DISTINCT g FROM bw, unnest(${shinglesSql("ws")}) AS t(g)),
+       |kw AS (SELECT doc_id, $wordsSql AS ws FROM kept),
+       |ksh AS (SELECT doc_id, unnest(list_distinct(${shinglesSql("ws")})) AS g FROM kw),
+       |ov AS (
+       |  SELECT doc_id, count(*) AS n,
+       |    count(*) FILTER (g IN (SELECT g FROM bsh)) AS m
+       |  FROM ksh GROUP BY doc_id),
+       |decon_drop AS (
+       |  SELECT doc_id FROM ov
+       |  WHERE CAST(m AS DOUBLE) / CAST(n AS DOUBLE) >= CAST(0.5 AS DOUBLE)),
+       |final AS (SELECT doc_id, ws FROM kw
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM decon_drop)),
+       |ch AS (SELECT doc_id, ws,
+       |  CAST(ceil(CAST(greatest(len(ws) - 32, 0) AS DOUBLE) / CAST(24.0 AS DOUBLE)) AS INT) + 1 AS nch
+       |  FROM final)
+       |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       |  len(list_filter(list_slice(ws, i * 24 + 1, i * 24 + 32), x -> x <> '')) AS n_tokens
+       |FROM ch, unnest(range(0, nch)) AS t(i)
+       |ORDER BY doc_id, chunk_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_minhash_md5" -> minhashMd5Oracle,
@@ -535,6 +592,7 @@ object QueriesData {
     "q_dedup_incremental" -> incrementalDedupOracle,
     "q_pipeline_corpus" -> corpusCleanOracle,
     "q_pipeline_corpus_cc" -> corpusCleanOracle(ccSurvivor = true),
+    "q_pipeline_pretrain" -> pretrainOracle,
 
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
