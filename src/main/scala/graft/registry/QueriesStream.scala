@@ -30,6 +30,15 @@ object QueriesStream {
         .withColumn("total_value", col("total_value").cast("double"))
         .orderBy(col("user_id"), col("session_start_us"))),
 
+    // Trailing-30-minute per-event user features (RANGE frame: one
+    // shuffle + sort, no self-join).
+    "q_event_features" -> ((s, dir) =>
+      EventsStream.trailingFeatures(
+          TestTables.events(s, dir).withColumn("value", col("value").cast("decimal(18,2)")),
+          windowUs = 1800000000L)
+        .withColumn("sum_trailing", col("sum_trailing").cast("double"))
+        .orderBy(col("event_id"))),
+
     // Click attribution batch twin: purchases × same-user clicks in the
     // preceding 30 minutes (StreamingSpec runs the SAME function as a
     // watermarked stream-stream interval join and asserts equality).
@@ -84,6 +93,15 @@ object QueriesStream {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM numbered GROUP BY user_id, session
         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "q_event_features" ->
+      """SELECT event_id, user_id, ts_us,
+        |  count(*) OVER w AS n_trailing,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing
+        |FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events) e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |             RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q_stream_attribution" ->
       """WITH e AS (

@@ -28,6 +28,25 @@ object EventsStream {
   def withWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", delay)
 
+  /** Trailing-window per-event features (online-ML feature
+    * engineering): for every event, the count and value sum of the
+    * SAME user's events in the preceding `windowUs` microseconds,
+    * inclusive of the event itself. A RANGE-frame window — one shuffle
+    * on user, one sort, no self-join; ties on ts_us share a frame, so
+    * the result is ordering-independent and exact. `value` should be
+    * pre-cast to DECIMAL by the caller when the sum feeds a
+    * value-level oracle (double accumulation is order-dependent).
+    */
+  def trailingFeatures(events: DataFrame, windowUs: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-windowUs, org.apache.spark.sql.expressions.Window.currentRow)
+    events.select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      .withColumn("n_trailing", count(lit(1)).over(w))
+      .withColumn("sum_trailing", sum(col("value")).over(w))
+      .drop("value")
+  }
+
   /** Click attribution: each purchase joined to every click by the same
     * user within the preceding `window`. Defined once over two frames:
     * on batch inputs it's a plain range join; on WATERMARKED streaming

@@ -75,6 +75,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterReplay == afterFirst, "replay must converge, not duplicate")
   }
 
+  test("trailing features: RANGE frame includes self, ties, and the exact boundary") {
+    val ev = Seq(
+      (1L, 10L, 0L, 1.0),          // t=0
+      (2L, 10L, 1800000000L, 2.0), // exactly 30 min later — boundary INCLUDES t=0
+      (3L, 10L, 1800000001L, 4.0), // 1 µs past — t=0 drops out
+      (4L, 10L, 1800000001L, 8.0), // tie with event 3: shared frame
+      (5L, 99L, 0L, 16.0)          // other user, isolated
+    ).toDF("event_id", "user_id", "ts_us", "value")
+    val out = EventsStream.trailingFeatures(ev, windowUs = 1800000000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((1L, 1.0)))
+    assert(out(2L) == ((2L, 3.0)), "boundary event sees t=0")
+    assert(out(3L) == ((3L, 14.0)), "tied events share one frame (2+4+8)")
+    assert(out(4L) == ((3L, 14.0)))
+    assert(out(5L) == ((1L, 16.0)), "users are independent")
+  }
+
   test("click attribution: stream-stream interval join equals the batch range join") {
     val purchases = streamSource().filter($"event_type" === "purchase").withWatermark("ts", "1 hour")
     val clicks = streamSource().filter($"event_type" === "click").withWatermark("ts", "1 hour")
