@@ -31,5 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(graft.functions.WordShingles.fnName),
       new ExpressionInfo(classOf[graft.functions.WordShingles].getName, graft.functions.WordShingles.fnName),
       (exprs: Seq[Expression]) => graft.functions.WordShingles(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.TopKCount.fnName),
+      new ExpressionInfo(classOf[graft.functions.TopKCount].getName, graft.functions.TopKCount.fnName),
+      (exprs: Seq[Expression]) => graft.functions.TopKCount(exprs(0), exprs(1), exprs(2))))
   }
 }
