@@ -166,6 +166,27 @@ object QueriesB {
     // B4: Excel round-trip — write a slice to .xlsx (zip+SpreadsheetML,
     // JDK-only), read it back dtype=str like the reference's
     // pd.read_excel, coerce, and verify values survive both directions.
+    // B2 variants: JSON-lines and ORC source/sink round-trips — the
+    // interchange formats a Spark-native warehouse meets beside
+    // parquet/CSV/Excel. Schema is declared on read-back (JSON infers
+    // strings otherwise); doubles survive JSON text via Spark's
+    // round-trip float formatting.
+    "q_b02_json_roundtrip" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_json").toString + "/cust"
+      val slice = TestTables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+      slice.write.mode("overwrite").json(path)
+      s.read.schema(slice.schema).json(path).orderBy(col("c_custkey"))
+    }),
+    "q_b02_orc_roundtrip" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/orders"
+      val slice = TestTables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          to_date(col("o_orderdate")).as("order_date"))
+      slice.write.mode("overwrite").orc(path)
+      s.read.orc(path).orderBy(col("o_orderkey"))
+    }),
+
     "q_b04_excel_roundtrip" -> ((s, dir) => {
       val path = java.nio.file.Files.createTempDirectory("graft_xlsx").toString + "/cust.xlsx"
       val slice = TestTables.customer(s, dir)
@@ -322,6 +343,15 @@ object QueriesB {
 
     "q_b30_head" ->
       """SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 10""".stripMargin,
+
+    "q_b02_json_roundtrip" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_b02_orc_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(o_orderdate AS DATE) AS order_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_b04_excel_roundtrip" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal

@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.datapipe.{Decontam, Dedup, IncrementalDedup, Keywords, Multimodal, Quantize, Similarity, TextAnalysis}
+import graft.datapipe.{Boilerplate, Decontam, Dedup, IncrementalDedup, Keywords, Multimodal, Quantize, Similarity, TextAnalysis}
 import graft.tables.TestTables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -147,6 +147,23 @@ object QueriesData {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus-frequency boilerplate removal (line-level dedup): the
+    // synthetic docs are single-line, so both engines plant the same
+    // template chrome — a header on every 3rd doc, a footer on every
+    // 2nd, and a rare promo line on every 97th (below the 25% document-
+    // frequency threshold, so it must SURVIVE). The operator strips the
+    // header/footer from every doc and keeps body + promo in order.
+    "q_text_boilerplate" -> ((s, dir) => {
+      val planted = TestTables.documents(s, dir).select(col("doc_id"),
+        concat_ws("\n",
+          when(col("doc_id") % 3 === 0, "== corpus header =="),
+          col("text"),
+          when(col("doc_id") % 2 === 0, "(c) 2026 corpus footer"),
+          when(col("doc_id") % 97 === 0, "limited time offer - subscribe now")).as("text"))
+      Boilerplate.strip(planted, "doc_id", "text", minDocFrac = 0.25)
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark decontamination: corpus docs (doc_id % 25 != 7) scored
     // by trigram overlap against the benchmark slice (doc_id % 25 = 7).
     "q_decontaminate" -> ((s, dir) => {
@@ -187,6 +204,23 @@ object QueriesData {
           col("n_chars"), col("dup_docs"), col("corpus_quality"))
         .orderBy(col("source"), col("lang"))
     }),
+
+    // Heavy hitters in bounded memory: top-8 terms per language via the
+    // SpaceSaving sketch aggregate (a custom TypedImperativeAggregate —
+    // only capacity-sized summaries ever shuffle, vs materializing the
+    // full term-frequency table for a top-8 answer). capacity 64 >= the
+    // corpus vocabulary, so counts are exact here and the oracle
+    // hash-checks; the saturated regime's error bounds are
+    // property-tested in TopKCountSpec.
+    "q_corpus_top_terms" -> ((s, dir) =>
+      TestTables.documents(s, dir)
+        .select(col("lang"), explode(TextAnalysis.words(col("text"))).as("term"))
+        .groupBy(col("lang"))
+        .agg(graft.functions.TopKCount.of(col("term"), 8, 64).as("tk"))
+        .select(col("lang"), posexplode(col("tk")).as(Seq("idx", "e")))
+        .select(col("lang"), (col("idx") + 1).as("rank"),
+          col("e.term").as("term"), col("e.cnt").as("cnt"))
+        .orderBy(col("lang"), col("rank"))),
 
     // Full pretraining data pipeline in ONE plan: lang gate → quality
     // gate → exact dedup → near-dup removal → benchmark
@@ -668,6 +702,30 @@ object QueriesData {
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 
+    "q_text_boilerplate" ->
+      """WITH planted AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    CASE WHEN doc_id % 3 = 0 THEN '== corpus header ==' END,
+        |    text,
+        |    CASE WHEN doc_id % 2 = 0 THEN '(c) 2026 corpus footer' END,
+        |    CASE WHEN doc_id % 97 = 0 THEN 'limited time offer - subscribe now' END) AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, generate_subscripts(l, 1) AS ord, unnest(l) AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM planted)),
+        |hashed AS (SELECT doc_id, ord, line, md5(trim(lower(line))) AS h FROM lines),
+        |bp AS (
+        |  SELECT h FROM hashed GROUP BY h
+        |  HAVING CAST(count(DISTINCT doc_id) AS DOUBLE)
+        |         >= (SELECT CAST(count(*) AS DOUBLE) FROM documents) * CAST(0.25 AS DOUBLE)),
+        |kept AS (SELECT * FROM hashed WHERE h NOT IN (SELECT h FROM bp)),
+        |clean AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(c.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN clean c ON d.doc_id = c.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_decontaminate" ->
       s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
          |sh AS (SELECT doc_id, ${shinglesSql("ws")} AS sg FROM w),
@@ -701,6 +759,15 @@ object QueriesData {
          |  CAST(n_stop AS DOUBLE) / greatest(CAST(n_tokens AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(2.0 AS DOUBLE)
          |    - CAST(n_punct AS DOUBLE) / greatest(CAST(n_chars AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(4.0 AS DOUBLE) AS corpus_quality
          |FROM g ORDER BY source, lang""".stripMargin,
+
+    "q_corpus_top_terms" ->
+      s"""WITH w AS (SELECT lang, unnest($wordsSql) AS term FROM documents),
+         |counts AS (SELECT lang, term, count(*) AS cnt FROM w GROUP BY lang, term),
+         |r AS (SELECT lang, term, cnt,
+         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS INT) AS rank
+         |  FROM counts)
+         |SELECT lang, rank, term, cnt FROM r WHERE rank <= 8
+         |ORDER BY lang, rank""".stripMargin,
 
     "q_text_collocations" ->
       s"""WITH wl AS (SELECT doc_id, $wordsSql AS ws FROM documents),
