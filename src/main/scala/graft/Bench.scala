@@ -35,7 +35,9 @@ object Bench {
     "q_sample_stratified",
     "q_text_keywords",
     "q_decontaminate",
-    "q_pipeline_pretrain")
+    "q_pipeline_pretrain",
+    "q_text_boilerplate",
+    "q_corpus_top_terms")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
