@@ -1,6 +1,6 @@
 package graft.datapipe
 
-import graft.ops.{ColumnOps, Joins}
+import graft.ops.Joins
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -39,9 +39,11 @@ object Boilerplate {
   def strip(docs: DataFrame, idCol: String, textCol: String,
             minDocFrac: Double, delim: String = "\n"): DataFrame = {
     require(minDocFrac > 0.0 && minDocFrac <= 1.0, "minDocFrac in (0, 1]")
+    // coalesce: a null text must still yield an output row ("" after
+    // cleaning), and posexplode of a null array would drop the doc.
     val lines = docs
       .select(col(idCol).as("__doc"),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+        posexplode(split(coalesce(col(textCol), lit("")), java.util.regex.Pattern.quote(delim)))
           .as(Seq("__ord", "__line")))
       .withColumn("__h", lineKey(col("__line")))
 
@@ -56,12 +58,23 @@ object Boilerplate {
         .filter(col("__df").cast("double") >= col("__n").cast("double") * lit(minDocFrac))
         .select(col("__h")))
 
-    val kept = lines.join(Joins.broadcastIfSmall(boilerplate), Seq("__h"), "left_anti")
-    val clean = kept.groupBy(col("__doc"))
-      .agg(ColumnOps.stringAgg(col("__ord"), col("__line"), delim).as("clean_text"))
-
-    docs.select(col(idCol))
-      .join(clean, col(idCol) === col("__doc"), "left")
-      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
+    // Flag-and-aggregate, not anti-join-and-rejoin: collect_list skips
+    // the nulled-out boilerplate entries (the whole struct is nulled —
+    // a struct with a null field would NOT be skipped), so an
+    // all-boilerplate doc reduces to "" in the SAME aggregation — every
+    // doc has >= 1 line, hence exactly one output row, and no outer
+    // join back to the doc list. The boilerplate set is bounded by
+    // avg-lines-per-doc / minDocFrac regardless of corpus size, but
+    // the hint stays evidence-gated.
+    lines
+      .join(Joins.broadcastIfSmall(boilerplate.withColumn("__bp", lit(1))), Seq("__h"), "left")
+      .groupBy(col("__doc"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(when(col("__bp").isNull,
+            struct(col("__ord").as("k"), col("__line").as("v"))))),
+          x => x("v")),
+        delim).as("clean_text"))
+      .select(col("__doc").as(idCol), col("clean_text"))
   }
 }

@@ -55,6 +55,15 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(clean == Map(1L -> "", 2L -> "", 3L -> "extra"))
   }
 
+  test("null text yields an empty-string row, not a dropped doc") {
+    val d = Seq((1L, "shared"), (2L, "shared"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val clean = Boilerplate.strip(d, "doc_id", "text", 0.6)
+      .as[(Long, String)].collect().toMap
+    assert(clean.keySet == Set(1L, 2L, 3L))
+    assert(clean(1L) == "" && clean(3L) == "")
+  }
+
   test("duplicate lines inside one doc count once toward document frequency") {
     // "echo" appears twice in doc 1 only: df = 1/3 < 0.5 ⇒ kept (twice).
     val d = Seq((1L, "echo\necho\nmine"), (2L, "two"), (3L, "three"))
