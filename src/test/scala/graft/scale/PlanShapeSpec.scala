@@ -158,6 +158,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"row_number filter must infer a group limit:\n$plan")
   }
 
+  test("boilerplate strip: one corpus scan, broadcast flag join, partial+final reassembly agg") {
+    val docs = graft.tables.TestTables.documents(spark, dir)
+    val plan = graft.datapipe.Boilerplate.strip(docs, "doc_id", "text", 0.25)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"flag-and-aggregate shape reads the corpus once, found $scans scans:\n$plan")
+    // The (bounded) boilerplate set joins broadcast; the corpus must
+    // never shuffle on the line hash.
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled on line hash:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"only the doc-id reassembly exchange expected, found $exchanges:\n$plan")
+  }
+
+  test("topk_count aggregation: one exchange, capacity-sized summaries shuffle (partial stage)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.tables.TestTables.documents(spark, dir)
+    val plan = docs
+      .select(col("lang"), explode(graft.datapipe.TextAnalysis.words(col("text"))).as("term"))
+      .groupBy(col("lang")).agg(graft.functions.TopKCount.of(col("term"), 8, 64).as("tk"))
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2,
+      s"partial + final sketch stages expected:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"raw terms must never shuffle — only merged sketches, found $exchanges:\n$plan")
+  }
+
   test("salted aggregation introduces no extra full-table exchange beyond the two phases") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
