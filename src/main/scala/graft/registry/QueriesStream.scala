@@ -50,6 +50,16 @@ object QueriesStream {
         .orderBy(col("purchase_id"), col("click_id"))
     }),
 
+    // Trending heavy hitters per 6-hour window via the SpaceSaving
+    // sketch aggregate (capacity 64 >> the 5 event types, so counts
+    // are exact and the oracle hash-checks). StreamingSpec runs the
+    // stateful twin — the sketch as flatMapGroupsWithState state —
+    // and asserts it converges to this batch result.
+    "q_stream_trending" -> ((s, dir) =>
+      EventsStream.trendingBatch(TestTables.events(s, dir),
+          windowMinutes = 360, k = 3, capacity = 64)
+        .orderBy(col("window_start"), col("rank"))),
+
     // Exactly-once over the reference's overlapping poll windows: the
     // current 4.5h window unioned with the previous poll's tail
     // (30-minute overlap), deduped to one copy per event. The streaming
@@ -115,6 +125,18 @@ object QueriesStream {
         | AND c.user_id = p.user_id
         | AND c.t >= p.t - INTERVAL 30 MINUTES AND c.t <= p.t
         |ORDER BY purchase_id, click_id""".stripMargin,
+
+    "q_stream_trending" ->
+      """WITH w AS (
+        |  SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 21600000000) * 21600000000) AS window_start,
+        |    event_type AS term
+        |  FROM events),
+        |c AS (SELECT window_start, term, count(*) AS cnt FROM w GROUP BY 1, 2),
+        |r AS (SELECT window_start, term, cnt,
+        |  CAST(row_number() OVER (PARTITION BY window_start ORDER BY cnt DESC, term) AS INT) AS rank
+        |  FROM c)
+        |SELECT window_start, rank, term, cnt FROM r WHERE rank <= 3
+        |ORDER BY window_start, rank""".stripMargin,
 
     "q_stream_dedup_overlap" ->
       """WITH e AS (

@@ -138,6 +138,51 @@ object EventsStream {
     stateRows.toDF()
   }
 
+  final case class TrendEvent(window_start_us: Long, term: String)
+  final case class TrendOut(window_start_us: Long, rank: Int, term: String, cnt: Long)
+
+  /** Trending heavy hitters per tumbling window — batch twin: the
+    * SpaceSaving sketch aggregate over (window, term). Bounded memory
+    * at any term cardinality; exact (and oracle-checkable) while
+    * `capacity` exceeds the per-window cardinality.
+    */
+  def trendingBatch(events: DataFrame, windowMinutes: Int, k: Int, capacity: Int): DataFrame =
+    events
+      .groupBy(window(col("ts"), s"$windowMinutes minutes").as("w"))
+      .agg(graft.functions.TopKCount.of(col("event_type"), k, capacity).as("tk"))
+      .select(col("w.start").as("window_start"), posexplode(col("tk")).as(Seq("idx", "e")))
+      .select(col("window_start"), (col("idx") + 1).as("rank"),
+        col("e.term").as("term"), col("e.cnt").as("cnt"))
+
+  /** Streaming twin: the SAME sketch is the per-window stream state
+    * (flatMapGroupsWithState keyed on the window start), updated per
+    * micro-batch and re-emitting the window's current top-k — the
+    * live "trending now" surface. State per window is one serialized
+    * capacity-bounded summary, NOT the term set; a production deploy
+    * would add an event-time timeout to drop window state once the
+    * watermark passes the window end (same trade as sessionizeStream).
+    */
+  def trendingStream(events: Dataset[TrendEvent], k: Int, capacity: Int): Dataset[TrendOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.window_start_us)
+      .flatMapGroupsWithState[Array[Byte], TrendOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (ws: Long, rows: Iterator[TrendEvent], state: GroupState[Array[Byte]]) =>
+          val summary = state.getOption
+            .map(graft.functions.TopKCount.Summary.fromBytes)
+            .getOrElse(new graft.functions.TopKCount.Summary(capacity))
+          rows.foreach(r =>
+            summary.add(org.apache.spark.unsafe.types.UTF8String.fromString(r.term)))
+          state.update(summary.toBytes)
+          val arr = summary.topK(k)
+          (0 until arr.numElements()).iterator.map { i =>
+            val s = arr.getStruct(i, 3)
+            TrendOut(ws, i + 1, s.getUTF8String(0).toString, s.getLong(1))
+          }
+      }
+  }
+
   /** Exactly-once over overlapping poll windows. The reference re-reads
     * a 30-minute overlap on every 4-hour poll (the T-SQL window is
     * 4.5 h wide) and relies on downstream dedup to not double-load the

@@ -176,6 +176,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq, "stream must emit each event exactly once")
   }
 
+  test("trending sketch state: final per-window top-k equals the batch sketch aggregate") {
+    val windowUs = 360L * 60 * 1000000
+    val src = streamSource()
+      .select((expr(s"ts_us div ${windowUs}L") * windowUs).as("window_start_us"),
+        $"event_type".as("term"))
+      .as[EventsStream.TrendEvent]
+    val q = EventsStream.trendingStream(src, k = 3, capacity = 64)
+      .writeStream.format("memory").queryName("trending")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // Update mode re-emits a window's top-k every time its sketch
+    // changes; the LAST emission per (window, rank) is the final state.
+    val streamed = spark.table("trending")
+      .withColumn("__seq", monotonically_increasing_id())
+      .groupBy($"window_start_us", $"rank")
+      .agg(max_by(struct($"term", $"cnt"), $"__seq").as("e"))
+      .select($"window_start_us", $"rank", $"e.term", $"e.cnt")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    val batch = EventsStream.trendingBatch(
+        graft.tables.TestTables.events(spark, "/root/testdata/sf0.001"),
+        windowMinutes = 360, k = 3, capacity = 64)
+      .collect().map(r => (r.getTimestamp(0).toInstant.toEpochMilli * 1000L,
+        r.getInt(1), r.getString(2), r.getLong(3))).toSet
+    assert(streamed == batch,
+      s"stream state must converge to the batch sketch: ${streamed.size} vs ${batch.size}")
+  }
+
   test("stateful sessionization: closed stream sessions match batch sessions") {
     val src = streamSource().select($"user_id", $"ts_us", $"value").as[EventsStream.SessionEvent]
     val q = EventsStream.sessionizeStream(src)
