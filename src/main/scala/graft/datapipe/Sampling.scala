@@ -131,12 +131,25 @@ object Sampling {
     * percentile (type-7 linear interpolation — identical in Spark's
     * `percentile` and DuckDB's `quantile_cont`). The threshold is a
     * 1-row aggregate broadcast to the filter: two passes over the
-    * metric column, no full sort. At 100 TB swap `percentile` for
-    * `approx_percentile` and accept the documented drift — the plan
-    * shape is the same.
+    * metric column, no full sort. At 100 TB use `percentileGateApprox`
+    * below — same plan shape, bounded-memory sketch threshold.
     */
   def percentileGate(df: DataFrame, metric: Column, p: Double): DataFrame = {
     val thr = df.agg(percentile(metric, lit(p)).as("__thr"))
+    df.join(broadcast(thr)).filter(metric >= col("__thr")).drop("__thr")
+  }
+
+  /** The 100-TB form of `percentileGate`: the threshold comes from
+    * `approx_percentile` (Greenwald-Khanna), whose sketch merges in
+    * bounded memory instead of collecting per-group value arrays the
+    * way exact `percentile` does. Same two-pass plan shape; `accuracy`
+    * bounds the rank error to `n / accuracy` rows around the cut — the
+    * kept fraction is (1 − p) ± 1/accuracy, NOT exact, which is fine
+    * for a quality gate and property-tested in SamplingSpec.
+    */
+  def percentileGateApprox(df: DataFrame, metric: Column, p: Double,
+                           accuracy: Int = 10000): DataFrame = {
+    val thr = df.agg(approx_percentile(metric, lit(p), lit(accuracy)).as("__thr"))
     df.join(broadcast(thr)).filter(metric >= col("__thr")).drop("__thr")
   }
 

@@ -138,6 +138,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(maxDropped < minKept, s"gate must be a clean cut: dropped max $maxDropped vs kept min $minKept")
   }
 
+  test("percentileGateApprox: clean cut, kept fraction within the sketch's rank-error bound") {
+    import spark.implicits._
+    val n = 10000
+    val scored = (1 to n).map(i => (i.toLong, (i * 7919 % n).toDouble)).toDF("id", "q")
+    val accuracy = 1000 // rank error <= n/accuracy = 10 rows
+    val kept = Sampling.percentileGateApprox(scored, $"q", 0.9, accuracy)
+    val k = kept.count()
+    val expected = n / 10
+    assert(math.abs(k - expected) <= n / accuracy + 1,
+      s"kept $k, expected $expected +/- ${n / accuracy}")
+    // Still a clean threshold cut even though the threshold is approximate.
+    val minKept = kept.agg(min($"q")).as[Double].head()
+    val maxDropped = scored.join(kept.select($"id"), Seq("id"), "left_anti")
+      .agg(max($"q")).as[Double].head()
+    assert(maxDropped < minKept)
+  }
+
   test("packSequences assigns every doc once and bins only overflow by their last doc") {
     val budget = 512L
     val packed = Sampling.packSequences(docs, $"doc_id",
