@@ -41,6 +41,40 @@ object QueriesPipeline {
       Sinks.upsert(old, updates, "o_orderkey").orderBy(col("o_orderkey"))
     }),
 
+    // D2 upgraded to SCD-2: fold timestamped updates into a validity-
+    // interval dimension (the write side of the as-of join). Planted
+    // shapes: a closed history row on every 10th key (must pass
+    // through untouched), a real segment change on every 3rd key at
+    // t1, a restated no-op on every 5th (non-3rd) key (must collapse),
+    // and a revert back on every 6th key at t2 (a real change again).
+    "q_d2_scd2" -> ((s, dir) => {
+      val c = TestTables.customer(s, dir)
+      def d(iso: String) = to_date(lit(iso))
+      val open = c.select(col("c_custkey"), d("2020-01-01").as("valid_from"),
+        lit(null).cast("date").as("valid_to"),
+        col("c_mktsegment").as("segment"), col("c_acctbal").as("acctbal"))
+      val hist = c.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), d("2019-01-01").as("valid_from"),
+          d("2020-01-01").as("valid_to"),
+          concat(lit("OLD-"), col("c_mktsegment")).as("segment"), col("c_acctbal").as("acctbal"))
+      val u1 = c.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), d("2021-06-01").as("ts"),
+          concat(lit("NEW-"), col("c_mktsegment")).as("segment"), col("c_acctbal").as("acctbal"))
+      val noop = c.filter(col("c_custkey") % 5 === 0 && col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey"), d("2021-09-01").as("ts"),
+          col("c_mktsegment").as("segment"), col("c_acctbal").as("acctbal"))
+      val u2 = c.filter(col("c_custkey") % 6 === 0)
+        .select(col("c_custkey"), d("2022-06-01").as("ts"),
+          col("c_mktsegment").as("segment"), col("c_acctbal").as("acctbal"))
+      graft.relational.Scd2.applyChanges(
+          hist.unionByName(open), u1.unionByName(noop).unionByName(u2),
+          "c_custkey", "ts", Seq("segment", "acctbal"))
+        // Open rows project the conventional 9999-12-31 high date (also
+        // keeps the hash compare off null-date representation).
+        .withColumn("valid_to", coalesce(col("valid_to"), d("9999-12-31")))
+        .orderBy(col("c_custkey"), col("valid_from"))
+    }),
+
     // D2 at scale: partition-pruned MERGE — only month partitions that
     // contain updated keys are rewritten; the swap is rename-aside.
     "q_d2_upsert_pruned" -> ((s, dir) => {
@@ -90,6 +124,38 @@ object QueriesPipeline {
         |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * CAST(2.0 AS DOUBLE)
         |       ELSE o_totalprice END AS o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_d2_scd2" ->
+      """WITH cur_open AS (
+        |  SELECT c_custkey, DATE '2020-01-01' AS ts, c_mktsegment AS segment, c_acctbal AS acctbal
+        |  FROM customer),
+        |upd AS (
+        |  SELECT c_custkey, DATE '2021-06-01' AS ts, 'NEW-' || c_mktsegment AS segment, c_acctbal AS acctbal
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, DATE '2021-09-01', c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey, DATE '2022-06-01', c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_custkey % 6 = 0),
+        |vers AS (SELECT * FROM cur_open UNION ALL SELECT * FROM upd),
+        |flagged AS (
+        |  SELECT *, row_number() OVER w AS rn,
+        |    (segment IS DISTINCT FROM lag(segment) OVER w)
+        |      OR (acctbal IS DISTINCT FROM lag(acctbal) OVER w) AS chg
+        |  FROM vers WINDOW w AS (PARTITION BY c_custkey ORDER BY ts)),
+        |kept AS (SELECT c_custkey, ts, segment, acctbal FROM flagged WHERE rn = 1 OR chg),
+        |closed AS (
+        |  SELECT c_custkey, segment, acctbal, ts AS valid_from,
+        |    coalesce(lead(ts) OVER (PARTITION BY c_custkey ORDER BY ts),
+        |             DATE '9999-12-31') AS valid_to
+        |  FROM kept),
+        |hist AS (
+        |  SELECT c_custkey, 'OLD-' || c_mktsegment AS segment, c_acctbal AS acctbal,
+        |    DATE '2019-01-01' AS valid_from, DATE '2020-01-01' AS valid_to
+        |  FROM customer WHERE c_custkey % 10 = 0)
+        |SELECT * FROM closed UNION ALL SELECT * FROM hist
+        |ORDER BY c_custkey, valid_from""".stripMargin,
 
     "q_d2_upsert_pruned" ->
       """SELECT o_orderkey,
