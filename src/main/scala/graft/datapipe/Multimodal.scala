@@ -59,10 +59,129 @@ object Multimodal {
       meta.getField("format").as("format"))
   }
 
+  // ---------------------------------------------------------------
+  // REAL audio codec: RIFF/WAVE PCM16 needs no codec library — it's
+  // a chunked byte format — so unlike the image/video stub below,
+  // the audio path encodes and decodes actual WAV files. The
+  // q_mm_wav_roundtrip oracle computes the same features from the
+  // closed-form sample definition in SQL: if this decoder misreads
+  // headers, chunk sizes, or sample bytes, the hash compare fails.
+  // ---------------------------------------------------------------
+
+  /** Encode mono PCM16 samples as a standard RIFF/WAVE byte array. */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate = sr * block align
+      .putShort(2).putShort(16) // block align, bits/sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Decode a mono PCM16 RIFF/WAVE byte array: walk the chunk list
+    * (skipping unknown chunks, honoring odd-size padding), parse
+    * `fmt `, slice `data`. Returns (sampleRate, samples).
+    */
+  def decodeWavPcm16(bytes: Array[Byte]): (Int, Array[Short]) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourCC(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(fourCC() == "RIFF", "not a RIFF file")
+    buf.getInt // riff payload size (trust the chunk walk, not this)
+    require(fourCC() == "WAVE", "not a WAVE file")
+    var sampleRate = -1
+    var samples: Array[Short] = null
+    while (buf.remaining() >= 8 && (sampleRate < 0 || samples == null)) {
+      val id = fourCC()
+      val size = buf.getInt
+      id match {
+        case "fmt " =>
+          val fmtEnd = buf.position() + size
+          val audioFormat = buf.getShort
+          val channels = buf.getShort
+          require(audioFormat == 1 && channels == 1, s"only PCM mono supported, got fmt=$audioFormat ch=$channels")
+          sampleRate = buf.getInt
+          buf.getInt; buf.getShort // byte rate, block align
+          require(buf.getShort == 16, "only 16-bit samples supported")
+          buf.position(fmtEnd)
+        case "data" =>
+          require(size % 2 == 0 && size <= buf.remaining(), s"bad data chunk size $size")
+          samples = new Array[Short](size / 2)
+          var i = 0
+          while (i < samples.length) { samples(i) = buf.getShort; i += 1 }
+        case _ =>
+          buf.position(buf.position() + size + (size & 1)) // unknown chunk + pad byte
+      }
+    }
+    require(sampleRate > 0 && samples != null, "missing fmt/data chunk")
+    (sampleRate, samples)
+  }
+
+  /** Synthesize a deterministic WAV per row (the offline stand-in for
+    * reading real recordings): n = 400 + (id % 5) * 200 samples of
+    * s(i) = ((id * 31 + i * 7) % 2048) - 1024 at 8 kHz — the closed
+    * form the roundtrip oracle recomputes in SQL.
+    */
+  def synthWav(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType), StructField("content", BinaryType)))
+    val enc = Encoders.row(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val n = (400 + (id % 5) * 200).toInt
+        val samples = Array.tabulate(n)(i => (((id * 31 + i * 7) % 2048) - 1024).toShort)
+        Row(id, encodeWavPcm16(samples, 8000))
+      }
+    }(enc)
+  }
+
+  /** Real decode + feature extraction over WAV content, batch-shaped
+    * like `decodeFeatures`: per clip, (sample_rate, n_samples,
+    * duration_ms, peak, sum_sq, rms). Integer features throughout;
+    * rms is the one double, derived once per row from the integer
+    * sums (engine-exact: one division + one sqrt).
+    */
+  def decodeWavFeatures(media: DataFrame, batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("duration_ms", LongType),
+      StructField("peak", LongType),
+      StructField("sum_sq", LongType),
+      StructField("rms", DoubleType)))
+    val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val (sr, samples) = decodeWavPcm16(r.getAs[Array[Byte]](contentIdx))
+          var peak = 0L; var sumSq = 0L
+          samples.foreach { s =>
+            val v = s.toLong
+            if (math.abs(v) > peak) peak = math.abs(v)
+            sumSq += v * v
+          }
+          val n = samples.length.toLong
+          val rms = if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n.toDouble)
+          Row(r.getLong(idIdx), sr, n, n * 1000L / sr, peak, sumSq, rms)
+        }
+      }
+    }(enc)
+  }
+
   /** Decode + feature-extract, batch-shaped. Appends
     * (n_bytes, mean_byte, byte_checksum).
     *
-    * ===== STUB BOUNDARY =====
+    * ===== STUB BOUNDARY (image/video only — audio is real, above) ====
     * A real implementation hands each batch of byte arrays to a codec /
     * vision encoder (the mapInPandas shape: iterator of batches in,
     * iterator of batches out). Here the "decode" is a deterministic

@@ -351,6 +351,17 @@ object QueriesData {
     }),
 
     // Multimodal decode stub: batch-shaped byte features (rows-only;
+    // REAL audio roundtrip: synthesize closed-form PCM16 clips, encode
+    // to actual RIFF/WAVE bytes, decode them back and extract features.
+    // The oracle computes the same features straight from the sample
+    // formula in SQL — a header/chunk/byte bug in the codec fails the
+    // hash compare. (Image/video decode stays stubbed: q_mm_decode.)
+    "q_mm_wav_roundtrip" -> ((s, dir) => {
+      val media = Multimodal.synthWav(
+        TestTables.documents(s, dir).select(col("doc_id")), "doc_id")
+      Multimodal.decodeWavFeatures(media).orderBy(col("media_id"))
+    }),
+
     // feature values asserted in ScalaTest).
     "q_mm_decode" -> ((s, dir) => {
       val media = Multimodal.asMedia(sampledDocs(s, dir), "doc_id", "text", "n_chars")
@@ -701,6 +712,18 @@ object QueriesData {
          |                 '${TextAnalysis.phonePattern}', '[PHONE]', 'g') AS clean_text
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "q_mm_wav_roundtrip" ->
+      """WITH d AS (SELECT doc_id, 400 + (doc_id % 5) * 200 AS n FROM documents),
+        |s AS (SELECT doc_id, n, ((doc_id * 31 + i * 7) % 2048) - 1024 AS v
+        |      FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d)),
+        |agg AS (SELECT doc_id, n, max(abs(v)) AS peak,
+        |               CAST(sum(v * v) AS BIGINT) AS sum_sq
+        |        FROM s GROUP BY doc_id, n)
+        |SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
+        |  n AS n_samples, n * 1000 // 8000 AS duration_ms, peak, sum_sq,
+        |  sqrt(CAST(sum_sq AS DOUBLE) / CAST(n AS DOUBLE)) AS rms
+        |FROM agg ORDER BY media_id""".stripMargin,
 
     "q_text_boilerplate" ->
       """WITH planted AS (

@@ -1,0 +1,58 @@
+package graft.datapipe
+
+import graft.SharedSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class WavSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private val tone: Array[Short] = Array.tabulate(1000)(i => ((i * 37) % 2000 - 1000).toShort)
+
+  test("PCM16 encode/decode round-trips samples and rate exactly") {
+    val bytes = Multimodal.encodeWavPcm16(tone, 8000)
+    assert(bytes.length == 44 + 2000)
+    val (sr, back) = Multimodal.decodeWavPcm16(bytes)
+    assert(sr == 8000 && back.sameElements(tone))
+  }
+
+  test("decoder walks unknown chunks (with odd-size padding) to find fmt/data") {
+    val base = Multimodal.encodeWavPcm16(tone, 16000)
+    // Splice a 7-byte LIST chunk (padded to 8) between WAVE and fmt.
+    val junk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](7, 0, 0, 0) ++ Array.fill[Byte](7 + 1)(0x5A)
+    val spliced = base.take(12) ++ junk ++ base.drop(12)
+    // Fix the RIFF size field (little-endian at offset 4).
+    val riffLen = spliced.length - 8
+    for (i <- 0 until 4) spliced(4 + i) = ((riffLen >> (8 * i)) & 0xFF).toByte
+    val (sr, back) = Multimodal.decodeWavPcm16(spliced)
+    assert(sr == 16000 && back.sameElements(tone))
+  }
+
+  test("decoder rejects stereo, non-PCM, truncated data, and non-WAV bytes") {
+    val good = Multimodal.encodeWavPcm16(tone, 8000)
+    val stereo = good.clone(); stereo(22) = 2 // numChannels
+    assertThrows[IllegalArgumentException](Multimodal.decodeWavPcm16(stereo))
+    val float32 = good.clone(); float32(20) = 3 // audioFormat = IEEE float
+    assertThrows[IllegalArgumentException](Multimodal.decodeWavPcm16(float32))
+    assertThrows[IllegalArgumentException](Multimodal.decodeWavPcm16(good.take(100)))
+    assertThrows[IllegalArgumentException](
+      Multimodal.decodeWavPcm16("not audio at all, just text bytes".getBytes))
+  }
+
+  test("synth + decode features match the closed form on a DataFrame") {
+    val ids = Seq(0L, 1L, 4L, 97L).toDF("doc_id")
+    val out = Multimodal.decodeWavFeatures(Multimodal.synthWav(ids, "doc_id"))
+      .as[(Long, Int, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    for (id <- Seq(0L, 1L, 4L, 97L)) {
+      val n = 400 + (id % 5) * 200
+      val vs = (0L until n).map(i => ((id * 31 + i * 7) % 2048) - 1024)
+      val sumSq = vs.map(v => v * v).sum
+      val (_, sr, nS, durMs, peak, sq, rms) = out(id)
+      assert(sr == 8000 && nS == n && durMs == n * 1000 / 8000)
+      assert(peak == vs.map(math.abs).max && sq == sumSq)
+      assert(rms == math.sqrt(sumSq.toDouble / n.toDouble))
+    }
+  }
+}
