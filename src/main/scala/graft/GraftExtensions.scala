@@ -35,5 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(graft.functions.TopKCount.fnName),
       new ExpressionInfo(classOf[graft.functions.TopKCount].getName, graft.functions.TopKCount.fnName),
       (exprs: Seq[Expression]) => graft.functions.TopKCount(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.TopKSum.fnName),
+      new ExpressionInfo(classOf[graft.functions.TopKSum].getName, graft.functions.TopKSum.fnName),
+      (exprs: Seq[Expression]) => graft.functions.TopKSum(exprs(0), exprs(1), exprs(2), exprs(3))))
   }
 }

@@ -89,6 +89,78 @@ case class TopKCount(
     copy(first = f, second = s, third = t)
 }
 
+/** `topk_sum(term, weight, k, capacity)` — the weighted SpaceSaving
+  * variant: top-k terms by SUMMED non-negative long weight instead of
+  * occurrence count (top domains by token volume, top users by bytes).
+  * Same summary, same guarantees with N = total weight; same exact
+  * regime when capacity is never exceeded.
+  */
+@ExpressionDescription(
+  usage = "topk_sum(term, weight, k, capacity) - top-k terms by summed weight via a bounded SpaceSaving sketch.")
+case class TopKSum(
+    term: Expression,
+    weight: Expression,
+    kExpr: Expression,
+    capExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKCount.Summary] {
+
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Int]
+  private lazy val capacity: Int = capExpr.eval().asInstanceOf[Int]
+
+  override def children: Seq[Expression] = Seq(term, weight, kExpr, capExpr)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (term.dataType != StringType || weight.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, bigint), got (${term.dataType.sql}, ${weight.dataType.sql})")
+    else if (!kExpr.foldable || !capExpr.foldable ||
+      kExpr.dataType != IntegerType || capExpr.dataType != IntegerType)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName expects literal int k and capacity")
+    else {
+      val kv = kExpr.eval().asInstanceOf[Int]
+      val cap = capExpr.eval().asInstanceOf[Int]
+      if (kv < 1 || cap < kv)
+        TypeCheckResult.TypeCheckFailure(s"$prettyName needs 1 <= k <= capacity, got k=$kv capacity=$cap")
+      else TypeCheckResult.TypeCheckSuccess
+    }
+
+  override def dataType: DataType = TopKCount.resultType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): TopKCount.Summary = new TopKCount.Summary(capacity)
+
+  override def update(b: TopKCount.Summary, input: InternalRow): TopKCount.Summary = {
+    val t = term.eval(input)
+    val w = weight.eval(input)
+    if (t != null && w != null) {
+      val wl = w.asInstanceOf[Long]
+      require(wl >= 0, s"$prettyName weight must be non-negative, got $wl")
+      if (wl > 0) b.add(t.asInstanceOf[UTF8String], wl)
+    }
+    b
+  }
+
+  override def merge(b: TopKCount.Summary, o: TopKCount.Summary): TopKCount.Summary = b.mergeWith(o)
+  override def eval(b: TopKCount.Summary): Any = b.topK(k)
+  override def serialize(b: TopKCount.Summary): Array[Byte] = b.toBytes
+  override def deserialize(bytes: Array[Byte]): TopKCount.Summary = TopKCount.Summary.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(n: Int): TopKSum = copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): TopKSum = copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TopKSum =
+    copy(term = c(0), weight = c(1), kExpr = c(2), capExpr = c(3))
+}
+
+object TopKSum {
+  val fnName = "topk_sum"
+
+  /** Column-API entry point; requires GraftExtensions on the session. */
+  def of(term: Column, weight: Column, k: Int, capacity: Int): Column =
+    call_function(fnName, term, weight, lit(k), lit(capacity))
+}
+
 object TopKCount {
   val fnName = "topk_count"
 
@@ -121,6 +193,9 @@ object TopKCount {
     }
 
     def add(term: UTF8String): Unit = add(term, 1L, 0L)
+
+    /** Weighted increment (the topk_sum path). */
+    def add(term: UTF8String, by: Long): Unit = add(term, by, 0L)
 
     private def add(term: UTF8String, by: Long, err: Long): Unit = {
       val e = counts.get(term)

@@ -222,6 +222,19 @@ object QueriesData {
           col("e.term").as("term"), col("e.cnt").as("cnt"))
         .orderBy(col("lang"), col("rank"))),
 
+    // Weighted heavy hitters: top-4 languages per source by TOKEN
+    // volume (not doc count) — the topk_sum variant of the sketch.
+    "q_corpus_top_langs_by_tokens" -> ((s, dir) =>
+      TestTables.documents(s, dir)
+        .select(col("source"), col("lang"),
+          TextAnalysis.tokenCountWs(col("text")).cast("bigint").as("w"))
+        .groupBy(col("source"))
+        .agg(graft.functions.TopKSum.of(col("lang"), col("w"), 4, 64).as("tk"))
+        .select(col("source"), posexplode(col("tk")).as(Seq("idx", "e")))
+        .select(col("source"), (col("idx") + 1).as("rank"),
+          col("e.term").as("lang"), col("e.cnt").as("n_tokens"))
+        .orderBy(col("source"), col("rank"))),
+
     // Full pretraining data pipeline in ONE plan: lang gate → quality
     // gate → exact dedup → near-dup removal → benchmark
     // decontamination → context-window chunking with token counts.
@@ -791,6 +804,15 @@ object QueriesData {
          |  FROM counts)
          |SELECT lang, rank, term, cnt FROM r WHERE rank <= 8
          |ORDER BY lang, rank""".stripMargin,
+
+    "q_corpus_top_langs_by_tokens" ->
+      s"""WITH d AS (SELECT source, lang, CAST($tokensWsSqlData AS BIGINT) AS w FROM documents),
+         |c AS (SELECT source, lang, CAST(sum(w) AS BIGINT) AS n_tokens FROM d GROUP BY source, lang),
+         |r AS (SELECT source, lang, n_tokens,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY n_tokens DESC, lang) AS INT) AS rank
+         |  FROM c)
+         |SELECT source, rank, lang, n_tokens FROM r WHERE rank <= 4
+         |ORDER BY source, rank""".stripMargin,
 
     "q_text_collocations" ->
       s"""WITH wl AS (SELECT doc_id, $wordsSql AS ws FROM documents),

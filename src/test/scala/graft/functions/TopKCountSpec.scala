@@ -99,6 +99,20 @@ class TopKCountSpec extends AnyFunSuite {
     assert(out == Seq(("three", threes.toLong, 0L), ("seven", sevens.toLong, 0L)))
   }
 
+  test("topk_sum: weighted ordering in the exact regime; zero and null weights ignored") {
+    val rows = Seq(
+      ("g", "heavy", 100L), ("g", "heavy", 50L),
+      ("g", "many", 1L), ("g", "many", 2L), ("g", "many", 3L),
+      ("g", "zero", 0L)) ++ Seq(("g", null.asInstanceOf[String], 99L))
+    val df = rows.toDF("g", "term", "w").repartition(3)
+    val out = df.groupBy($"g")
+      .agg(TopKSum.of($"term", $"w", 3, 16).as("tk"))
+      .selectExpr("inline(tk)")
+      .as[(String, Long, Long)].collect().toSeq
+    // "zero" never accumulates weight, so it is absent; null terms skipped.
+    assert(out == Seq(("heavy", 150L, 0L), ("many", 6L, 0L)))
+  }
+
   test("ObjectHashAggregate with a partial stage carries the sketch (no raw-row shuffle)") {
     val df = (1 to 100).map(i => ("g", s"t${i % 5}")).toDF("g", "term").repartition(4)
     val agg = df.groupBy($"g").agg(TopKCount.of($"term", 3, 16).as("tk"))
