@@ -10,34 +10,55 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * Enable with .config("spark.sql.extensions", "graft.GraftExtensions").
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Arity-checked builder: a wrong argument count surfaces as a
+    * readable analysis-time error naming the expected signature, not
+    * an IndexOutOfBoundsException from exprs(n).
+    */
+  private def checked(name: String, signature: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n)
+        throw new IllegalArgumentException(
+          s"$name expects $n arguments — $name($signature) — got ${exprs.length}")
+      build(exprs)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier(JsonFindNumbers.fnName),
       new ExpressionInfo(classOf[JsonFindNumbers].getName, JsonFindNumbers.fnName),
-      (exprs: Seq[Expression]) => JsonFindNumbers(exprs(0), exprs(1), exprs(2))))
+      checked(JsonFindNumbers.fnName, "json, key, maxMatches", 3)(
+        exprs => JsonFindNumbers(exprs(0), exprs(1), exprs(2)))))
     ext.injectFunction((
       FunctionIdentifier(CosineSimilarity.fnName),
       new ExpressionInfo(classOf[CosineSimilarity].getName, CosineSimilarity.fnName),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+      checked(CosineSimilarity.fnName, "vecA, vecB", 2)(
+        exprs => CosineSimilarity(exprs(0), exprs(1)))))
     ext.injectFunction((
       FunctionIdentifier(graft.functions.LshSignature.fnName),
       new ExpressionInfo(classOf[graft.functions.LshSignature].getName, graft.functions.LshSignature.fnName),
-      (exprs: Seq[Expression]) => graft.functions.LshSignature(exprs(0), exprs(1), exprs(2))))
+      checked(graft.functions.LshSignature.fnName, "vec, numPlanes, table", 3)(
+        exprs => graft.functions.LshSignature(exprs(0), exprs(1), exprs(2)))))
     ext.injectFunction((
       FunctionIdentifier(graft.functions.SimHash64.fnName),
       new ExpressionInfo(classOf[graft.functions.SimHash64].getName, graft.functions.SimHash64.fnName),
-      (exprs: Seq[Expression]) => graft.functions.SimHash64(exprs(0))))
+      checked(graft.functions.SimHash64.fnName, "words", 1)(
+        exprs => graft.functions.SimHash64(exprs(0)))))
     ext.injectFunction((
       FunctionIdentifier(graft.functions.WordShingles.fnName),
       new ExpressionInfo(classOf[graft.functions.WordShingles].getName, graft.functions.WordShingles.fnName),
-      (exprs: Seq[Expression]) => graft.functions.WordShingles(exprs(0), exprs(1))))
+      checked(graft.functions.WordShingles.fnName, "text, n", 2)(
+        exprs => graft.functions.WordShingles(exprs(0), exprs(1)))))
     ext.injectFunction((
       FunctionIdentifier(graft.functions.TopKCount.fnName),
       new ExpressionInfo(classOf[graft.functions.TopKCount].getName, graft.functions.TopKCount.fnName),
-      (exprs: Seq[Expression]) => graft.functions.TopKCount(exprs(0), exprs(1), exprs(2))))
+      checked(graft.functions.TopKCount.fnName, "term, k, capacity", 3)(
+        exprs => graft.functions.TopKCount(exprs(0), exprs(1), exprs(2)))))
     ext.injectFunction((
       FunctionIdentifier(graft.functions.TopKSum.fnName),
       new ExpressionInfo(classOf[graft.functions.TopKSum].getName, graft.functions.TopKSum.fnName),
-      (exprs: Seq[Expression]) => graft.functions.TopKSum(exprs(0), exprs(1), exprs(2), exprs(3))))
+      checked(graft.functions.TopKSum.fnName, "term, weight, k, capacity", 4)(
+        exprs => graft.functions.TopKSum(exprs(0), exprs(1), exprs(2), exprs(3)))))
   }
 }

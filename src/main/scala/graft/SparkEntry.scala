@@ -46,7 +46,7 @@ object SparkEntry {
   private val flaggedCte =
     """flagged AS (
       |  SELECT DISTINCT l_orderkey FROM lineitem JOIN part ON l_partkey = p_partkey
-      |  WHERE lower(p_name) LIKE '%green%' AND l_returnflag = 'R')""".stripMargin
+      |  WHERE lower(p_name) LIKE '%red%' AND l_returnflag = 'R')""".stripMargin
 
   private def projectClaimsSql(reason: String): String =
     s"""SELECT i.l_orderkey AS visit_id, i.l_linenumber AS seq_no,
@@ -228,7 +228,11 @@ object SparkEntry {
     // A15: LIKE / null-guarded NOT LIKE.
     "q_a15_like" -> ((s, dir) =>
       TestTables.part(s, dir)
-        .filter(lower(col("p_name")).like("%green%") && ColumnOps.notLikeNullSafe(col("p_type"), "%BRASS%"))
+        // nullif plants genuine NULLs (the synthetic part table has
+        // none) so the null-guarded NOT LIKE is load-bearing: PROMO-
+        // typed red parts survive ONLY through the coalesce guard.
+        .filter(lower(col("p_name")).like("%red%") &&
+          ColumnOps.notLikeNullSafe(nullif(col("p_type"), lit("PROMO")), "%SMALL%"))
         .select(col("p_partkey"), col("p_name"), col("p_type"))
         .orderBy(col("p_partkey"))),
 
@@ -392,7 +396,8 @@ object SparkEntry {
 
     "q_a15_like" ->
       """SELECT p_partkey, p_name, p_type FROM part
-        |WHERE lower(p_name) LIKE '%green%' AND NOT coalesce(p_type, '') LIKE '%BRASS%'
+        |WHERE lower(p_name) LIKE '%red%'
+        |  AND NOT coalesce(nullif(p_type, 'PROMO'), '') LIKE '%SMALL%'
         |ORDER BY p_partkey""".stripMargin,
 
     "q_a16_inlist" ->
@@ -437,7 +442,7 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |WHERE l_orderkey IN (
         |  SELECT DISTINCT l_orderkey FROM lineitem JOIN part ON l_partkey = p_partkey
-        |  WHERE lower(p_name) LIKE '%green%' AND l_returnflag = 'R')
+        |  WHERE lower(p_name) LIKE '%red%' AND l_returnflag = 'R')
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_a21_topn" ->

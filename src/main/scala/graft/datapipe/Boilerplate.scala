@@ -49,10 +49,14 @@ object Boilerplate {
 
     // Document frequency per line identity vs the corpus size. The
     // 1-row count joins in broadcast so the threshold stays a plan-time
-    // scalar on any cluster.
+    // scalar on any cluster. Blank (empty-after-trim) lines are never
+    // boilerplate candidates: they all share one identity (md5 of ""),
+    // so in any real corpus they'd clear the frequency threshold and
+    // be stripped from every document, destroying paragraph structure.
     val total = docs.agg(count(lit(1)).as("__n"))
     val boilerplate = graft.util.Materialize.once(
-      lines.groupBy(col("__h"))
+      lines.filter(trim(col("__line")) =!= "")
+        .groupBy(col("__h"))
         .agg(countDistinct(col("__doc")).as("__df"))
         .join(broadcast(total))
         .filter(col("__df").cast("double") >= col("__n").cast("double") * lit(minDocFrac))

@@ -22,8 +22,12 @@ object Ivf {
   /** Train centroids: (cell, centroid: array<double>). */
   def train(corpus: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int = 2): DataFrame = {
     val vecs = corpus.select(col(idCol).as("id"), asD(col(vecCol)).as("vec"))
+    // partitionBy(lit(0)): the window input is limit(k) rows — bounded
+    // by construction — and the explicit constant partition key records
+    // that in the plan (and silences WindowExec's unbounded-input
+    // warning in bench logs).
     var centroids = vecs.orderBy(col("id")).limit(k)
-      .withColumn("cell", row_number().over(Window.orderBy(col("id"))) - 1)
+      .withColumn("cell", row_number().over(Window.partitionBy(lit(0)).orderBy(col("id"))) - 1)
       .select(col("cell"), col("vec").as("centroid"))
     for (_ <- 1 to iters) {
       val assigned = assign(vecs, centroids)

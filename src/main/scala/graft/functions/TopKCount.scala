@@ -199,7 +199,9 @@ object TopKCount {
 
     private def add(term: UTF8String, by: Long, err: Long): Unit = {
       val e = counts.get(term)
-      if (e != null) { e(0) += by; e(1) += err }
+      // addExact: the weighted path (topk_sum) takes caller-supplied
+      // weights — a silent Long wrap would corrupt ranks undetectably.
+      if (e != null) { e(0) = Math.addExact(e(0), by); e(1) = Math.addExact(e(1), err) }
       else if (counts.size < capacity)
         // Input UTF8Strings may point into a reused row buffer — copy.
         counts.put(term.clone(), Array(by, err))
@@ -214,12 +216,14 @@ object TopKCount {
         while (it.hasNext) {
           val en = it.next()
           val c = en.getValue()(0)
-          if (c < vc || (c == vc && en.getKey.compareTo(victim) > 0)) {
+          // victim == null guards the first entry: at c == Long.MaxValue
+          // the `c < vc` test is false and compareTo(null) would NPE.
+          if (victim == null || c < vc || (c == vc && en.getKey.compareTo(victim) > 0)) {
             victim = en.getKey; vc = c
           }
         }
         counts.remove(victim)
-        counts.put(term.clone(), Array(vc + by, vc + err))
+        counts.put(term.clone(), Array(Math.addExact(vc, by), Math.addExact(vc, err)))
       }
     }
 
@@ -236,15 +240,22 @@ object TopKCount {
       while (oit.hasNext) {
         val en = oit.next()
         val mine = counts.get(en.getKey)
-        if (mine != null) { mine(0) += en.getValue()(0); mine(1) += en.getValue()(1) }
-        else counts.put(en.getKey, Array(en.getValue()(0) + selfFloor, en.getValue()(1) + selfFloor))
+        if (mine != null) {
+          mine(0) = Math.addExact(mine(0), en.getValue()(0))
+          mine(1) = Math.addExact(mine(1), en.getValue()(1))
+        }
+        else counts.put(en.getKey,
+          Array(Math.addExact(en.getValue()(0), selfFloor), Math.addExact(en.getValue()(1), selfFloor)))
       }
       // Terms only in self: the other side may have seen-and-evicted.
       if (otherFloor > 0) {
         val sit = counts.entrySet().iterator()
         while (sit.hasNext) {
           val en = sit.next()
-          if (!o.counts.containsKey(en.getKey)) { en.getValue()(0) += otherFloor; en.getValue()(1) += otherFloor }
+          if (!o.counts.containsKey(en.getKey)) {
+            en.getValue()(0) = Math.addExact(en.getValue()(0), otherFloor)
+            en.getValue()(1) = Math.addExact(en.getValue()(1), otherFloor)
+          }
         }
       }
       if (counts.size > capacity) {

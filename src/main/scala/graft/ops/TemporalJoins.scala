@@ -88,7 +88,12 @@ object TemporalJoins {
     */
   def incidentWindows(rows: DataFrame, tsCol: String, bucketUs: Long,
                       maxGapBuckets: Int): DataFrame = {
-    val w = Window.orderBy(col("bkt"))
+    // partitionBy(lit(0)): semantically the same single global
+    // partition, but the explicit constant key states the documented
+    // boundedness (distinct buckets, not events) in the plan itself and
+    // keeps WindowExec's "No Partition Defined" warning — meant for
+    // unbounded inputs — out of every bench/verify log.
+    val w = Window.partitionBy(lit(0)).orderBy(col("bkt"))
     // `div`, not `/`: long / long goes through double in Spark, and a
     // truncating cast of a near-integer quotient can disagree with
     // DuckDB's `//` floor division at bucket boundaries.

@@ -172,14 +172,14 @@ object QueriesB {
     // strings otherwise); doubles survive JSON text via Spark's
     // round-trip float formatting.
     "q_b02_json_roundtrip" -> ((s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft_json").toString + "/cust"
+      val path = graft.util.TempDirs.scratch("graft_json") + "/cust"
       val slice = TestTables.customer(s, dir)
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
       slice.write.mode("overwrite").json(path)
       s.read.schema(slice.schema).json(path).orderBy(col("c_custkey"))
     }),
     "q_b02_orc_roundtrip" -> ((s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/orders"
+      val path = graft.util.TempDirs.scratch("graft_orc") + "/orders"
       val slice = TestTables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
           to_date(col("o_orderdate")).as("order_date"))
@@ -188,7 +188,7 @@ object QueriesB {
     }),
 
     "q_b04_excel_roundtrip" -> ((s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft_xlsx").toString + "/cust.xlsx"
+      val path = graft.util.TempDirs.scratch("graft_xlsx") + "/cust.xlsx"
       val slice = TestTables.customer(s, dir)
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
         .orderBy(col("c_custkey"))

@@ -751,7 +751,7 @@ object QueriesData {
         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM planted)),
         |hashed AS (SELECT doc_id, ord, line, md5(trim(lower(line))) AS h FROM lines),
         |bp AS (
-        |  SELECT h FROM hashed GROUP BY h
+        |  SELECT h FROM hashed WHERE trim(line) <> '' GROUP BY h
         |  HAVING CAST(count(DISTINCT doc_id) AS DOUBLE)
         |         >= (SELECT CAST(count(*) AS DOUBLE) FROM documents) * CAST(0.25 AS DOUBLE)),
         |kept AS (SELECT * FROM hashed WHERE h NOT IN (SELECT h FROM bp)),

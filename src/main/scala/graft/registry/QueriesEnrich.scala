@@ -52,7 +52,7 @@ object QueriesEnrich {
 
     // E3 + B28: checkpoint round-trip and anti-join resume.
     "q_e3_checkpoint_resume" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val tmp = graft.util.TempDirs.scratch("graft_ckpt")
       val ckpt = new Checkpoint(s, tmp, "o_orderkey")
       val o = TestTables.orders(s, dir)
       ckpt.record(o.filter(col("o_orderkey") % 4 === 0), runId = "r1")

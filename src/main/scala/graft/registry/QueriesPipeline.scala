@@ -78,7 +78,7 @@ object QueriesPipeline {
     // D2 at scale: partition-pruned MERGE — only month partitions that
     // contain updated keys are rewritten; the swap is rename-aside.
     "q_d2_upsert_pruned" -> ((s, dir) => {
-      val table = java.nio.file.Files.createTempDirectory("graft_pupsert").toString + "/t"
+      val table = graft.util.TempDirs.scratch("graft_pupsert") + "/t"
       val old = TestTables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
           date_format(col("o_orderdate"), "yyyy-MM").as("month"))

@@ -46,7 +46,7 @@ object ResubmissionExtract {
   def flaggedOrders(lineitem: DataFrame, part: DataFrame): DataFrame =
     lineitem
       .join(part, lineitem("l_partkey") === part("p_partkey"))
-      .filter(lower(col("p_name")).like("%green%") && col("l_returnflag") === "R")
+      .filter(lower(col("p_name")).like("%red%") && col("l_returnflag") === "R")
       .select(col("l_orderkey")).distinct()
 
   /** CTE 2 analog — latest request per (order, returnflag):

@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   * value is not a change), each version closes at the next version's
   * start, and the last stays open.
   *
+  * Late updates — ts EARLIER than the key's open valid_from — are
+  * caller errors (they would produce versions overlapping the
+  * immutable closed history, which ends exactly at the open row's
+  * valid_from) and are DROPPED, guarded inside the same key exchange
+  * the version windows use. Rewriting closed history belongs to a
+  * backfill rebuild, not an incremental apply.
+  *
   * Scale shape: history passes through with NO shuffle; only the open
   * slice + the update batch (per key: one open row + this batch's
   * updates, NOT the key's full history) shuffle once on the key, and
@@ -37,8 +44,18 @@ object Scd2 {
     val hist = current.filter(col(validTo).isNotNull).select(outCols: _*)
     val open = current.filter(col(validTo).isNull)
       .select(col(key) +: col(validFrom).as(tsCol) +: payload.map(col): _*)
-    val vers = open.unionByName(
-      updates.select(col(key) +: col(tsCol) +: payload.map(col): _*))
+      .withColumn("__open", lit(1))
+    val all = open.unionByName(
+      updates.select(col(key) +: col(tsCol) +: payload.map(col): _*)
+        .withColumn("__open", lit(0)))
+    // Late-update guard (see contract): drop updates older than the
+    // key's open valid_from. The unbounded max shares the key exchange
+    // with the version windows below — no extra shuffle.
+    val wAll = Window.partitionBy(col(key))
+    val vers = all
+      .withColumn("__open_from", max(when(col("__open") === 1, col(tsCol))).over(wAll))
+      .filter(col("__open_from").isNull || col(tsCol) >= col("__open_from"))
+      .drop("__open", "__open_from")
 
     val w = Window.partitionBy(col(key)).orderBy(col(tsCol))
     // A version is real if it's the key's first, or any payload field

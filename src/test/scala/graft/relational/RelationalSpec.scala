@@ -43,13 +43,13 @@ class RelationalSpec extends AnyFunSuite {
       "dense_rank must keep all items of the latest transaction, not one")
   }
 
-  test("flaggedOrders only flags orders with a returned (R) green-named item") {
+  test("flaggedOrders only flags orders with a returned (R) red-named item") {
     val li = Seq(
       (1L, 10L, "R"), (2L, 20L, "A"), (3L, 10L, "N")
     ).toDF("l_orderkey", "l_partkey", "l_returnflag")
-    val part = Seq((10L, "forest green anvil"), (20L, "green gizmo")).toDF("p_partkey", "p_name")
+    val part = Seq((10L, "dark red anvil"), (20L, "red gizmo")).toDF("p_partkey", "p_name")
     val flagged = ResubmissionExtract.flaggedOrders(li, part).as[Long].collect().toSet
-    assert(flagged == Set(1L), "order 2 is green but not returned; order 3 returned-N")
+    assert(flagged == Set(1L), "order 2 is red but not returned; order 3 returned-N")
   }
 
   test("branch union is disjoint-by-reason and distinct removes duplicate claim rows") {
@@ -58,7 +58,13 @@ class RelationalSpec extends AnyFunSuite {
     assert(mn.select($"reason").distinct().as[String].collect().toSeq == Seq("Medical Necessity"))
     val full = ResubmissionExtract.full(spark, "/root/testdata/sf0.001")
     assert(full.count() == 100, "TOP-100 cap")
-    assert(full.select($"visit_id", $"seq_no", $"reason").distinct().count() == 100,
+    // The FULL ordering key (every column two distinct claim rows can
+    // differ in): its uniqueness is what makes the LIMIT cut — and so
+    // the oracle compare — deterministic. (visit_id, seq_no, reason)
+    // alone is NOT unique once both branches emit rows: the same item
+    // can surface with different status or part attributes.
+    assert(full.select($"visit_id", $"seq_no", $"reason", $"service_name",
+        $"reason_code", $"status").distinct().count() == 100,
       "ordering key is unique across the limited set")
   }
 
