@@ -222,23 +222,77 @@ object Dedup {
   def simhash(text: Column): Column =
     graft.functions.SimHash64.of(TextAnalysis.words(text))
 
-  /** SimHash candidate pairs: equal 16-bit chunk ⇒ candidate; verified
+  /** SimHash candidate pairs: equal sketch chunk ⇒ candidate; verified
     * by Hamming distance ≤ `maxHamming` (bit_count of XOR).
+    *
+    * Recall contract: the 64 sketch bits split into `maxHamming + 1`
+    * chunks, so any pair within `maxHamming` has at least one untouched
+    * — hence equal — chunk (pigeonhole). The old fixed 4-chunk split
+    * only guaranteed Hamming ≤ 3 and silently missed farther pairs.
+    *
+    * `maxBucket` bounds the quadratic term like minhashPairs: chunk
+    * keys are at most ~64/(maxHamming+1) bits, so the bucket COUNT is
+    * fixed and bucket SIZE grows linearly with the corpus — without a
+    * cap, candidate pairs grow quadratically. Oversized buckets emit
+    * only the Hamming-verified STAR against the bucket minimum
+    * (documented under-merge, never a false pair).
     */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 6): DataFrame = {
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
     // Materialized: the 64-bit sketch per doc is the expensive part
     // (per-word bit votes) and feeds both sides of the chunk self-join.
     val sh = graft.util.Materialize.once(
       docs.select(col(idCol).as("doc"), simhash(col(textCol)).as("sh")))
+    simhashPairsFromSketches(sh, maxHamming, maxBucket)
+  }
+
+  /** Candidate machinery over precomputed sketches `(doc, sh)` — split
+    * out so the pigeonhole recall guarantee is property-testable on
+    * planted bit-flip pairs without going through text.
+    */
+  private[datapipe] def simhashPairsFromSketches(sh: DataFrame, maxHamming: Int,
+                                                 maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      "maxHamming in [0, 15]: pigeonhole needs maxHamming+1 chunks and chunks below 4 bits bucket uselessly")
+    val numChunks = maxHamming + 1
+    // Distribute 64 bits as evenly as possible across the chunks.
+    val widths = Array.tabulate(numChunks)(i => 64 / numChunks + (if (i < 64 % numChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val chunkStructs = (0 until numChunks).map { i =>
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
+      struct(lit(i).as("chunk"),
+        shiftrightunsigned(col("sh"), offsets(i)).bitwiseAND(mask).as("key"))
+    }
     val chunks = sh.select(col("doc"), col("sh"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("chunk"), shiftright(col("sh"), i * 16).bitwiseAND(0xFFFF).as("key"))): _*)).as("ck"))
+      explode(array(chunkStructs: _*)).as("ck"))
       .select(col("doc"), col("sh"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
-    chunks.as("a")
-      .join(chunks.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+    val cand =
+      if (maxBucket == Int.MaxValue) {
+        chunks.as("a")
+          .join(chunks.as("b"),
+            col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") && col("a.doc") < col("b.doc"))
+          .select(col("a.doc").as("doc_a"), col("a.sh").as("sh_a"),
+            col("b.doc").as("doc_b"), col("b.sh").as("sh_b"))
+      } else {
+        val sized = chunks.join(
+          chunks.groupBy(col("chunk"), col("key"))
+            .agg(count(lit(1)).as("__n"), min_by(struct(col("doc"), col("sh")), col("doc")).as("__keep")),
+          Seq("chunk", "key"))
+        val small = sized.filter(col("__n") <= maxBucket)
+          .select(col("doc"), col("sh"), col("chunk"), col("key"))
+        val allPairs = small.as("a")
+          .join(small.as("b"),
+            col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") && col("a.doc") < col("b.doc"))
+          .select(col("a.doc").as("doc_a"), col("a.sh").as("sh_a"),
+            col("b.doc").as("doc_b"), col("b.sh").as("sh_b"))
+        val starPairs = sized.filter(col("__n") > maxBucket && col("doc") =!= col("__keep.doc"))
+          .select(col("__keep.doc").as("doc_a"), col("__keep.sh").as("sh_a"),
+            col("doc").as("doc_b"), col("sh").as("sh_b"))
+        allPairs.unionByName(starPairs)
+      }
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

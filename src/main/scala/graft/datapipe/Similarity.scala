@@ -97,18 +97,61 @@ object Similarity {
     * multi-table LSH buckets, cosine ≥ threshold verified inside
     * buckets. High-cosine pairs collide with near-certainty, so few
     * tables suffice for dedup.
+    *
+    * `maxBucket` bounds the quadratic term exactly like
+    * Dedup.minhashPairs: buckets up to the cap emit all candidate
+    * pairs; oversized buckets — real embedding corpora cluster hard
+    * (template pages, near-empty docs, repeated headers all embed to
+    * the same point) — emit only the STAR against the bucket minimum
+    * (|bucket|−1 pairs, still cosine-verified), so one hot bucket costs
+    * linear, not quadratic, work. Candidate pairs are bounded at
+    * buckets × maxBucket² overall. Within an oversized bucket the
+    * members collide in EVERY table with the min only if genuinely
+    * aligned — the cosine verification still gates each star pair, so
+    * the cap can under-merge (documented) but never emits a false pair.
+    *
+    * The candidate self-join runs on the slim (doc, table, bucket)
+    * projection only — vectors join back just for verification, so the
+    * wide embedding column never rides through the pair explosion.
     */
   def cosineDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                       minCosine: Double, planesPerTable: Int = 6, tables: Int = 4): DataFrame = {
-    val c = corpus.select(col(idCol).as("doc"), asDouble(col(vecCol)).as("vec"))
-      .withColumn("tb", explode(lshBuckets(col("vec"), planesPerTable, tables)))
-      .select(col("doc"), col("vec"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-    c.as("a")
-      .join(c.as("b"),
-        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
-          col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"), col("a.vec").as("va"), col("b.vec").as("vb"))
-      .dropDuplicates("doc_a", "doc_b")
+                       minCosine: Double, planesPerTable: Int = 6, tables: Int = 4,
+                       maxBucket: Int = Int.MaxValue): DataFrame = {
+    val vecs = corpus.select(col(idCol).as("doc"), asDouble(col(vecCol)).as("vec"))
+    // Materialized: the bucket table feeds the sizing aggregate and
+    // both sides of the candidate self-join; unmaterialized, the
+    // tables × planes signature kernel (the expensive part) runs thrice.
+    val b = graft.util.Materialize.once(
+      vecs.withColumn("tb", explode(lshBuckets(col("vec"), planesPerTable, tables)))
+        .select(col("doc"), col("tb.table").as("table"), col("tb.bucket").as("bucket")))
+    val cand =
+      if (maxBucket == Int.MaxValue) {
+        b.as("a")
+          .join(b.as("b"),
+            col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+              col("a.doc") < col("b.doc"))
+          .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b")).distinct()
+      } else {
+        val sized = b.join(
+          b.groupBy(col("table"), col("bucket"))
+            .agg(count(lit(1)).as("__n"), min(col("doc")).as("__keep")),
+          Seq("table", "bucket"))
+        val small = sized.filter(col("__n") <= maxBucket)
+          .select(col("doc"), col("table"), col("bucket"))
+        val allPairs = small.as("a")
+          .join(small.as("b"),
+            col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+              col("a.doc") < col("b.doc"))
+          .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+        val starPairs = sized.filter(col("__n") > maxBucket && col("doc") =!= col("__keep"))
+          .select(col("__keep").as("doc_a"), col("doc").as("doc_b"))
+        // A pair can surface all-pairs in one table and star in another
+        // — distinct over the union, not per branch.
+        allPairs.unionByName(starPairs).distinct()
+      }
+    cand
+      .join(vecs.select(col("doc").as("doc_a"), col("vec").as("va")), Seq("doc_a"))
+      .join(vecs.select(col("doc").as("doc_b"), col("vec").as("vb")), Seq("doc_b"))
       .withColumn("cosine", cosine(col("va"), col("vb")))
       .filter(col("cosine") >= minCosine)
       .select(col("doc_a"), col("doc_b"), col("cosine"))

@@ -15,6 +15,19 @@ object QueriesData {
   private def sampledDocs(s: SparkSession, dir: String): DataFrame =
     TestTables.documents(s, dir).filter(col("doc_id") % 10 === 0)
 
+  /** Planted ANN query set: a ×2-scaled twin of every 50th corpus
+    * vector. Doubling is an IEEE exponent shift — exact per component —
+    * so a twin is an exact positive scalar multiple of its base:
+    * cosine(twin, base) = 1.0 exactly and every hyperplane dot product
+    * scales without a sign change. Each ANN variant's top-1 answer for
+    * twin (base_id + 10M) is therefore PROVABLY (base_id, 1.0), which
+    * turns the rows-only entries into planted-answer checks.
+    */
+  private def twinQueries(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: canonical-hash groups, deterministic survivor.
     "q_dedup_exact" -> ((s, dir) =>
@@ -97,9 +110,13 @@ object QueriesData {
           portable = true, maxBucket = 20)
         .orderBy(col("doc_a"), col("doc_b"))),
 
-    // SimHash near-dup pairs (rows-only).
+    // SimHash near-dup pairs (rows-only). maxHamming = 10 → 11 sketch
+    // chunks, so every pair within distance 10 shares a chunk
+    // (pigeonhole recall guarantee); bucket cap 64 bounds the candidate
+    // join against hot chunks (chunk keys are only ~6 bits here).
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(sampledDocs(s, dir), "doc_id", "text", maxHamming = 10)
+      Dedup.simhashPairs(sampledDocs(s, dir), "doc_id", "text", maxHamming = 10,
+          maxBucket = 64)
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // Text analysis: token counts, punctuation, stopwords, quality.
@@ -291,21 +308,30 @@ object QueriesData {
         .orderBy(col("q_id"), col("rank"))
     }),
 
-    // LSH-bucketed ANN (rows-only; recall vs brute force in ScalaTest).
+    // LSH-bucketed ANN over planted twin queries. Each query is a
+    // ×2-scaled copy of a corpus vector: the power-of-two scaling is
+    // IEEE-exact, so the twin shares every hyperplane sign (guaranteed
+    // bucket collision in every table) and has cosine exactly 1.0 with
+    // its base — while the strongest NATURAL pair in this corpus is
+    // ~0.60. The top-1 row per query is therefore provably
+    // (base, cosine 1.0): rows-only, but the row count equals the
+    // planted query count and ScalaTest asserts the exact content.
     "q_sim_lsh_ann" -> ((s, dir) => {
       val emb = TestTables.embeddings(s, dir)
-      Similarity.lshTopK(emb.filter(col("vec_id") % 50 === 0), emb, "vec_id", "embedding",
-          k = 3, planesPerTable = 4, tables = 8)
+      Similarity.lshTopK(twinQueries(emb), emb, "vec_id", "embedding",
+          k = 1, planesPerTable = 4, tables = 8)
         .orderBy(col("q_id"), col("rank"))
     }),
 
-    // IVF ANN: k-means cells + nprobe search (rows-only; recall vs
-    // brute force in ScalaTest).
+    // IVF ANN: k-means cells + nprobe search, over the same planted
+    // twins — exact scaling preserves every query-to-centroid cosine,
+    // so a twin probes exactly the cells its base ranks, including the
+    // base's own cell; top-1 is provably the base at cosine 1.0.
     "q_sim_ivf_ann" -> ((s, dir) => {
       val emb = TestTables.embeddings(s, dir)
       val centroids = graft.datapipe.Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
-      graft.datapipe.Ivf.topK(emb.filter(col("vec_id") % 50 === 0), emb, centroids,
-          "vec_id", "embedding", k = 3, nprobe = 4)
+      graft.datapipe.Ivf.topK(twinQueries(emb), emb, centroids,
+          "vec_id", "embedding", k = 1, nprobe = 4)
         .orderBy(col("q_id"), col("rank"))
     }),
 
@@ -321,15 +347,17 @@ object QueriesData {
         .orderBy(col("vec_id"))
     }),
 
-    // Asymmetric quantized ANN: full-precision queries against the
-    // int8 corpus (rows-only; recall vs exact brute force bounded in
-    // ScalaTest).
+    // Asymmetric quantized ANN: full-precision planted-twin queries
+    // against the int8 corpus. The twin's cosine with its dequantized
+    // base is 1 − O(quantization cell) ≈ 0.99+, far above the 0.60
+    // strongest natural pair, so top-1 is provably the base even
+    // through the int8 codes.
     "q_sim_quantized_ann" -> ((s, dir) => {
       val emb = TestTables.embeddings(s, dir)
       Quantize.bruteForceTopKQuantized(
-          emb.filter(col("vec_id") % 50 === 0),
+          twinQueries(emb),
           Quantize.quantizeTable(emb, "vec_id", "embedding"),
-          "vec_id", "embedding", k = 3)
+          "vec_id", "embedding", k = 1)
         .orderBy(col("q_id"), col("rank"))
     }),
 
@@ -347,6 +375,24 @@ object QueriesData {
         transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
       Similarity.cosineDedupPairs(emb.unionByName(twins), "vec_id", "embedding",
           minCosine = 0.9)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // The CAPPED cosine-dedup path under a planted HOT bucket: 30
+    // power-of-two-scaled copies of one vector form a 31-member
+    // cluster sharing every LSH bucket (exact scaling ⇒ identical
+    // hyperplane signs); cap 16 forces the star fallback, so the
+    // output is exactly the 30 (base, copy) star pairs at cosine 1.0 —
+    // the quadratic-blowup defense is what this entry exercises.
+    "q_sim_cosine_dedup_capped" -> ((s, dir) => {
+      val emb = TestTables.embeddings(s, dir).filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("embedding"))
+      val copies = emb.filter(col("vec_id") === 0)
+        .select(explode(sequence(lit(1), lit(30))).as("i"), col("embedding"))
+        .select((lit(20000000L) + col("i")).as("vec_id"),
+          transform(col("embedding"), x => x * pow(lit(2.0), col("i")).cast("float")).as("embedding"))
+      Similarity.cosineDedupPairs(emb.unionByName(copies), "vec_id", "embedding",
+          minCosine = 0.9, maxBucket = 16)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 

@@ -281,6 +281,55 @@ class DataPipeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("cosineDedupPairs: hot-bucket cap emits the star, uncapped emits the clique") {
+    // 21 exact-direction copies of one embedding (power-of-two scalings
+    // are IEEE-exact, so every hyperplane sign matches) = one hot
+    // bucket in every LSH table — the template-cluster shape real
+    // embedding corpora produce.
+    val emb = graft.tables.TestTables.embeddings(spark, "/root/testdata/sf0.001")
+    val cluster = emb.filter($"vec_id" === 0)
+      .select(explode(sequence(lit(0), lit(20))).as("i"), $"embedding")
+      .select((lit(5000L) + $"i").as("vec_id"),
+        transform($"embedding", x => x * pow(lit(2.0), $"i").cast("float")).as("embedding"))
+    val uncapped = Similarity.cosineDedupPairs(cluster, "vec_id", "embedding", minCosine = 0.9)
+    assert(uncapped.count() == 21 * 20 / 2, "uncapped must emit the full clique")
+    val capped = Similarity.cosineDedupPairs(cluster, "vec_id", "embedding",
+        minCosine = 0.9, maxBucket = 8)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(capped == (1 to 20).map(i => (5000L, 5000L + i)).toSet,
+      "capped path must emit exactly the star against the bucket minimum")
+  }
+
+  test("simhashPairsFromSketches: pigeonhole finds every pair within maxHamming; cap emits the star") {
+    val rnd = new scala.util.Random(42)
+    val maxH = 7
+    // 40 planted (base, partner) pairs at seeded Hamming distances
+    // 0..maxH; distances between unrelated random sketches concentrate
+    // near 32, far above the verification threshold.
+    val rows = (0 until 40).flatMap { g =>
+      val base = rnd.nextLong()
+      val flips = rnd.shuffle((0 until 64).toList).take(rnd.nextInt(maxH + 1))
+      val partner = flips.foldLeft(base)((s, b) => s ^ (1L << b))
+      Seq((g * 2L, base), (g * 2L + 1, partner))
+    }
+    val sh = rows.toDF("doc", "sh")
+    val found = Dedup.simhashPairsFromSketches(sh, maxHamming = maxH).collect()
+    found.foreach(r => assert(r.getAs[Int]("hamming") <= maxH, "verification must gate distance"))
+    val pairs = found.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    (0 until 40).foreach { g =>
+      assert(pairs.contains((g * 2L, g * 2L + 1)),
+        s"planted pair $g within Hamming $maxH must share a chunk (maxHamming+1 chunks)")
+    }
+    // Bucket cap: 12 identical sketches = one hot bucket per chunk;
+    // cap 4 forces the star against the bucket minimum.
+    val same = (0 until 12).map(i => (i.toLong, 0x1234567890abcdefL)).toDF("doc", "sh")
+    val capped = Dedup.simhashPairsFromSketches(same, maxHamming = 3, maxBucket = 4)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(capped == (1 until 12).map(i => (0L, i.toLong)).toSet,
+      "capped path must emit exactly the star")
+    assert(Dedup.simhashPairsFromSketches(same, maxHamming = 3).count() == 12 * 11 / 2)
+  }
+
   test("cosineDedupPairs surfaces the planted near-duplicate pair") {
     val emb = graft.tables.TestTables.embeddings(spark, "/root/testdata/sf0.001")
     val base = emb.filter($"vec_id" === 0)
@@ -288,6 +337,23 @@ class DataPipeSpec extends AnyFunSuite {
     val pairs = Similarity.cosineDedupPairs(emb.unionByName(base), "vec_id", "embedding", minCosine = 0.98)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 9000L)))
+  }
+
+  test("registered ANN queries return exactly the planted twin answers") {
+    // The registry plants a ×2-scaled twin (id + 10M) of every 50th
+    // vector as the query set; each variant's top-1 must be the twin's
+    // base at cosine ~1.0 — the property that makes the rows-only
+    // driver entries planted-answer checks rather than vacuous.
+    for (q <- Seq("q_sim_lsh_ann", "q_sim_ivf_ann", "q_sim_quantized_ann")) {
+      val rows = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .select($"q_id", $"n_id", $"cosine").collect()
+      assert(rows.length == 10, s"$q: one top-1 row per planted twin query")
+      rows.foreach { r =>
+        assert(r.getAs[Long]("n_id") == r.getAs[Long]("q_id") - 10000000L,
+          s"$q: top-1 of twin ${r.getAs[Long]("q_id")} must be its base")
+        assert(r.getAs[Double]("cosine") > 0.99, s"$q: twin cosine must be ~1")
+      }
+    }
   }
 
   test("multimodal decode stub: deterministic byte features, batch shape") {
