@@ -8,12 +8,16 @@ import org.apache.spark.sql.types._
   * a typed metadata struct, with decode / feature-extract / resize /
   * frame-sample implemented as batch-shaped executor-side operators.
   *
-  * The actual codec call is STUBBED (no image/audio libraries in this
-  * container): `decodeFeatures` computes deterministic fake features
-  * from the raw bytes, clearly marked below. Everything around it —
-  * schema, partitioning, batch shape (process `batchSize` records per
-  * iterator chunk, the mapInPandas/Arrow-batch shape), metadata algebra
-  * — is real and tested.
+  * Audio (RIFF/WAVE PCM16) and image (24bpp BMP) are REAL codecs —
+  * both are pure container formats needing no library, and both
+  * roundtrips are oracle-checked against closed-form sample/pixel
+  * definitions recomputed in SQL. Only the VIDEO codec call is stubbed
+  * (no codec library in this container): `decodeFeatures` computes
+  * deterministic fake features from the raw bytes, clearly marked
+  * below. Everything around the stub — schema, partitioning, batch
+  * shape (process `batchSize` records per iterator chunk, the
+  * mapInPandas/Arrow-batch shape), metadata algebra — is real and
+  * tested.
   */
 object Multimodal {
 
@@ -178,10 +182,151 @@ object Multimodal {
     }(enc)
   }
 
+  // ---------------------------------------------------------------
+  // REAL image codec: 24-bit uncompressed BMP is, like RIFF/WAVE, a
+  // pure container — fixed headers plus raw pixels — so the image
+  // path needs no codec library either. The interesting codec details
+  // a roundtrip genuinely exercises: rows are stored BOTTOM-UP, each
+  // row padded to a 4-byte boundary, channels in BGR order. The
+  // q_mm_bmp_roundtrip oracle recomputes features from the closed-form
+  // pixel definition in SQL: a row-flip, padding, or channel-order bug
+  // in either direction fails the hash compare (the index-weighted sum
+  // is order-sensitive, the per-channel sums are channel-sensitive).
+  // ---------------------------------------------------------------
+
+  /** Encode top-down row-major RGB pixels as a standard 24bpp BMP. */
+  def encodeBmp24(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "rgb must be width*height*3 bytes")
+    val rowSize = (width * 3 + 3) / 4 * 4
+    val dataSize = rowSize * height
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putShort(0).putShort(0).putInt(54) // reserved, pixel-data offset
+    buf.putInt(40).putInt(width).putInt(height) // BITMAPINFOHEADER, positive height = bottom-up
+      .putShort(1).putShort(24) // planes, bits/pixel
+      .putInt(0).putInt(dataSize) // BI_RGB (uncompressed), image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 DPI, palette unused
+    var y = height - 1
+    while (y >= 0) { // bottom-up
+      var x = 0
+      while (x < width) {
+        val o = (y * width + x) * 3
+        buf.put(rgb(o + 2)).put(rgb(o + 1)).put(rgb(o)) // BGR
+        x += 1
+      }
+      var p = width * 3
+      while (p < rowSize) { buf.put(0.toByte); p += 1 } // row pad
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Decode a 24bpp uncompressed BMP: honor the header's pixel-data
+    * offset, the height sign (negative = top-down), row padding, and
+    * BGR order. Returns (width, height, top-down row-major RGB).
+    */
+  def decodeBmp24(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(buf.get() == 'B'.toByte && buf.get() == 'M'.toByte, "not a BMP file")
+    buf.getInt; buf.getShort; buf.getShort // file size, reserved
+    val dataOffset = buf.getInt
+    require(buf.getInt >= 40, "BITMAPINFOHEADER required")
+    val width = buf.getInt
+    val rawHeight = buf.getInt
+    val topDown = rawHeight < 0
+    val height = math.abs(rawHeight)
+    require(buf.getShort == 1, "bad plane count")
+    require(buf.getShort == 24, "only 24bpp supported")
+    require(buf.getInt == 0, "only uncompressed BI_RGB supported")
+    val rowSize = (width * 3 + 3) / 4 * 4
+    require(dataOffset + rowSize.toLong * height <= bytes.length, "truncated pixel data")
+    val rgb = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (topDown) y else height - 1 - y
+      val base = dataOffset + srcRow * rowSize
+      var x = 0
+      while (x < width) {
+        val s = base + x * 3
+        val d = (y * width + x) * 3
+        rgb(d) = bytes(s + 2); rgb(d + 1) = bytes(s + 1); rgb(d + 2) = bytes(s) // BGR → RGB
+        x += 1
+      }
+      y += 1
+    }
+    (width, height, rgb)
+  }
+
+  /** Synthesize a deterministic BMP per row (the offline stand-in for
+    * reading real images): w = 8 + id%9, h = 8 + id%7, and byte i of
+    * the top-down RGB stream is (id * 31 + i * 7) % 256 — the closed
+    * form the roundtrip oracle recomputes in SQL.
+    */
+  def synthBmp(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType), StructField("content", BinaryType)))
+    val enc = Encoders.row(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (8 + id % 9).toInt
+        val h = (8 + id % 7).toInt
+        val rgb = Array.tabulate(w * h * 3)(i => ((id * 31 + i * 7) % 256).toByte)
+        Row(id, encodeBmp24(w, h, rgb))
+      }
+    }(enc)
+  }
+
+  /** Real decode + feature extraction over BMP content, batch-shaped
+    * like `decodeWavFeatures`: per image, dimensions, per-channel sums
+    * (channel-order-sensitive), an index-weighted sum (pixel-order-
+    * sensitive — a bottom-up/padding bug scrambles it), and the mean.
+    * Integer features throughout; the mean is the one double, derived
+    * once per row from the integer totals.
+    */
+  def decodeBmpFeatures(media: DataFrame, batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_px", LongType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType),
+      StructField("px_weighted", LongType),
+      StructField("mean_px", DoubleType)))
+    val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val (w, h, rgb) = decodeBmp24(r.getAs[Array[Byte]](contentIdx))
+          var sr = 0L; var sg = 0L; var sb = 0L; var wsum = 0L
+          var i = 0
+          while (i < rgb.length) {
+            val v = rgb(i) & 0xFF
+            (i % 3: @annotation.switch) match {
+              case 0 => sr += v
+              case 1 => sg += v
+              case 2 => sb += v
+            }
+            wsum += v.toLong * (i % 251)
+            i += 1
+          }
+          val n = rgb.length
+          val mean = if (n == 0) 0.0 else (sr + sg + sb).toDouble / n.toDouble
+          Row(r.getLong(idIdx), w, h, (w.toLong * h), sr, sg, sb, wsum, mean)
+        }
+      }
+    }(enc)
+  }
+
   /** Decode + feature-extract, batch-shaped. Appends
     * (n_bytes, mean_byte, byte_checksum).
     *
-    * ===== STUB BOUNDARY (image/video only — audio is real, above) ====
+    * ===== STUB BOUNDARY (video only — audio and image are real, above)
     * A real implementation hands each batch of byte arrays to a codec /
     * vision encoder (the mapInPandas shape: iterator of batches in,
     * iterator of batches out). Here the "decode" is a deterministic

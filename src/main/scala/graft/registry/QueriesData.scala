@@ -421,6 +421,18 @@ object QueriesData {
       Multimodal.decodeWavFeatures(media).orderBy(col("media_id"))
     }),
 
+    // REAL image roundtrip: synthesize closed-form RGB patterns, encode
+    // to actual 24bpp BMP bytes (bottom-up rows, 4-byte row padding,
+    // BGR order), decode them back and extract features. The oracle
+    // computes the same features straight from the pixel formula in
+    // SQL — a header, row-order, padding, or channel-order bug in the
+    // codec fails the hash compare.
+    "q_mm_bmp_roundtrip" -> ((s, dir) => {
+      val media = Multimodal.synthBmp(
+        TestTables.documents(s, dir).select(col("doc_id")), "doc_id")
+      Multimodal.decodeBmpFeatures(media).orderBy(col("media_id"))
+    }),
+
     // feature values asserted in ScalaTest).
     "q_mm_decode" -> ((s, dir) => {
       val media = Multimodal.asMedia(sampledDocs(s, dir), "doc_id", "text", "n_chars")
@@ -771,6 +783,22 @@ object QueriesData {
          |                 '${TextAnalysis.phonePattern}', '[PHONE]', 'g') AS clean_text
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "q_mm_bmp_roundtrip" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+        |px AS (SELECT doc_id, w, h, i, (doc_id * 31 + i * 7) % 256 AS v
+        |       FROM (SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS i FROM d)),
+        |agg AS (SELECT doc_id, w, h,
+        |          CAST(sum(v) FILTER (i % 3 = 0) AS BIGINT) AS sum_r,
+        |          CAST(sum(v) FILTER (i % 3 = 1) AS BIGINT) AS sum_g,
+        |          CAST(sum(v) FILTER (i % 3 = 2) AS BIGINT) AS sum_b,
+        |          CAST(sum(v * (i % 251)) AS BIGINT) AS px_weighted,
+        |          CAST(sum(v) AS BIGINT) AS sum_all
+        |        FROM px GROUP BY doc_id, w, h)
+        |SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_px, sum_r, sum_g, sum_b, px_weighted,
+        |  CAST(sum_all AS DOUBLE) / CAST(w * h * 3 AS DOUBLE) AS mean_px
+        |FROM agg ORDER BY media_id""".stripMargin,
 
     "q_mm_wav_roundtrip" ->
       """WITH d AS (SELECT doc_id, 400 + (doc_id % 5) * 200 AS n FROM documents),
