@@ -76,6 +76,34 @@ object QueriesStream {
       EventsStream.dedupOverlap(Seq(slim(current), slim(previous)))
         .orderBy(col("event_id"))
     }),
+
+    // Streaming LLM enrichment END-TO-END under the full oracle: the
+    // distinct claims stage as a parquet stream source, the foreachBatch
+    // sink anti-joins the durable key checkpoint, runs the batch LLM
+    // fan-out, and MERGEs into the partitioned target; the table read
+    // back must equal the closed-form mock answer for every claim —
+    // the streaming twin of q_c4_llm_predictions. (Replay/exactly-once
+    // semantics are exercised in StreamingSpec with a call-counting
+    // client.) Claims are key-distinct because the MERGE key must be
+    // unique; uid = orderkey*10 + linenumber is injective here
+    // (linenumber < 10).
+    "q_stream_llm_enrich" -> ((s, dir) => {
+      val base = graft.util.TempDirs.scratch("stream_enrich")
+      val claims = TestTables.lineitem(s, dir)
+        .select(col("l_orderkey").as("visit_id"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("uid"))
+        .distinct()
+        .withColumn("part", (col("visit_id") % 8).cast("int"))
+      claims.write.mode("overwrite").parquet(s"$base/src")
+      val stream = s.readStream.schema(claims.schema).parquet(s"$base/src")
+      val q = graft.streaming.EnrichStream.predictSink(stream, s"$base/table", "uid",
+        "visit_id", "uid", "part", s"$base/keys", s"$base/ckpt",
+        () => new graft.enrich.MockLlmClient())
+      q.awaitTermination(300000)
+      s.read.parquet(s"$base/table")
+        .select(col("visit_id"), col("uid"), col("medical_prediction"), col("reason"))
+        .orderBy(col("visit_id"), col("uid"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -148,5 +176,18 @@ object QueriesStream {
         |WHERE tst >= h - INTERVAL 270 MINUTES
         |   OR (tst >= h - INTERVAL 510 MINUTES AND tst < h - INTERVAL 240 MINUTES)
         |ORDER BY event_id""".stripMargin,
+
+    "q_stream_llm_enrich" ->
+      """WITH c AS (
+        |  SELECT DISTINCT l_orderkey AS visit_id, l_orderkey * 10 + l_linenumber AS uid
+        |  FROM lineitem)
+        |SELECT visit_id, uid,
+        |  CASE WHEN visit_id % 97 = 0 THEN 'Failed to reach LLM'
+        |       WHEN uid % 5 = 0 THEN 'Rejected'
+        |       ELSE 'Approved' END AS medical_prediction,
+        |  CASE WHEN visit_id % 97 <> 0 AND uid % 5 = 0
+        |       THEN 'service ' || CAST(uid AS VARCHAR) || ' is a duplicate order'
+        |       END AS reason
+        |FROM c ORDER BY visit_id, uid""".stripMargin,
   )
 }

@@ -222,4 +222,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size >= batch.size - nUsers,
       s"stream should close all but at most one in-flight session per user (${streamed.size} vs ${batch.size} - $nUsers)")
   }
+
+  test("streaming LLM enrichment: exactly-once under replay, incremental batches call only new keys") {
+    val base = java.nio.file.Files.createTempDirectory("enrich_stream").toString
+    val claims = graft.tables.TestTables.lineitem(spark, "/root/testdata/sf0.001")
+      .filter($"l_orderkey" <= 300)
+      .select($"l_orderkey".as("visit_id"), ($"l_orderkey" * 10 + $"l_linenumber").as("uid"))
+      .distinct()
+      .withColumn("part", ($"visit_id" % 4).cast("int"))
+    val firstWave = claims.filter($"visit_id" <= 200)
+    firstWave.coalesce(1).write.mode("overwrite").parquet(s"$base/src")
+
+    def run(ckptDir: String): Unit = {
+      val stream = spark.readStream.schema(claims.schema).parquet(s"$base/src")
+      val q = graft.streaming.EnrichStream.predictSink(stream, s"$base/table", "uid",
+        "visit_id", "uid", "part", s"$base/keys", ckptDir, () => new CountingLlmClient())
+      q.awaitTermination(120000)
+    }
+    def tableRows(): Map[Long, String] = spark.read.parquet(s"$base/table")
+      .select($"uid", $"medical_prediction").as[(Long, String)].collect().toMap
+
+    CountingLlmClient.calls.set(0)
+    run(s"$base/ckpt1")
+    val callsFirst = CountingLlmClient.calls.get()
+    val afterFirst = tableRows()
+    assert(callsFirst > 0, "first run must reach the LLM")
+    assert(afterFirst.size == firstWave.count(), "one enriched row per claim key")
+
+    // REPLAY: a fresh streaming checkpoint re-delivers every file, but
+    // the durable key store must skip all of them — zero LLM calls,
+    // table byte-identical.
+    run(s"$base/ckpt2")
+    assert(CountingLlmClient.calls.get() == callsFirst,
+      "replayed delivery must not re-call the LLM for recorded keys")
+    assert(tableRows() == afterFirst, "replay must converge, not duplicate or mutate")
+
+    // Incremental batch: add the remaining claims as a new source file;
+    // only the NEW keys are called and merged in.
+    claims.filter($"visit_id" > 200).coalesce(1).write.mode("append").parquet(s"$base/src")
+    run(s"$base/ckpt3")
+    assert(CountingLlmClient.calls.get() > callsFirst, "new keys must be enriched")
+    val afterSecond = tableRows()
+    assert(afterSecond.size == claims.count(), "table must now cover both waves")
+    assert(afterFirst.forall { case (k, v) => afterSecond(k) == v },
+      "previously enriched rows must be untouched by the incremental batch")
+
+    // The enriched values themselves equal the deterministic mock's
+    // closed form (the same contract the driver oracle states).
+    afterSecond.foreach { case (uid, pred) =>
+      val visit = uid / 10
+      val expected = if (visit % 97 == 0) "Failed to reach LLM"
+        else if (uid % 5 == 0) "Rejected" else "Approved"
+      assert(pred == expected, s"uid $uid: $pred != $expected")
+    }
+  }
+}
+
+/** MockLlmClient with a global call counter (single-JVM local mode) —
+  * the instrument that makes replay idempotence observable.
+  */
+class CountingLlmClient extends graft.enrich.MockLlmClient {
+  override def call(payload: String): Either[String, String] = {
+    CountingLlmClient.calls.incrementAndGet()
+    super.call(payload)
+  }
+}
+object CountingLlmClient {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
 }
