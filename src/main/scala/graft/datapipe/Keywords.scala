@@ -82,4 +82,76 @@ object Keywords {
       .limit(k)
       .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"), col("lift"))
   }
+
+  /** BM25 top-`k` retrieval: for each query, the `k` best documents
+    * under BM25 with k1 = 6/5 and b = 3/4, using the same log-free idf
+    * surrogate `(N + 1) / (df + 1)` as `topTfIdf` (reference
+    * retrieval-style ranking the reference's corpus tooling lacks —
+    * this is a beyond-reference training-data op: "which corpus docs
+    * answer this eval question" is the retrieval half of contamination
+    * forensics and RAG curation).
+    *
+    * Bit-reproducibility: with k1 = 6/5, b = 3/4 and avgdl = L/N, the
+    * tf-saturation factor reduces to the all-integer rational
+    * `22·tf·L / (10·tf·L + 3·L + 9·dl·N)`, so each term's score is ONE
+    * IEEE division of two fixed-parenthesization double products —
+    * engine-exact, no `ln` (libm-dependent) anywhere. The per-term
+    * score is then quantized to `floor(1e6 · score)` longs, making the
+    * cross-term SUM an integer sum — order-independent across
+    * engines/partitionings — so the final score is exactly hashable by
+    * a value-level oracle. Quantization error is bounded by
+    * |queryTerms| · 1e-6, irrelevant at ranking granularity.
+    *
+    * Shape at scale: the corpus is aggregated ONCE into a postings
+    * table (doc, term, tf) and never cross-joined — candidates come
+    * from an inverted-index join of postings against the (small,
+    * evidence-gated broadcast) distinct query-term set, so only docs
+    * sharing a term with some query are ever scored. The df and
+    * length tables join vocabulary- and doc-keyed; the dl join is the
+    * one corpus-keyed shuffle and AQE converts it to broadcast when
+    * the candidate slice is small. No collect; top-k is a per-query
+    * window over the already-reduced (query, doc) score table.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qIdCol: String, qTextCol: String,
+               k: Int): DataFrame = {
+    val words = docs.select(col(idCol).as("doc"),
+      explode(TextAnalysis.words(col(textCol))).as("term"))
+    // The postings table feeds df, dl, the corpus-length stat, and the
+    // candidate join — materialize so the corpus is aggregated once.
+    val tf = graft.util.Materialize.once(
+      words.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf")))
+    val dl = tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val l = tf.select(coalesce(sum(col("tf")), lit(0L)).as("l_total"))
+    // Distinct query terms: a repeated word contributes once (the
+    // classic set-of-terms BM25; documented, matched by the oracle).
+    val qterms = queries.select(col(qIdCol).as("q_id"),
+      explode(array_distinct(TextAnalysis.words(col(qTextCol)))).as("term"))
+    val cand = tf
+      .join(Joins.broadcastIfSmall(qterms), Seq("term"))
+      .join(Joins.broadcastIfSmall(dfreq), Seq("term"))
+      .join(dl, Seq("doc"))
+      .join(broadcast(n))
+      .join(broadcast(l))
+    val nD = col("n_docs").cast("double")
+    val lD = col("l_total").cast("double")
+    val tfD = col("tf").cast("double")
+    val dfD = col("df").cast("double")
+    val dlD = col("dl").cast("double")
+    // Parenthesization is part of the contract: the DuckDB oracle
+    // mirrors it token for token so the IEEE results are identical.
+    val num = ((nD + lit(1.0)) * lit(22.0)) * (tfD * lD)
+    val den = (dfD + lit(1.0)) *
+      (((lit(10.0) * tfD) * lD) + ((lit(3.0) * lD) + ((lit(9.0) * dlD) * nD)))
+    val scored = cand
+      .withColumn("c", floor((num / den) * lit(1000000.0)))
+      .groupBy(col("q_id"), col("doc"))
+      .agg(sum(col("c")).as("score"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("doc"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc"), col("score"))
+  }
 }

@@ -293,6 +293,18 @@ object QueriesData {
       Keywords.topTfIdf(TestTables.documents(s, dir), "doc_id", "text", k = 3)
         .orderBy(col("doc"), col("rank"))),
 
+    // BM25 top-5 retrieval: every 50th document's first 8 words as the
+    // query set against the full corpus (exact-rational k1=6/5, b=3/4
+    // scoring quantized to longs — see Keywords.bm25TopK scaladoc).
+    "q_bm25_topk" -> ((s, dir) => {
+      val docs = TestTables.documents(s, dir)
+      val qs = docs.filter(col("doc_id") % 50 === 13)
+        .select(col("doc_id").as("q_id"),
+          array_join(slice(TextAnalysis.words(col("text")), 1, 8), " ").as("q_text"))
+      Keywords.bm25TopK(docs, "doc_id", "text", qs, "q_id", "q_text", k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Fingerprints: normalized md5 + order-sensitive rolling chain.
     "q_text_fingerprint" -> ((s, dir) =>
       TestTables.documents(s, dir).select(
@@ -927,6 +939,33 @@ object QueriesData {
          |      FROM scored)
          |SELECT doc, rank, term, tf, df, score FROM r WHERE rank <= 3
          |ORDER BY doc, rank""".stripMargin,
+
+    // Parenthesization in the score expression mirrors
+    // Keywords.bm25TopK token for token — IEEE-identical by contract.
+    "q_bm25_topk" ->
+      s"""WITH w AS (SELECT doc_id AS doc, unnest($wordsSql) AS term FROM documents),
+         |tf AS (SELECT doc, term, count(*) AS tf FROM w GROUP BY doc, term),
+         |dl AS (SELECT doc, sum(tf) AS dl FROM tf GROUP BY doc),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |              (SELECT COALESCE(sum(tf), 0) FROM tf) AS l_total),
+         |q AS (SELECT doc_id AS q_id, list_distinct(list_slice($wordsSql, 1, 8)) AS qts
+         |      FROM documents WHERE doc_id % 50 = 13),
+         |qt AS (SELECT q_id, unnest(qts) AS term FROM q),
+         |cand AS (SELECT qt.q_id, tf.doc, tf.tf, dfreq.df, dl.dl
+         |         FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+         |         JOIN dl ON dl.doc = tf.doc),
+         |contrib AS (SELECT q_id, doc,
+         |  CAST(floor(((((CAST(n_docs AS DOUBLE) + 1.0) * 22.0) * (CAST(tf AS DOUBLE) * CAST(l_total AS DOUBLE)))
+         |    / ((CAST(df AS DOUBLE) + 1.0) * (((10.0 * CAST(tf AS DOUBLE)) * CAST(l_total AS DOUBLE))
+         |        + ((3.0 * CAST(l_total AS DOUBLE)) + ((9.0 * CAST(dl AS DOUBLE)) * CAST(n_docs AS DOUBLE))))))
+         |    * 1000000.0) AS BIGINT) AS c
+         |  FROM cand, st),
+         |sc AS (SELECT q_id, doc, CAST(sum(c) AS BIGINT) AS score FROM contrib GROUP BY q_id, doc),
+         |r AS (SELECT q_id, doc, score,
+         |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc) AS INT) AS rank FROM sc)
+         |SELECT q_id, rank, doc, score FROM r WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
 
     "q_text_fingerprint" ->
       """SELECT doc_id,

@@ -127,6 +127,41 @@ class SamplingSpec extends AnyFunSuite {
     assert(top.head == "hong kong", s"perfect collocation must rank first: $top")
   }
 
+  test("bm25TopK: rarity weighting, length normalization, k respected") {
+    import graft.datapipe.Keywords
+    val df = Seq(
+      (1L, "quantum flux capacitor alignment"),
+      (2L, "common words appear here often common words"),
+      (3L, "common words appear there often common words extra extra extra extra"),
+      (4L, "unrelated totally different content")).toDF("doc_id", "text")
+    val qs = Seq((10L, "quantum flux"), (20L, "common words"), (30L, "quantum common"))
+      .toDF("q_id", "q_text")
+    val top = Keywords.bm25TopK(df, "doc_id", "text", qs, "q_id", "q_text", k = 3)
+    val q10 = top.filter($"q_id" === 10L).orderBy($"rank").select($"doc").as[Long].collect().toSeq
+    assert(q10 == Seq(1L), s"only doc 1 contains the q10 terms: $q10")
+    // Docs 2 and 3 tie on tf for both terms; doc 3 is longer, so
+    // length normalization must rank doc 2 first.
+    val q20 = top.filter($"q_id" === 20L).orderBy($"rank").select($"doc").as[Long].collect().toSeq
+    assert(q20 == Seq(2L, 3L), s"length normalization must favor the shorter doc: $q20")
+    // "quantum" (df=1) must outweigh "common" (df=2) matches.
+    val q30 = top.filter($"q_id" === 30L).orderBy($"rank").select($"doc").as[Long].collect().toSeq
+    assert(q30.head == 1L, s"rare-term doc must rank first: $q30")
+    assert(top.groupBy($"q_id").count().filter($"count" > 3).count() == 0, "k must bound each query")
+  }
+
+  test("bm25TopK: repeated query words count once; wordless queries produce no rows") {
+    import graft.datapipe.Keywords
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha delta epsilon")).toDF("doc_id", "text")
+    val qs = Seq((1L, "alpha alpha alpha"), (2L, "alpha"), (3L, "   ")).toDF("q_id", "q_text")
+    val top = Keywords.bm25TopK(df, "doc_id", "text", qs, "q_id", "q_text", k = 5)
+    val s1 = top.filter($"q_id" === 1L).select($"doc", $"score").as[(Long, Long)].collect().toMap
+    val s2 = top.filter($"q_id" === 2L).select($"doc", $"score").as[(Long, Long)].collect().toMap
+    assert(s1 == s2, s"distinct query terms: $s1 vs $s2")
+    assert(top.filter($"q_id" === 3L).count() == 0, "no words -> no candidates")
+  }
+
   test("percentileGate keeps exactly the rows at or above the exact percentile") {
     val scored = docs.select($"doc_id", TextAnalysis.qualityScore($"text").as("q"))
     val kept = Sampling.percentileGate(scored, $"q", 0.9)
