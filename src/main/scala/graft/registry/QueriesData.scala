@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.datapipe.{Boilerplate, Decontam, Dedup, IncrementalDedup, Keywords, Multimodal, Quantize, Similarity, TextAnalysis}
+import graft.datapipe.{Boilerplate, Decontam, Dedup, IncrementalDedup, Keywords, Multimodal, Quantize, Retrieval, Similarity, TextAnalysis}
 import graft.tables.TestTables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -302,6 +302,26 @@ object QueriesData {
         .select(col("doc_id").as("q_id"),
           array_join(slice(TextAnalysis.words(col("text")), 1, 8), " ").as("q_text"))
       Keywords.bm25TopK(docs, "doc_id", "text", qs, "q_id", "q_text", k = 5)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Hybrid retrieval: RRF fusion of the BM25 lexical ranking with a
+    // brute-force cosine vector ranking over the SAME query doc ids
+    // (documents and embeddings share the 0..N id space by fixture
+    // design). Integer-quotient contributions keep the fused score an
+    // exact long — full oracle.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val docs = TestTables.documents(s, dir)
+      val emb = TestTables.embeddings(s, dir)
+      val qs = docs.filter(col("doc_id") % 50 === 13)
+        .select(col("doc_id").as("q_id"),
+          array_join(slice(TextAnalysis.words(col("text")), 1, 8), " ").as("q_text"))
+      val lex = Keywords.bm25TopK(docs, "doc_id", "text", qs, "q_id", "q_text", k = 10)
+        .select(col("q_id"), col("doc"), col("rank"))
+      val vec = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") % 50 === 13), emb, "vec_id", "embedding", k = 10)
+        .select(col("q_id"), col("n_id").as("doc"), col("rank"))
+      Retrieval.rrfFuse(Seq(lex, vec), k = 5)
         .orderBy(col("q_id"), col("rank"))
     }),
 
@@ -965,6 +985,49 @@ object QueriesData {
          |r AS (SELECT q_id, doc, score,
          |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc) AS INT) AS rank FROM sc)
          |SELECT q_id, rank, doc, score FROM r WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
+
+    // BM25 chain (identical to q_bm25_topk) + brute-force cosine chain
+    // (identical to q_sim_bruteforce, query ids % 50 = 13) fused with
+    // integer-quotient RRF — see Retrieval.rrfFuse scaladoc.
+    "q_hybrid_rrf" ->
+      s"""WITH w AS (SELECT doc_id AS doc, unnest($wordsSql) AS term FROM documents),
+         |tf AS (SELECT doc, term, count(*) AS tf FROM w GROUP BY doc, term),
+         |dl AS (SELECT doc, sum(tf) AS dl FROM tf GROUP BY doc),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |              (SELECT COALESCE(sum(tf), 0) FROM tf) AS l_total),
+         |q AS (SELECT doc_id AS q_id, list_distinct(list_slice($wordsSql, 1, 8)) AS qts
+         |      FROM documents WHERE doc_id % 50 = 13),
+         |qt AS (SELECT q_id, unnest(qts) AS term FROM q),
+         |cand AS (SELECT qt.q_id, tf.doc, tf.tf, dfreq.df, dl.dl
+         |         FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
+         |         JOIN dl ON dl.doc = tf.doc),
+         |contrib AS (SELECT q_id, doc,
+         |  CAST(floor(((((CAST(n_docs AS DOUBLE) + 1.0) * 22.0) * (CAST(tf AS DOUBLE) * CAST(l_total AS DOUBLE)))
+         |    / ((CAST(df AS DOUBLE) + 1.0) * (((10.0 * CAST(tf AS DOUBLE)) * CAST(l_total AS DOUBLE))
+         |        + ((3.0 * CAST(l_total AS DOUBLE)) + ((9.0 * CAST(dl AS DOUBLE)) * CAST(n_docs AS DOUBLE))))))
+         |    * 1000000.0) AS BIGINT) AS c
+         |  FROM cand, st),
+         |sc AS (SELECT q_id, doc, CAST(sum(c) AS BIGINT) AS score FROM contrib GROUP BY q_id, doc),
+         |lr AS (SELECT q_id, doc, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc) AS INT) AS rank FROM sc),
+         |lex AS (SELECT q_id, doc, rank FROM lr WHERE rank <= 10),
+         |vq AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+         |       FROM embeddings WHERE vec_id % 50 = 13),
+         |vc AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+         |vs AS (SELECT q_id, n_id,
+         |    list_dot_product(qv, nv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS cosine
+         |  FROM vc CROSS JOIN vq WHERE q_id <> n_id),
+         |vr AS (SELECT q_id, n_id AS doc,
+         |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank FROM vs),
+         |vec AS (SELECT q_id, doc, rank FROM vr WHERE rank <= 10),
+         |u AS (SELECT q_id, doc, CAST(floor(1000000000.0 / (60.0 + CAST(rank AS DOUBLE))) AS BIGINT) AS c FROM lex
+         |      UNION ALL
+         |      SELECT q_id, doc, CAST(floor(1000000000.0 / (60.0 + CAST(rank AS DOUBLE))) AS BIGINT) AS c FROM vec),
+         |f AS (SELECT q_id, doc, CAST(sum(c) AS BIGINT) AS score, count(*) AS n_systems FROM u GROUP BY q_id, doc),
+         |fr AS (SELECT q_id, doc, score, n_systems,
+         |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc) AS INT) AS rank FROM f)
+         |SELECT q_id, rank, doc, score, n_systems FROM fr WHERE rank <= 5
          |ORDER BY q_id, rank""".stripMargin,
 
     "q_text_fingerprint" ->

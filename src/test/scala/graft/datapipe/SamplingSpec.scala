@@ -162,6 +162,23 @@ class SamplingSpec extends AnyFunSuite {
     assert(top.filter($"q_id" === 3L).count() == 0, "no words -> no candidates")
   }
 
+  test("rrfFuse: consensus docs outrank single-system docs; exact integer scores") {
+    import graft.datapipe.Retrieval
+    // doc 7 is rank 2 in BOTH systems; docs 1 and 9 are rank 1 in one
+    // system each. 2/(60+2) > 1/(60+1), so consensus must win.
+    val sysA = Seq((100L, 1L, 1), (100L, 7L, 2), (100L, 3L, 3)).toDF("q_id", "doc", "rank")
+    val sysB = Seq((100L, 9L, 1), (100L, 7L, 2), (100L, 4L, 3)).toDF("q_id", "doc", "rank")
+    val out = Retrieval.rrfFuse(Seq(sysA, sysB), k = 3)
+    val rows = out.orderBy($"rank").select($"doc", $"score", $"n_systems")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.head._1 == 7L, s"consensus doc must rank first: $rows")
+    assert(rows.head._2 == 2 * (1000000000L / 62L), s"rank-2+rank-2 score: ${rows.head}")
+    assert(rows.head._3 == 2L)
+    // Ties (docs 1 and 9, both 1e9/61) break by doc id.
+    assert(rows.map(_._1) == Seq(7L, 1L, 9L), s"tie-break by doc: $rows")
+    assert(out.count() == 3, "k must bound the output")
+  }
+
   test("percentileGate keeps exactly the rows at or above the exact percentile") {
     val scored = docs.select($"doc_id", TextAnalysis.qualityScore($"text").as("q"))
     val kept = Sampling.percentileGate(scored, $"q", 0.9)
