@@ -11,9 +11,17 @@ import org.apache.spark.sql.functions._
   */
 final class Checkpoint(spark: SparkSession, path: String, keyCol: String) {
 
-  def processedKeys(): DataFrame =
-    try spark.read.parquet(path).select(col(keyCol)).distinct()
-    catch { case _: Exception => spark.emptyDataFrame.withColumn(keyCol, lit(null: String)) }
+  def processedKeys(): DataFrame = {
+    // Existence check first: reading a not-yet-created store would log
+    // a scary (but benign) FileNotFoundException stack from Hadoop's
+    // metadata probe on every first run.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) spark.emptyDataFrame.withColumn(keyCol, lit(null: String))
+    else
+      try spark.read.parquet(path).select(col(keyCol)).distinct()
+      catch { case _: Exception => spark.emptyDataFrame.withColumn(keyCol, lit(null: String)) }
+  }
 
   /** B28: drop rows whose key is already recorded. */
   def filterNew(input: DataFrame): DataFrame = {

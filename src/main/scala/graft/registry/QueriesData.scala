@@ -465,6 +465,19 @@ object QueriesData {
       Multimodal.decodeBmpFeatures(media).orderBy(col("media_id"))
     }),
 
+    // REAL video roundtrip: synthesize closed-form RGB frame stacks,
+    // encode to actual uncompressed AVI bytes (RIFF chunk tree, raw
+    // bottom-up BGR DIB frames), decode them back and extract
+    // features. The oracle recomputes the same features from the
+    // per-frame pixel formula in SQL — a header, frame-order,
+    // row-order, padding, or channel bug fails the hash compare.
+    // Sampled docs keep the oracle's unnested pixel table small.
+    "q_mm_avi_roundtrip" -> ((s, dir) => {
+      val media = Multimodal.synthAvi(
+        sampledDocs(s, dir).select(col("doc_id")), "doc_id")
+      Multimodal.decodeAviFeatures(media).orderBy(col("media_id"))
+    }),
+
     // feature values asserted in ScalaTest).
     "q_mm_decode" -> ((s, dir) => {
       val media = Multimodal.asMedia(sampledDocs(s, dir), "doc_id", "text", "n_chars")
@@ -830,6 +843,23 @@ object QueriesData {
         |SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |  CAST(w * h AS BIGINT) AS n_px, sum_r, sum_g, sum_b, px_weighted,
         |  CAST(sum_all AS DOUBLE) / CAST(w * h * 3 AS DOUBLE) AS mean_px
+        |FROM agg ORDER BY media_id""".stripMargin,
+
+    "q_mm_avi_roundtrip" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 6 AS w, 6 + doc_id % 5 AS h, 2 + doc_id % 4 AS nf
+        |           FROM documents WHERE doc_id % 10 = 0),
+        |fr AS (SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS f FROM d),
+        |px AS (SELECT doc_id, w, h, nf, f, j, (doc_id * 31 + f * 11 + j * 7) % 256 AS v
+        |       FROM (SELECT doc_id, w, h, nf, f, unnest(range(0, w * h * 3)) AS j FROM fr)),
+        |agg AS (SELECT doc_id, w, h, nf,
+        |          CAST(sum(v) AS BIGINT) AS sum_px,
+        |          CAST(sum((f + 1) * v) AS BIGINT) AS frame_weighted,
+        |          CAST(sum(v * (j % 251)) AS BIGINT) AS px_weighted
+        |        FROM px GROUP BY doc_id, w, h, nf)
+        |SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(12 AS INT) AS fps, CAST(nf AS INT) AS n_frames,
+        |  CAST(w * h * nf AS BIGINT) AS n_px, sum_px, frame_weighted, px_weighted,
+        |  CAST(sum_px AS DOUBLE) / CAST(w * h * 3 * nf AS DOUBLE) AS mean_px
         |FROM agg ORDER BY media_id""".stripMargin,
 
     "q_mm_wav_roundtrip" ->
