@@ -37,7 +37,10 @@ object Bench {
     "q_decontaminate",
     "q_pipeline_pretrain",
     "q_text_boilerplate",
-    "q_corpus_top_terms")
+    "q_corpus_top_terms",
+    "q_bm25_topk",
+    "q_hybrid_rrf",
+    "q_mm_avi_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

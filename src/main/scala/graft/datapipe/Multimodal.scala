@@ -547,6 +547,46 @@ object Multimodal {
     }(enc)
   }
 
+  /** Frame sampling over real video: decode each AVI and emit one row
+    * per `everyNth` frame with per-frame features — the
+    * training-data shape for "one vision-encoder input per sampled
+    * frame" (the metadata-only planner `frameSampleIndexes` picks the
+    * indexes without decoding; this is the decode half). Rows per
+    * clip are bounded by n_frames / everyNth; decode stays executor-
+    * side and batch-shaped, no driver collection.
+    */
+  def sampleAviFrames(media: DataFrame, everyNth: Int, batchSize: Int = 32): DataFrame = {
+    require(everyNth >= 1, "everyNth must be at least 1")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("f_sum", LongType),
+      StructField("f_weighted", LongType)))
+    val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val id = r.getLong(idIdx)
+          val (w, h, _, frames) = decodeAvi(r.getAs[Array[Byte]](contentIdx))
+          frames.indices.collect { case f if f % everyNth == 0 =>
+            val rgb = frames(f)
+            var s = 0L; var pw = 0L; var j = 0
+            while (j < rgb.length) {
+              val v = rgb(j) & 0xFF
+              s += v; pw += v.toLong * (j % 251)
+              j += 1
+            }
+            Row(id, f, w, h, s, pw)
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Decode + feature-extract, batch-shaped. Appends
     * (n_bytes, mean_byte, byte_checksum).
     *

@@ -478,6 +478,17 @@ object QueriesData {
       Multimodal.decodeAviFeatures(media).orderBy(col("media_id"))
     }),
 
+    // Frame sampling over the real AVI path: every 2nd frame of each
+    // clip becomes a row with frame-order- and pixel-order-sensitive
+    // features — the oracle recomputes them per sampled frame from
+    // the same closed form.
+    "q_mm_video_frames" -> ((s, dir) => {
+      val media = Multimodal.synthAvi(
+        sampledDocs(s, dir).select(col("doc_id")), "doc_id")
+      Multimodal.sampleAviFrames(media, everyNth = 2)
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // feature values asserted in ScalaTest).
     "q_mm_decode" -> ((s, dir) => {
       val media = Multimodal.asMedia(sampledDocs(s, dir), "doc_id", "text", "n_chars")
@@ -861,6 +872,21 @@ object QueriesData {
         |  CAST(w * h * nf AS BIGINT) AS n_px, sum_px, frame_weighted, px_weighted,
         |  CAST(sum_px AS DOUBLE) / CAST(w * h * 3 * nf AS DOUBLE) AS mean_px
         |FROM agg ORDER BY media_id""".stripMargin,
+
+    "q_mm_video_frames" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 6 AS w, 6 + doc_id % 5 AS h, 2 + doc_id % 4 AS nf
+        |           FROM documents WHERE doc_id % 10 = 0),
+        |fr AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM d),
+        |sel AS (SELECT * FROM fr WHERE f % 2 = 0),
+        |px AS (SELECT doc_id, w, h, f, j, (doc_id * 31 + f * 11 + j * 7) % 256 AS v
+        |       FROM (SELECT doc_id, w, h, f, unnest(range(0, w * h * 3)) AS j FROM sel)),
+        |agg AS (SELECT doc_id, w, h, f,
+        |          CAST(sum(v) AS BIGINT) AS f_sum,
+        |          CAST(sum(v * (j % 251)) AS BIGINT) AS f_weighted
+        |        FROM px GROUP BY doc_id, w, h, f)
+        |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx, CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height, f_sum, f_weighted
+        |FROM agg ORDER BY media_id, frame_idx""".stripMargin,
 
     "q_mm_wav_roundtrip" ->
       """WITH d AS (SELECT doc_id, 400 + (doc_id % 5) * 200 AS n FROM documents),

@@ -69,6 +69,27 @@ class AviSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Multimodal.decodeAvi(bpp8))
   }
 
+  test("sampleAviFrames keeps every-nth frame with per-frame closed-form features") {
+    val ids = Seq(3L, 7L).toDF("doc_id")
+    val out = Multimodal.sampleAviFrames(Multimodal.synthAvi(ids, "doc_id"), everyNth = 2)
+      .as[(Long, Int, Int, Int, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    for (id <- Seq(3L, 7L)) {
+      val ew = (8 + id % 6).toInt
+      val eh = (6 + id % 5).toInt
+      val enf = (2 + id % 4).toInt
+      val expectIdx = (0 until enf).filter(_ % 2 == 0)
+      val got = out(id)
+      assert(got.map(_._2).toSeq == expectIdx, s"sampled frame indexes for $id")
+      for ((_, f, w, h, s, pw) <- got) {
+        assert(w == ew && h == eh)
+        val vs = (0 until ew * eh * 3).map(j => (id * 31 + f * 11 + j * 7) % 256)
+        assert(s == vs.sum)
+        assert(pw == vs.zipWithIndex.map { case (v, j) => v * (j % 251) }.sum)
+      }
+    }
+  }
+
   test("synth + decode features match the closed form on a DataFrame") {
     val ids = Seq(0L, 1L, 10L, 97L).toDF("doc_id")
     val out = Multimodal.decodeAviFeatures(Multimodal.synthAvi(ids, "doc_id"))
