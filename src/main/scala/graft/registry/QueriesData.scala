@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.datapipe.{Boilerplate, Decontam, Dedup, IncrementalDedup, Keywords, Multimodal, Quantize, Retrieval, Similarity, TextAnalysis}
+import graft.datapipe.{Boilerplate, Decontam, Dedup, IncrementalDedup, Keywords, LmScore, Multimodal, Quantize, Retrieval, Similarity, TextAnalysis}
 import graft.tables.TestTables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -292,6 +292,15 @@ object QueriesData {
     "q_text_keywords" -> ((s, dir) =>
       Keywords.topTfIdf(TestTables.documents(s, dir), "doc_id", "text", k = 3)
         .orderBy(col("doc"), col("rank"))),
+
+    // CCNet-style trigram-LM quality score: the corpus scores itself
+    // (train = score set), all-integer quantized conditionals — see
+    // LmScore scaladoc.
+    "q_text_lm_score" -> ((s, dir) => {
+      val docs = TestTables.documents(s, dir)
+      LmScore.scoreDocs(docs, "doc_id", "text", docs, "text")
+        .orderBy(col("doc"))
+    }),
 
     // BM25 top-5 retrieval: every 50th document's first 8 words as the
     // query set against the full corpus (exact-rational k1=6/5, b=3/4
@@ -1000,6 +1009,27 @@ object QueriesData {
          |  array_to_string(list_slice(ws, i * 24 + 1, i * 24 + 32), ' ') AS chunk
          |FROM c, unnest(range(0, nch)) AS t(i)
          |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_text_lm_score" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE text IS NOT NULL),
+        |tri AS (SELECT doc_id, substr(t, CAST(i AS INT), 3) AS g
+        |        FROM (SELECT doc_id, t, unnest(range(1, length(t) - 1)) AS i FROM d)),
+        |big AS (SELECT substr(t, CAST(i AS INT), 2) AS g
+        |        FROM (SELECT t, unnest(range(1, length(t))) AS i FROM d)),
+        |uni AS (SELECT substr(t, CAST(i AS INT), 1) AS ch
+        |        FROM (SELECT t, unnest(range(1, length(t) + 1)) AS i FROM d)),
+        |c3 AS (SELECT g, count(*) AS c3 FROM tri GROUP BY g),
+        |c2 AS (SELECT g, count(*) AS c2 FROM big GROUP BY g),
+        |a AS (SELECT count(DISTINCT ch) AS alpha FROM uni),
+        |sc AS (SELECT tri.doc_id,
+        |         (1000000000 * (coalesce(c3.c3, 0) + 1)) // (coalesce(c2.c2, 0) + alpha) AS q
+        |       FROM tri LEFT JOIN c3 USING (g)
+        |         LEFT JOIN c2 ON substr(tri.g, 1, 2) = c2.g
+        |         CROSS JOIN a),
+        |agg AS (SELECT doc_id, count(*) AS n_tri, sum(q) AS lm_q FROM sc GROUP BY doc_id)
+        |SELECT doc_id AS doc, CAST(n_tri AS BIGINT) AS n_tri, CAST(lm_q AS BIGINT) AS lm_q,
+        |  CAST(lm_q AS DOUBLE) / CAST(n_tri AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS lm_mean
+        |FROM agg ORDER BY doc""".stripMargin,
 
     "q_text_keywords" ->
       s"""WITH w AS (SELECT doc_id AS doc, unnest($wordsSql) AS term FROM documents),
