@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.datapipe.{Boilerplate, Decontam, Dedup, IncrementalDedup, Keywords, LmScore, Multimodal, Quantize, Retrieval, Similarity, TextAnalysis}
+import graft.datapipe.{Boilerplate, Decontam, Dedup, DupSpans, IncrementalDedup, Keywords, LmScore, Multimodal, Quantize, Retrieval, Similarity, TextAnalysis}
 import graft.tables.TestTables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -301,6 +301,13 @@ object QueriesData {
       LmScore.scoreDocs(docs, "doc_id", "text", docs, "text")
         .orderBy(col("doc"))
     }),
+
+    // Exact substring dedup (Lee-et-al-style): 5-word spans occurring
+    // ≥2× corpus-wide are duplicated; report coverage + stripped text.
+    "q_text_dup_spans" -> ((s, dir) =>
+      DupSpans.report(TestTables.documents(s, dir), "doc_id", "text",
+          w = 5, minCount = 2L)
+        .orderBy(col("doc"))),
 
     // BM25 top-5 retrieval: every 50th document's first 8 words as the
     // query set against the full corpus (exact-rational k1=6/5, b=3/4
@@ -1030,6 +1037,37 @@ object QueriesData {
         |SELECT doc_id AS doc, CAST(n_tri AS BIGINT) AS n_tri, CAST(lm_q AS BIGINT) AS lm_q,
         |  CAST(lm_q AS DOUBLE) / CAST(n_tri AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS lm_mean
         |FROM agg ORDER BY doc""".stripMargin,
+
+    "q_text_dup_spans" ->
+      s"""WITH base AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |b AS (SELECT doc_id, ws, len(ws) AS nw FROM base),
+         |sh AS (SELECT doc_id, CAST(i AS INT) AS pos,
+         |         array_to_string(list_slice(ws, CAST(i + 1 AS INT), CAST(i + 5 AS INT)), ' ') AS g
+         |       FROM b, unnest(range(0, greatest(nw - 4, 0))) t(i)),
+         |cnts AS (SELECT g, count(*) AS c FROM sh GROUP BY g),
+         |dup AS (SELECT doc_id, pos FROM sh JOIN cnts USING (g) WHERE c >= 2),
+         |spans AS (SELECT doc_id, count(*) AS n_dup_spans FROM dup GROUP BY doc_id),
+         |cov AS (SELECT DISTINCT doc_id, CAST(p AS INT) AS p
+         |        FROM dup, unnest(range(pos, pos + 5)) t(p)),
+         |covn AS (SELECT doc_id, count(*) AS covered FROM cov GROUP BY doc_id),
+         |wordpos AS (SELECT doc_id, CAST(j AS INT) AS j,
+         |              list_extract(ws, CAST(j + 1 AS INT)) AS wd
+         |            FROM b, unnest(range(0, nw)) t(j)),
+         |keep AS (SELECT wp.doc_id, wp.j, wp.wd FROM wordpos wp
+         |         ANTI JOIN cov ON wp.doc_id = cov.doc_id AND wp.j = cov.p),
+         |clean AS (SELECT doc_id, string_agg(wd, ' ' ORDER BY j) AS clean_text
+         |          FROM keep GROUP BY doc_id)
+         |SELECT b.doc_id AS doc, CAST(b.nw AS BIGINT) AS n_words,
+         |  CAST(greatest(b.nw - 4, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(s.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+         |  CAST(coalesce(cn.covered, 0) AS BIGINT) AS covered_tokens,
+         |  CASE WHEN b.nw = 0 THEN CAST(0 AS DOUBLE)
+         |       ELSE CAST(coalesce(cn.covered, 0) AS DOUBLE) / CAST(b.nw AS DOUBLE) END AS dup_frac,
+         |  coalesce(c.clean_text, '') AS clean_text
+         |FROM b LEFT JOIN spans s USING (doc_id)
+         |  LEFT JOIN covn cn USING (doc_id)
+         |  LEFT JOIN clean c USING (doc_id)
+         |ORDER BY doc""".stripMargin,
 
     "q_text_keywords" ->
       s"""WITH w AS (SELECT doc_id AS doc, unnest($wordsSql) AS term FROM documents),
