@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.datapipe.{Boilerplate, Decontam, Dedup, DupSpans, IncrementalDedup, Keywords, LmScore, Multimodal, Quantize, Retrieval, Similarity, TextAnalysis}
+import graft.datapipe.{Boilerplate, Decontam, Dedup, DupSpans, Html, IncrementalDedup, Keywords, LmScore, Multimodal, Quantize, Retrieval, SemDedup, Similarity, TextAnalysis, Urls}
 import graft.tables.TestTables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -309,6 +309,57 @@ object QueriesData {
           w = 5, minCount = 2L)
         .orderBy(col("doc"))),
 
+    // HTML → text extraction over synthesized pages: each document is
+    // wrapped in a deterministic page (title, style, script, nav links,
+    // entities, comment chrome) built with SQL-expressible concat, so
+    // the oracle constructs the SAME page and recomputes the whole
+    // regex pipeline (RE2 ∩ Java subset — see Html scaladoc).
+    "q_text_html_extract" -> ((s, dir) => {
+      val page = concat(
+        lit("<html><head><title>Doc &amp; "), col("doc_id").cast("string"),
+        lit("</title><style>p{color:red}</style></head><body>"),
+        lit("<script type=\"text/javascript\">var x=\"<p>no</p>\";</script>"),
+        lit("<div class=\"nav\"><a href=\"/home\">Home</a><a href=\"/d?ref=r"),
+        col("doc_id").cast("string"), lit("\">Next</a></div><p>"),
+        replace(col("text"), lit(" table "), lit(" &lt;table&gt; ")),
+        lit("</p><h2>End</h2><p>Tail&nbsp;para</p><!-- chrome --></body></html>"))
+      TestTables.documents(s, dir)
+        .select(col("doc_id").as("doc"), page.as("html"))
+        .select(col("doc"),
+          Html.title(col("html")).as("title"),
+          Html.extractText(col("html")).as("body_text"),
+          array_join(Html.links(col("html")), ",").as("hrefs"),
+          size(Html.links(col("html"))).cast("long").as("n_links"),
+          Html.textRatio(col("html")).as("text_ratio"))
+        .orderBy(col("doc"))
+    }),
+
+    // URL decomposition over synthesized crawl URLs (userinfo, optional
+    // www, ccTLD-vs-gTLD registered-domain split, port, query, optional
+    // fragment) — every field recomputed by the oracle with the same
+    // regexes. hostBucket is spec-covered only (DuckDB lacks Spark's
+    // seed-42 xxhash64).
+    "q_text_url_parse" -> ((s, dir) => {
+      val u = concat(
+        lit("https://User@"),
+        when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+        col("source"),
+        when(col("doc_id") % 4 === 0, lit(".example.co.uk")).otherwise(lit(".example.com")),
+        lit(":8080/docs/"), col("doc_id").cast("string"),
+        lit("/page?x=1&ref=r"), (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 5 === 0, lit("#sec")).otherwise(lit("")))
+      TestTables.documents(s, dir)
+        .select(col("doc_id").as("doc"), u.as("u"))
+        .select(col("doc"),
+          Urls.host(col("u")).as("host"),
+          Urls.path(col("u")).as("path"),
+          Urls.queryParam(col("u"), "ref").as("ref"),
+          Urls.fragment(col("u")).as("frag"),
+          Urls.registeredDomain(col("u")).as("domain"),
+          Urls.tld(col("u")).as("tld"))
+        .orderBy(col("doc"))
+    }),
+
     // BM25 top-5 retrieval: every 50th document's first 8 words as the
     // query set against the full corpus (exact-rational k1=6/5, b=3/4
     // scoring quantized to longs — see Keywords.bm25TopK scaladoc).
@@ -442,6 +493,36 @@ object QueriesData {
       Similarity.cosineDedupPairs(emb.unionByName(copies), "vec_id", "embedding",
           minCosine = 0.9, maxBucket = 16)
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SemDeDup over a provable fixture: one-hot embeddings in 16
+    // orthogonal direction classes (doc_id % 16, scale doc_id+1) make
+    // every within-class cosine exactly 1.0 and every cross-class
+    // cosine exactly 0.0, so k-means + intra-cell dedup MUST keep
+    // exactly the class minima — the oracle recomputes that closed
+    // form from the documents table. FULL hash compare, unlike the
+    // LSH ANN entries where the candidate set is heuristic.
+    "q_sem_dedup" -> ((s, dir) => {
+      val vecs = TestTables.documents(s, dir).select(col("doc_id").as("id"),
+        transform(sequence(lit(0), lit(15)),
+          d => when(d === col("doc_id") % 16, (col("doc_id") + 1).cast("double"))
+            .otherwise(lit(0.0))).as("vec"))
+      SemDedup.dedupReport(vecs, "id", "vec", k = 16, iters = 1, minCosine = 0.9)
+        .orderBy(col("id"))
+    }),
+
+    // Same fixture THROUGH the star fallback: cap 20 < every cell size
+    // (≥31 at sf0.01), so all drops must ride the linear star path —
+    // and for pure direction-classes the star provably merges the
+    // whole class, so the same closed-form oracle applies.
+    "q_sem_dedup_capped" -> ((s, dir) => {
+      val vecs = TestTables.documents(s, dir).select(col("doc_id").as("id"),
+        transform(sequence(lit(0), lit(15)),
+          d => when(d === col("doc_id") % 16, (col("doc_id") + 1).cast("double"))
+            .otherwise(lit(0.0))).as("vec"))
+      SemDedup.dedupReport(vecs, "id", "vec", k = 16, iters = 1,
+          minCosine = 0.9, maxCell = 20)
+        .orderBy(col("id"))
     }),
 
     // Multimodal metadata algebra: frame sampling + resize, no decode.
@@ -1068,6 +1149,76 @@ object QueriesData {
          |  LEFT JOIN covn cn USING (doc_id)
          |  LEFT JOIN clean c USING (doc_id)
          |ORDER BY doc""".stripMargin,
+
+    "q_text_html_extract" ->
+      """WITH h AS (SELECT doc_id AS doc,
+        |  '<html><head><title>Doc &amp; ' || CAST(doc_id AS VARCHAR) ||
+        |  '</title><style>p{color:red}</style></head><body>' ||
+        |  '<script type="text/javascript">var x="<p>no</p>";</script>' ||
+        |  '<div class="nav"><a href="/home">Home</a><a href="/d?ref=r' || CAST(doc_id AS VARCHAR) ||
+        |  '">Next</a></div><p>' ||
+        |  replace(text, ' table ', ' &lt;table&gt; ') ||
+        |  '</p><h2>End</h2><p>Tail&nbsp;para</p><!-- chrome --></body></html>' AS html
+        |FROM documents),
+        |s1 AS (SELECT doc, html, regexp_replace(regexp_replace(regexp_replace(html,
+        |  '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |  '(?is)<title[^>]*>.*?</title>', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc, html, regexp_replace(t,
+        |  '(?i)<br[^>]*>|</(?:p|div|li|ul|ol|h[1-6]|tr|table|blockquote)>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc, html, regexp_replace(regexp_replace(t,
+        |  '(?s)<!--.*?-->', ' ', 'g'), '<[^>]*>', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc, html, replace(replace(replace(replace(replace(replace(t,
+        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+        |  '&amp;', '&') AS t FROM s3),
+        |s5 AS (SELECT doc, html, trim(regexp_replace(t, '\s+', ' ', 'g')) AS body_text FROM s4),
+        |ti AS (SELECT doc, trim(replace(replace(replace(replace(replace(replace(
+        |  regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '),
+        |  '&amp;', '&')) AS title FROM h),
+        |lk AS (SELECT doc, regexp_extract_all(html, '(?i)href="([^"]*)"', 1) AS ls FROM h)
+        |SELECT h.doc, ti.title, s5.body_text,
+        |  array_to_string(lk.ls, ',') AS hrefs,
+        |  CAST(len(lk.ls) AS BIGINT) AS n_links,
+        |  CASE WHEN length(h.html) = 0 THEN CAST(0 AS DOUBLE)
+        |       ELSE CAST(length(s5.body_text) AS DOUBLE) / CAST(length(h.html) AS DOUBLE)
+        |  END AS text_ratio
+        |FROM h JOIN ti USING (doc) JOIN s5 USING (doc) JOIN lk USING (doc)
+        |ORDER BY doc""".stripMargin,
+
+    "q_sem_dedup" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS id,
+        |  CAST(count(*) - 1 AS BIGINT) AS n_dropped
+        |FROM documents GROUP BY doc_id % 16 ORDER BY id""".stripMargin,
+
+    "q_sem_dedup_capped" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS id,
+        |  CAST(count(*) - 1 AS BIGINT) AS n_dropped
+        |FROM documents GROUP BY doc_id % 16 ORDER BY id""".stripMargin,
+
+    "q_text_url_parse" ->
+      """WITH u0 AS (SELECT doc_id AS doc,
+        |  'https://User@' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+        |  source ||
+        |  CASE WHEN doc_id % 4 = 0 THEN '.example.co.uk' ELSE '.example.com' END ||
+        |  ':8080/docs/' || CAST(doc_id AS VARCHAR) ||
+        |  '/page?x=1&ref=r' || CAST(doc_id % 7 AS VARCHAR) ||
+        |  CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END AS u
+        |FROM documents),
+        |f AS (SELECT doc,
+        |  regexp_extract(lower(u), '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1) AS host,
+        |  regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path,
+        |  regexp_extract(u, '[?&]ref=([^&#]*)', 1) AS ref,
+        |  regexp_extract(u, '#(.*)$', 1) AS frag
+        |FROM u0)
+        |SELECT doc, host, path, ref, frag,
+        |  CASE WHEN regexp_extract(host, '([^.]+\.(?:co|com|net|org|ac|gov|edu)\.[a-z][a-z])$', 1) <> ''
+        |       THEN regexp_extract(host, '([^.]+\.(?:co|com|net|org|ac|gov|edu)\.[a-z][a-z])$', 1)
+        |       ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+        |  END AS domain,
+        |  regexp_extract(host, '\.([^.]+)$', 1) AS tld
+        |FROM f ORDER BY doc""".stripMargin,
 
     "q_text_keywords" ->
       s"""WITH w AS (SELECT doc_id AS doc, unnest($wordsSql) AS term FROM documents),
