@@ -40,7 +40,10 @@ object Bench {
     "q_corpus_top_terms",
     "q_bm25_topk",
     "q_hybrid_rrf",
-    "q_mm_avi_roundtrip")
+    "q_mm_avi_roundtrip",
+    "q_text_dup_spans",
+    "q_sem_dedup",
+    "q_text_html_extract")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -47,4 +47,41 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("doc"), col("score"), col("n_systems"))
   }
+
+  /** Exact phrase search via a positional inverted index — the
+    * retrieval primitive BM25's bag-of-words scoring cannot express
+    * (and the standard forensic tool for "which documents contain this
+    * exact sentence"). A doc matches a phrase at `start` iff every
+    * phrase term j appears at doc position start + j: each posting
+    * joins the (broadcast) phrase-term list on the term, candidates
+    * group on the implied start, and a group reaching |phrase| rows is
+    * a conjunctive full match. Per group each j can appear only once
+    * (its position is determined by start + j), so the count test is
+    * exact even when the phrase repeats a term.
+    *
+    * Shape at scale: one postings explode of the corpus (linear),
+    * joined against a broadcast phrase-term table — the corpus is
+    * never self-joined, and only positions whose TERM matches some
+    * phrase term survive the join, so candidate volume is governed by
+    * the phrases' document frequency exactly like the BM25 candidate
+    * join. Returns (p_id, doc, n_hits) with n_hits the number of
+    * distinct match starts (overlapping matches each count).
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrases: DataFrame, pIdCol: String, phraseCol: String): DataFrame = {
+    val post = docs.select(col(idCol).as("doc"),
+      posexplode(TextAnalysis.words(col(textCol))).as(Seq("pos", "term")))
+    val pterms = phrases
+      .select(col(pIdCol).as("p_id"), TextAnalysis.words(col(phraseCol)).as("pws"))
+      .filter(size(col("pws")) > 0)
+      .select(col("p_id"), size(col("pws")).as("plen"),
+        posexplode(col("pws")).as(Seq("j", "pterm")))
+    post.join(broadcast(pterms), col("term") === col("pterm"))
+      .select(col("p_id"), col("doc"), (col("pos") - col("j")).as("start"), col("plen"))
+      .filter(col("start") >= 0)
+      .groupBy(col("p_id"), col("doc"), col("start"), col("plen"))
+      .agg(count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === col("plen"))
+      .groupBy(col("p_id"), col("doc")).agg(count(lit(1)).as("n_hits"))
+  }
 }

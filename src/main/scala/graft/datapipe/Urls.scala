@@ -66,4 +66,22 @@ object Urls {
     */
   def hostBucket(url: Column, buckets: Int): Column =
     pmod(xxhash64(host(url)), lit(buckets.toLong))
+
+  /** Per-domain document cap — the crawl-diversity gate: keep at most
+    * `n` documents per registered domain, best-first by `order`
+    * (ties broken by `tieBreak` ascending so the kept set is
+    * deterministic). One shuffle on the domain key; the rank filter
+    * compiles to Spark's native WindowGroupLimit, so each partition
+    * keeps only its running top-n instead of materializing full
+    * per-domain sorts.
+    */
+  def capPerDomain(docs: org.apache.spark.sql.DataFrame, urlCol: String,
+                   order: Column, tieBreak: Column, n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(registeredDomain(col(urlCol)))
+      .orderBy(order.desc, tieBreak.asc)
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
 }

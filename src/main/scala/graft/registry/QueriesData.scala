@@ -360,6 +360,22 @@ object QueriesData {
         .orderBy(col("doc"))
     }),
 
+    // Crawl-diversity gate: ≤5 docs per registered domain, best-first
+    // by n_chars (doc id breaks ties). The Spark side derives the
+    // domain through URL synthesis + the registeredDomain regex; the
+    // oracle recomputes it directly from source — cross-checking both
+    // the cap AND the domain extraction.
+    "q_url_domain_cap" -> ((s, dir) => {
+      val docs = TestTables.documents(s, dir)
+        .select(col("doc_id").as("doc"), col("n_chars"),
+          concat(lit("https://www."), col("source"), lit(".com/docs/"),
+            col("doc_id").cast("string")).as("u"))
+      Urls.capPerDomain(docs, "u", col("n_chars"), col("doc"), 5)
+        .select(col("doc"), Urls.registeredDomain(col("u")).as("domain"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy(col("domain"), col("doc"))
+    }),
+
     // BM25 top-5 retrieval: every 50th document's first 8 words as the
     // query set against the full corpus (exact-rational k1=6/5, b=3/4
     // scoring quantized to longs — see Keywords.bm25TopK scaladoc).
@@ -370,6 +386,19 @@ object QueriesData {
           array_join(slice(TextAnalysis.words(col("text")), 1, 8), " ").as("q_text"))
       Keywords.bm25TopK(docs, "doc_id", "text", qs, "q_id", "q_text", k = 5)
         .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Exact phrase search: every 100th document's first 3 words as
+    // phrases against the full corpus. The engine runs the positional
+    // inverted-index conjunctive join; the oracle answers by 3-shingle
+    // string equality — structurally different algorithms must agree.
+    "q_phrase_search" -> ((s, dir) => {
+      val docs = TestTables.documents(s, dir)
+      val ph = docs.filter(col("doc_id") % 100 === 17)
+        .select(col("doc_id").as("p_id"),
+          array_join(slice(TextAnalysis.words(col("text")), 1, 3), " ").as("phrase"))
+      Retrieval.phraseSearch(docs, "doc_id", "text", ph, "p_id", "phrase")
+        .orderBy(col("p_id"), col("doc"))
     }),
 
     // Hybrid retrieval: RRF fusion of the BM25 lexical ranking with a
@@ -1185,6 +1214,26 @@ object QueriesData {
         |  END AS text_ratio
         |FROM h JOIN ti USING (doc) JOIN s5 USING (doc) JOIN lk USING (doc)
         |ORDER BY doc""".stripMargin,
+
+    "q_url_domain_cap" ->
+      """WITH u0 AS (SELECT doc_id AS doc, n_chars, source || '.com' AS domain FROM documents),
+        |r AS (SELECT doc, domain, n_chars,
+        |        row_number() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc ASC) AS rn
+        |      FROM u0)
+        |SELECT doc, domain, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM r WHERE rn <= 5 ORDER BY domain, doc""".stripMargin,
+
+    "q_phrase_search" ->
+      s"""WITH b AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         |ph AS (SELECT doc_id AS p_id, array_to_string(list_slice(ws, 1, 3), ' ') AS phrase
+         |       FROM b WHERE doc_id % 100 = 17),
+         |sh AS (SELECT doc_id AS doc,
+         |         array_to_string(list_slice(ws, CAST(i + 1 AS INT), CAST(i + 3 AS INT)), ' ') AS g
+         |       FROM (SELECT doc_id, ws, len(ws) AS nw FROM b) bb,
+         |         unnest(range(0, greatest(nw - 2, 0))) t(i))
+         |SELECT ph.p_id, sh.doc, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM ph JOIN sh ON sh.g = ph.phrase
+         |GROUP BY ph.p_id, sh.doc ORDER BY p_id, doc""".stripMargin,
 
     "q_sem_dedup" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS id,

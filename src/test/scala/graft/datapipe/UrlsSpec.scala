@@ -47,6 +47,20 @@ class UrlsSpec extends AnyFunSuite {
     assert(h2 == "localhost" && d2 == "" && t2 == "")
   }
 
+  test("capPerDomain keeps the best n per registered domain, deterministically") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "https://a.example.com/1", 50L),
+      (2L, "https://www.a.example.com/2", 90L), // same domain as 1, better
+      (3L, "https://a.example.com/3", 90L),     // tie with 2 → lower id kept first
+      (4L, "https://b.example.org/1", 10L)
+    ).toDF("doc", "u", "score")
+    val kept = Urls.capPerDomain(docs, "u", col("score"), col("doc"), 2)
+      .select("doc").as[Long].collect().toSet
+    // example.com keeps 2 and 3 (both score 90); doc 1 capped out.
+    assert(kept == Set(2L, 3L, 4L))
+  }
+
   test("hostBucket is stable and within range") {
     val rows = Seq("https://a.example.com/1", "https://a.example.com/2",
       "https://b.example.org/1").toDF("u")

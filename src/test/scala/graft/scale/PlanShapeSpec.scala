@@ -185,6 +185,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges == 1, s"raw terms must never shuffle — only merged sketches, found $exchanges:\n$plan")
   }
 
+  test("phrase search: phrase terms broadcast; postings never sort-merge on term") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.tables.TestTables.documents(spark, dir)
+    val ph = docs.filter(col("doc_id") % 100 === 17)
+      .select(col("doc_id").as("p_id"),
+        array_join(slice(graft.datapipe.TextAnalysis.words(col("text")), 1, 3), " ").as("phrase"))
+    val plan = graft.datapipe.Retrieval.phraseSearch(docs, "doc_id", "text", ph, "p_id", "phrase")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"phrase-term side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus postings shuffled on term:\n$plan")
+  }
+
+  test("html extraction is a single codegen'd projection: no exchange, no join") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.tables.TestTables.documents(spark, dir)
+    val plan = docs.select(col("doc_id"),
+        graft.datapipe.Html.extractText(col("text")).as("t"),
+        graft.datapipe.Urls.host(col("text")).as("h"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"pure per-row pipeline must not shuffle:\n$plan")
+    // "*(1)" is the WholeStageCodegen stage marker in the plan string.
+    assert(plan.contains("*(1) Project"), s"projection fell out of codegen:\n$plan")
+  }
+
   test("salted aggregation introduces no extra full-table exchange beyond the two phases") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
