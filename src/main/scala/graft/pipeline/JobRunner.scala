@@ -64,20 +64,20 @@ object JobRunner {
       val out = Pipelines.resubmission(spark, sfDir)
       load(out, s"$outDir/resubmission", upsertKey = None)
     case "incremental" =>
-      // The typed `ts` is derived (ns long → timestamp) so a predicate
-      // on it cannot reach the parquet scan; give the watermark cut a
-      // raw-ns form that does (see Incremental.rawPredicate).
+      // The typed `ts` is derived (raw physical column → timestamp) so
+      // a predicate on it cannot reach the parquet scan; give the
+      // watermark cut the schema-matched raw form that does (see
+      // Incremental.rawPredicate / TestTables.eventsWatermarkPredicate).
       val inc = new Incremental(spark, s"$outDir/state", "ts",
-        rawPredicate = Some(h => col("ts_ns") > lit(tsNanos(h))))
+        rawPredicate = Some(TestTables.eventsWatermarkPredicate(spark, sfDir)))
       inc.runBatch(TestTables.events(spark, sfDir)) { batch =>
-        load(batch.drop("props", "ts_ns"), s"$outDir/events", upsertKey = None)
+        load(batch.drop("props", "ts_ns", "ts_raw"), s"$outDir/events", upsertKey = None)
       }
     case other => throw new IllegalArgumentException(s"unknown job: $other")
   }
 
   /** Epoch nanoseconds of a timestamp (floor to its µs precision). */
-  def tsNanos(t: java.sql.Timestamp): Long =
-    math.floorDiv(t.getTime, 1000L) * 1000000000L + t.getNanos
+  def tsNanos(t: java.sql.Timestamp): Long = TestTables.tsNanos(t)
 
   /** Hash-bucket count for the `current` table's partition layout. */
   val upsertBuckets = 16

@@ -104,11 +104,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(windows == 3, s"three gate windows over the single scan, found $windows")
   }
 
-  test("incremental watermark cut pushes to the parquet scan via the raw-ns predicate") {
+  test("incremental watermark cut pushes to the parquet scan via the raw predicate") {
     import org.apache.spark.sql.functions._
     val state = java.nio.file.Files.createTempDirectory("plan_inc").toString
     val inc = new graft.streaming.Incremental(spark, state, "ts",
-      rawPredicate = Some(h => col("ts_ns") > lit(graft.pipeline.JobRunner.tsNanos(h))))
+      rawPredicate = Some(graft.tables.TestTables.eventsWatermarkPredicate(spark, dir)))
     val ev = graft.tables.TestTables.events(spark, dir)
     inc.commit(ev.filter(col("event_id") % 2 === 0)) // plant a watermark
     val plan = inc.newRows(ev).queryExecution.executedPlan.toString

@@ -13,23 +13,21 @@ class StreamingSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   import spark.implicits._
 
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  // Physical schema as shipped — the loader must adapt to it, the spec
+  // must not assume it.
+  private lazy val rawSchema =
+    graft.tables.TestTables.rawEventsSchema(spark, "/root/testdata/sf0.001")
 
   /** Stage the events file into a streaming source dir and read it with
-    * the same ns→µs conversion as TestTables.events.
+    * the same encoding-adaptive conversion as TestTables.events.
     */
   private def streamSource(): org.apache.spark.sql.DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = java.nio.file.Files.createTempDirectory("events_stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("events.parquet"))
-    spark.readStream.schema(rawSchema).parquet(dir.toString)
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    graft.tables.TestTables.normalizeEvents(
+      spark.readStream.schema(rawSchema).parquet(dir.toString))
   }
 
   test("windowed aggregation: stream with watermark equals batch") {
@@ -150,7 +148,6 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("overlap dedup: re-delivered poll window is exactly-once on the stream") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = java.nio.file.Files.createTempDirectory("events_dedup")
     // The same poll window delivered twice (the reference's 30-min
     // overlap re-read) as two source files, forced into separate
@@ -161,10 +158,9 @@ class StreamingSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("poll2.parquet"))
-    val src = spark.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val src = graft.tables.TestTables.normalizeEvents(
+      spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString))
     val q = EventsStream.dedupStream(src, "event_id")
       .writeStream.format("memory").queryName("dedup_overlap")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
