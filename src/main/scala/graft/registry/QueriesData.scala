@@ -439,11 +439,10 @@ object QueriesData {
     // LSH-bucketed ANN over planted twin queries. Each query is a
     // ×2-scaled copy of a corpus vector: the power-of-two scaling is
     // IEEE-exact, so the twin shares every hyperplane sign (guaranteed
-    // bucket collision in every table) and has cosine exactly 1.0 with
-    // its base — while the strongest NATURAL pair in this corpus is
-    // ~0.60. The top-1 row per query is therefore provably
-    // (base, cosine 1.0): rows-only, but the row count equals the
-    // planted query count and ScalaTest asserts the exact content.
+    // bucket collision in every table) and has cosine ≈ 1.0 with its
+    // base — while the strongest NATURAL query-corpus cosine is ≤ 0.46.
+    // The top-1 row per query therefore provably equals the brute-force
+    // top-1, which the oracle computes closed-form: FULL hash compare.
     "q_sim_lsh_ann" -> ((s, dir) => {
       val emb = TestTables.embeddings(s, dir)
       Similarity.lshTopK(twinQueries(emb), emb, "vec_id", "embedding",
@@ -454,7 +453,8 @@ object QueriesData {
     // IVF ANN: k-means cells + nprobe search, over the same planted
     // twins — exact scaling preserves every query-to-centroid cosine,
     // so a twin probes exactly the cells its base ranks, including the
-    // base's own cell; top-1 is provably the base at cosine 1.0.
+    // base's own cell; top-1 is provably the brute-force top-1 and the
+    // oracle computes it closed-form: FULL hash compare.
     "q_sim_ivf_ann" -> ((s, dir) => {
       val emb = TestTables.embeddings(s, dir)
       val centroids = graft.datapipe.Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
@@ -477,9 +477,10 @@ object QueriesData {
 
     // Asymmetric quantized ANN: full-precision planted-twin queries
     // against the int8 corpus. The twin's cosine with its dequantized
-    // base is 1 − O(quantization cell) ≈ 0.99+, far above the 0.60
+    // base is 1 − O(quantization cell) ≈ 0.9999, far above the ≤ 0.47
     // strongest natural pair, so top-1 is provably the base even
-    // through the int8 codes.
+    // through the int8 codes — and the oracle replays the fixed-order
+    // quantize/dequantize arithmetic exactly: FULL hash compare.
     "q_sim_quantized_ann" -> ((s, dir) => {
       val emb = TestTables.embeddings(s, dir)
       Quantize.bruteForceTopKQuantized(
@@ -490,12 +491,12 @@ object QueriesData {
     }),
 
     // Embedding-cosine near-dup pairs inside LSH buckets. The synthetic
-    // embeddings have no natural pair >= 0.9 at small SF, which made
-    // this rows-only entry vacuous (0 rows proves nothing) — so, like
-    // q_dedup_minhash_shingled, plant a deterministic twin of every
-    // sampled vector: positive scaling preserves both the cosine
+    // embeddings have no natural pair >= 0.9 at small SF (max ≈ 0.41),
+    // so, like q_dedup_minhash_shingled, plant a deterministic twin of
+    // every sampled vector: positive scaling preserves both the cosine
     // (cos(v, 2v) = 1) and every hyperplane sign, so the output is
-    // exactly the planted (vec, twin) pairs.
+    // exactly the planted (vec, twin) pairs — which the oracle's
+    // exhaustive ≥ 0.9 pair scan reproduces: FULL hash compare.
     "q_sim_cosine_dedup" -> ((s, dir) => {
       val emb = TestTables.embeddings(s, dir).filter(col("vec_id") % 10 === 0)
         .select(col("vec_id"), col("embedding"))
@@ -1388,6 +1389,119 @@ object QueriesData {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
         |  FROM scored) t
         |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin,
+
+    // LSH top-1 equals brute-force top-1 by the planted-twin guarantee:
+    // each twin (×2-scaled, IEEE-exact) collides with its base in every
+    // table and scores cosine ≈ 1.0 there, while the strongest natural
+    // query-corpus cosine is ≤ 0.46 (measured) — so the heuristic
+    // candidate set provably contains the global argmax and this oracle
+    // is exact, not approximate.
+    "q_sim_lsh_ann" ->
+      """WITH q AS (
+        |  SELECT vec_id + 10000000 AS q_id,
+        |         CAST(list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |scored AS (
+        |  SELECT q_id, n_id,
+        |    list_dot_product(qv, nv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS cosine
+        |  FROM c CROSS JOIN q WHERE q_id <> n_id)
+        |SELECT q_id, n_id, cosine, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 1 ORDER BY q_id, rank""".stripMargin,
+
+    // IVF top-1: the twin's query-to-centroid cosines equal its base's
+    // (exact scaling), and probe rank 1 (cos desc, cell asc) is exactly
+    // the cell argmax the base was assigned to (same tie-break), so the
+    // base's cell is always probed and top-1 = brute-force top-1 — the
+    // same closed form as the LSH entry.
+    "q_sim_ivf_ann" ->
+      """WITH q AS (
+        |  SELECT vec_id + 10000000 AS q_id,
+        |         CAST(list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |scored AS (
+        |  SELECT q_id, n_id,
+        |    list_dot_product(qv, nv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS cosine
+        |  FROM c CROSS JOIN q WHERE q_id <> n_id)
+        |SELECT q_id, n_id, cosine, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 1 ORDER BY q_id, rank""".stripMargin,
+
+    // Asymmetric quantized top-1: full-precision twins against the
+    // dequantized int8 corpus. The dequantization replays Quantize's
+    // fixed-order affine arithmetic (code = least(255, floor(((x−mn)·
+    // 255)/(mx−mn))), back via mn + ((code+0.5)·(mx−mn))/255), so
+    // every corpus vector — and hence every cosine — is reproduced
+    // bit-for-bit; twin-vs-base scores ≈ 0.9999 vs ≤ 0.47 natural, so
+    // top-1 is closed-form.
+    "q_sim_quantized_ann" ->
+      """WITH q AS (
+        |  SELECT vec_id + 10000000 AS q_id,
+        |         CAST(list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |qz AS (SELECT vec_id AS n_id,
+        |         CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+        |         CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx,
+        |         embedding AS emb
+        |       FROM embeddings),
+        |dq AS (SELECT n_id,
+        |         CASE WHEN mx = mn THEN list_transform(emb, x -> mn)
+        |              ELSE list_transform(emb, x ->
+        |                mn + ((CAST(least(255, CAST(floor(((CAST(x AS DOUBLE) - mn) * CAST(255.0 AS DOUBLE)) / (mx - mn)) AS INT)) AS DOUBLE) + CAST(0.5 AS DOUBLE)) * (mx - mn)) / CAST(255.0 AS DOUBLE))
+        |         END AS nv
+        |       FROM qz),
+        |scored AS (
+        |  SELECT q_id, n_id,
+        |    list_dot_product(qv, nv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS cosine
+        |  FROM dq CROSS JOIN q WHERE q_id <> n_id)
+        |SELECT q_id, n_id, cosine, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 1 ORDER BY q_id, rank""".stripMargin,
+
+    // Every pair with cosine ≥ 0.9 is a planted (base, twin) pair —
+    // twins collide with their base in every LSH table (exact scaling
+    // preserves all hyperplane signs) and all natural/cross cosines are
+    // ≤ 0.46 (measured) — so the exhaustive pair scan below equals the
+    // engine's bucketed candidate set exactly.
+    "q_sim_cosine_dedup" ->
+      """WITH s AS (SELECT vec_id AS doc, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id % 10 = 0),
+        |t AS (SELECT vec_id + 10000000 AS doc,
+        |        CAST(list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id % 10 = 0),
+        |u AS (SELECT * FROM s UNION ALL SELECT * FROM t),
+        |p AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+        |        list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+        |      FROM u a JOIN u b ON a.doc < b.doc)
+        |SELECT doc_a, doc_b, cosine FROM p WHERE cosine >= CAST(0.9 AS DOUBLE)
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Star-fallback closed form: the 31-member planted cluster (base
+    // vec 0 + 30 exact power-of-two copies) shares every bucket, always
+    // exceeds the cap, and its bucket minimum is provably vec 0 — so
+    // the engine emits exactly the (0, copy) star pairs and never a
+    // copy-copy pair (the quadratic edge the cap suppresses). The
+    // oracle mirrors that by excluding copy-copy pairs from the
+    // exhaustive scan; all other pairs are ≤ 0.46 and filtered.
+    "q_sim_cosine_dedup_capped" ->
+      """WITH s AS (SELECT vec_id AS doc, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id % 10 = 0),
+        |cp AS (SELECT 20000000 + i AS doc,
+        |         CAST(list_transform(e.embedding, x -> x * CAST(power(CAST(2.0 AS DOUBLE), CAST(i AS DOUBLE)) AS FLOAT)) AS DOUBLE[]) AS v
+        |       FROM (SELECT unnest(range(1, 31)) AS i) ids,
+        |            (SELECT embedding FROM embeddings WHERE vec_id = 0) e),
+        |u AS (SELECT * FROM s UNION ALL SELECT * FROM cp),
+        |p AS (SELECT a.doc AS doc_a, b.doc AS doc_b,
+        |        list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+        |      FROM u a JOIN u b ON a.doc < b.doc
+        |      WHERE NOT (a.doc >= 20000000 AND b.doc >= 20000000))
+        |SELECT doc_a, doc_b, cosine FROM p WHERE cosine >= CAST(0.9 AS DOUBLE)
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_mm_metadata" ->
       """SELECT doc_id AS media_id,

@@ -21,6 +21,18 @@ class BoilerplateSpec extends AnyFunSuite {
     Boilerplate.strip(docs, "doc_id", "text", minDocFrac)
       .as[(Long, String)].collect().toMap
 
+  test("blank lines are never boilerplate candidates — paragraph structure survives") {
+    // Every doc has a blank separator line (df = 1.0, far above any
+    // threshold); stripping it would collapse paragraph structure.
+    val withBlanks = (1L to 4L).map(i =>
+      (i, s"para one of doc $i\n\npara two of doc $i")).toDF("doc_id", "text")
+    val clean = Boilerplate.strip(withBlanks, "doc_id", "text", minDocFrac = 0.5)
+      .as[(Long, String)].collect().toMap
+    (1L to 4L).foreach(i =>
+      assert(clean(i) == s"para one of doc $i\n\npara two of doc $i",
+        s"doc $i must keep its blank separator: '${clean(i)}'"))
+  }
+
   test("lines above the document-frequency threshold are stripped, rare and body lines survive in order") {
     val clean = cleanOf(0.4)
     assert(clean(1L) == "body first line of doc 1\nbody second line of doc 1")

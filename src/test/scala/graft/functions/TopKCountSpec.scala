@@ -26,6 +26,22 @@ class TopKCountSpec extends AnyFunSuite {
     }
   }
 
+  test("counter overflow fails loudly (addExact), never wraps silently") {
+    val s = new TopKCount.Summary(4)
+    s.add(u("big"), Long.MaxValue)
+    intercept[ArithmeticException] { s.add(u("big"), 1L) }
+  }
+
+  test("wrong arity on the SQL builders raises a readable signature error, not an index error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT topk_count('a') FROM VALUES (1) t(x)").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("topk_count expects 3 arguments")),
+      s"got: ${messages(e).mkString(" | ")}")
+  }
+
   test("exact regime: counts equal true frequencies, err = 0, deterministic order") {
     val stream = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++ Seq("d")
     val out = report(summaryOf(Random.shuffle(stream), capacity = 10), k = 4)

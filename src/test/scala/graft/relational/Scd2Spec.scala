@@ -49,6 +49,17 @@ class Scd2Spec extends AnyFunSuite {
     assert(res == Set((1L, "A", 10, Some(20)), (1L, null, 20, Some(30)), (1L, "A", 30, None)))
   }
 
+  test("late updates (ts before the open valid_from) are dropped, never overlap closed history") {
+    val res = out(
+      cur((1L, 1, Some(10), "OLD"), (1L, 10, None, "A")),
+      upd((1L, 5, "LATE"), (1L, 20, "B"))) // 5 < open valid_from 10
+    assert(res == Set(
+      (1L, "OLD", 1, Some(10)),
+      (1L, "A", 10, Some(20)),
+      (1L, "B", 20, None)),
+      "the ts=5 update would overlap the immutable [1,10) history row and must be discarded")
+  }
+
   test("open+updates shuffle once: the three window passes share a single exchange") {
     val plan = Scd2.applyChanges(
         cur((1L, 10, None, "A")), upd((1L, 20, "B")), "k", "ts", Seq("seg"))
