@@ -1,6 +1,5 @@
 package graft.datapipe
 
-import graft.ops.Joins
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -18,9 +17,28 @@ import org.apache.spark.sql.functions._
   * for anything downstream that assumes BM25-ish damping.
   *
   * Shape at scale: one (doc, term) aggregation, a vocabulary-sized
-  * document-frequency table (evidence-gated broadcast — vocabularies
-  * are sublinear in corpus size but not provably bounded), and one
+  * document-frequency table (AQE-planned join — vocabularies are
+  * sublinear in corpus size but not provably bounded), and one
   * per-doc window for the top-k. No collect, no cartesian.
+  *
+  * The multi-consumer postings table (`tf` here and in [[bm25TopK]])
+  * is deliberately left as PLAIN LINEAGE, not checkpointed: every
+  * consumer's plan contains the identical partial-aggregate Exchange,
+  * so Spark's exchange reuse materializes the corpus scan + partial
+  * aggregation ONCE (one shuffle write, N reads). An eager
+  * `localCheckpoint` would add a synchronous job barrier AND pin a
+  * corpus-scaled block copy in executor storage — at 100 TB that is
+  * a second corpus resident in the cluster, and executor loss turns
+  * fail-stop. Exchange reuse gets scan-once for free from shuffle
+  * files that must be written anyway. (Checkpointing remains correct
+  * for SIDE-EFFECTING stages — see [[graft.util.Materialize]] — but
+  * postings are pure.) Corpus-derived join sides (df tables) carry no
+  * static broadcast gate either: a `count()` gate on plain lineage
+  * would re-run the corpus aggregation just to measure it; AQE already
+  * sees the exact shuffle size at runtime and converts to broadcast
+  * when small. The query set is the one static broadcast: it is the
+  * ad-hoc side, small by contract (a retrieval call's queries, not a
+  * data-scaling table).
   */
 object Keywords {
 
@@ -31,14 +49,17 @@ object Keywords {
   def topTfIdf(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val words = docs.select(col(idCol).as("doc"),
       explode(TextAnalysis.words(col(textCol))).as("term"))
-    // tf feeds both the df rollup and the final join — materialize so
-    // the corpus is scanned and aggregated once, not twice.
-    val tf = graft.util.Materialize.once(
-      words.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf")))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tf = words.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    // df(term) = docs containing the term = rows per term in the
+    // already-distinct (doc, term) postings — a COUNT window over the
+    // term partition, not a groupBy-then-self-join. One lineage: the
+    // corpus is scanned, exploded, and aggregated exactly once (a df
+    // self-join recomputes all three — column pruning gives the df
+    // branch a narrower partial aggregate, so exchange reuse can't
+    // deduplicate it).
+    val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
     val n = docs.select(count(lit(1)).as("n_docs"))
-    val scored = tf
-      .join(Joins.broadcastIfSmall(df), Seq("term"))
+    val scored = withDf
       .join(broadcast(n))
       .withColumn("score",
         col("tf").cast("double") * ((col("n_docs").cast("double") + lit(1.0))
@@ -57,12 +78,15 @@ object Keywords {
     * theory but minCount-pruned in practice. Output: top `k` by lift.
     */
   def collocations(docs: DataFrame, textCol: String, k: Int, minCount: Long = 5L): DataFrame = {
-    // The unigram table feeds both word joins and the total — without
-    // materialization the corpus would be re-aggregated three times.
-    val uni = graft.util.Materialize.once(
-      docs.select(explode(TextAnalysis.words(col(textCol))).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("c")))
-    val total = uni.agg(sum(col("c")).as("n_uni"))
+    // The unigram table feeds the two word joins; both consumers keep
+    // the full (w, c) row, so their partial-aggregate exchanges are
+    // identical and exchange reuse scans the corpus once for both.
+    val uni = docs.select(explode(TextAnalysis.words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    // The unigram total needs no postings at all: one narrow
+    // no-explode corpus pass (sum of per-doc word counts ≡ sum of c).
+    val total = docs.agg(
+      coalesce(sum(size(TextAnalysis.words(col(textCol))).cast("long")), lit(0L)).as("n_uni"))
     val bi = docs.select(explode(TextAnalysis.shingles(col(textCol), 2)).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minCount)
@@ -72,8 +96,8 @@ object Keywords {
       .filter(size(col("__parts")) === 2)
       .select(col("bigram"), element_at(col("__parts"), 1).as("wa"),
         element_at(col("__parts"), 2).as("wb"), col("c_ab"))
-    bi.join(Joins.broadcastIfSmall(uni.select(col("w").as("wa"), col("c").as("c_a"))), Seq("wa"))
-      .join(Joins.broadcastIfSmall(uni.select(col("w").as("wb"), col("c").as("c_b"))), Seq("wb"))
+    bi.join(uni.select(col("w").as("wa"), col("c").as("c_a")), Seq("wa"))
+      .join(uni.select(col("w").as("wb"), col("c").as("c_b")), Seq("wb"))
       .join(broadcast(total))
       .withColumn("lift",
         (col("c_ab").cast("double") * col("n_uni").cast("double"))
@@ -102,39 +126,55 @@ object Keywords {
     * a value-level oracle. Quantization error is bounded by
     * |queryTerms| · 1e-6, irrelevant at ranking granularity.
     *
-    * Shape at scale: the corpus is aggregated ONCE into a postings
-    * table (doc, term, tf) and never cross-joined — candidates come
-    * from an inverted-index join of postings against the (small,
-    * evidence-gated broadcast) distinct query-term set, so only docs
-    * sharing a term with some query are ever scored. The df and
-    * length tables join vocabulary- and doc-keyed; the dl join is the
-    * one corpus-keyed shuffle and AQE converts it to broadcast when
-    * the candidate slice is small. No collect; top-k is a per-query
-    * window over the already-reduced (query, doc) score table.
+    * Shape at scale — the inverted-index discipline, applied BEFORE
+    * aggregation: postings are filtered against the (broadcast)
+    * query-term set as they are exploded, so the ONLY (doc, term)
+    * shuffle that ever happens is candidate-sized — the full-corpus
+    * postings shuffle that a materialize-then-filter formulation pays
+    * is gone entirely. df(term) then comes from a COUNT window over
+    * the candidate postings' term partition (for a query term, every
+    * doc containing it survives the filter, so the window count IS the
+    * corpus df — no second corpus aggregation, no join). Per-doc
+    * length and the corpus totals never need postings at all:
+    * `dl = size(words(text))` is a narrow no-shuffle scan and
+    * (n_docs, l_total) is one single-row aggregate broadcast to every
+    * candidate. Net: one candidate-bounded shuffle plus two narrow
+    * corpus scans, no checkpoint barrier, no corpus-sized block copy,
+    * no collect; top-k is a per-query window over the already-reduced
+    * (query, doc) score table.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, qIdCol: String, qTextCol: String,
                k: Int): DataFrame = {
-    val words = docs.select(col(idCol).as("doc"),
-      explode(TextAnalysis.words(col(textCol))).as("term"))
-    // The postings table feeds df, dl, the corpus-length stat, and the
-    // candidate join — materialize so the corpus is aggregated once.
-    val tf = graft.util.Materialize.once(
-      words.groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf")))
-    val dl = tf.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = docs.select(count(lit(1)).as("n_docs"))
-    val l = tf.select(coalesce(sum(col("tf")), lit(0L)).as("l_total"))
+    val ws = TextAnalysis.words(col(textCol))
+    // Corpus totals in one narrow pass — no explode, one row out.
+    // (sum ignores the null `size` of a null-text doc, matching the
+    // postings formulation where such docs simply contribute none.)
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(size(ws).cast("long")), lit(0L)).as("l_total"))
+    val dl = docs.select(col(idCol).as("doc"), size(ws).cast("long").as("dl"))
     // Distinct query terms: a repeated word contributes once (the
     // classic set-of-terms BM25; documented, matched by the oracle).
+    // The query set is small by contract (the ad-hoc side of a
+    // retrieval call), so both its joins broadcast statically.
     val qterms = queries.select(col(qIdCol).as("q_id"),
       explode(array_distinct(TextAnalysis.words(col(qTextCol)))).as("term"))
-    val cand = tf
-      .join(Joins.broadcastIfSmall(qterms), Seq("term"))
-      .join(Joins.broadcastIfSmall(dfreq), Seq("term"))
+    val qtermSet = qterms.select(col("term")).distinct()
+    val candPostings = docs
+      .select(col(idCol).as("doc"), explode(ws).as("term"))
+      .join(broadcast(qtermSet), Seq("term"))
+    // One candidate shuffle, shared by the tf aggregate AND the df
+    // window: hash partitioning on `term` satisfies the (doc, term)
+    // clustered distribution (subset of the group keys), so neither
+    // adds its own exchange. Skew bound: a partition holds the
+    // postings of its query terms — candidate-sized by construction.
+    val tf = candPostings.repartition(col("term"))
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    val cand = withDf
+      .join(broadcast(qterms), Seq("term"))
       .join(dl, Seq("doc"))
-      .join(broadcast(n))
-      .join(broadcast(l))
+      .join(broadcast(stats))
     val nD = col("n_docs").cast("double")
     val lD = col("l_total").cast("double")
     val tfD = col("tf").cast("double")
