@@ -163,6 +163,20 @@ object QueriesB {
         .orderBy(col("o_orderkey")).limit(10)
         .select(col("o_orderkey"), col("o_orderstatus"))),
 
+    // Skew-salted join: the engine runs the salted plan (probe salted
+    // round-robin over 8 buckets, build replicated 8x, join keys
+    // (l_suppkey, salt)); the oracle is the PLAIN left join — salting
+    // must be a pure routing change with zero semantic footprint.
+    "q_skew_salted_join" -> ((s, dir) => {
+      val li = TestTables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_quantity"))
+      val sup = TestTables.supplier(s, dir)
+        .filter(col("s_suppkey") % 2 === 0)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"), col("s_nationkey"))
+      graft.ops.Joins.saltedJoin(li, sup, Seq("l_suppkey"), saltBuckets = 8, joinType = "left")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_quantity"))
+    }),
+
     // B4: Excel round-trip — write a slice to .xlsx (zip+SpreadsheetML,
     // JDK-only), read it back dtype=str like the reference's
     // pd.read_excel, coerce, and verify values survive both directions.
@@ -288,6 +302,15 @@ object QueriesB {
     "q_b17_top_counts" ->
       """SELECT event_type, count(*) AS count FROM events
         |GROUP BY event_type ORDER BY count DESC, event_type LIMIT 10""".stripMargin,
+
+    "q_skew_salted_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, l.l_quantity,
+        |  s.s_name, s.s_nationkey
+        |FROM lineitem l
+        |LEFT JOIN (SELECT s_suppkey, s_name, s_nationkey FROM supplier
+        |           WHERE s_suppkey % 2 = 0) s
+        |  ON l.l_suppkey = s.s_suppkey
+        |ORDER BY l.l_orderkey, l.l_linenumber, l.l_suppkey, l.l_quantity""".stripMargin,
 
     "q_b18_group_nulltest" ->
       """SELECT l_orderkey,
