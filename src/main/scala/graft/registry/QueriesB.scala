@@ -163,6 +163,30 @@ object QueriesB {
         .orderBy(col("o_orderkey")).limit(10)
         .select(col("o_orderkey"), col("o_orderstatus"))),
 
+    // Bucketed co-located join: both sides land bucketed 8-way on the
+    // join key, so the join AND the aggregation on it plan with ZERO
+    // exchanges — the scan itself carries the hash partitioning (see
+    // sink/Bucketing.scala; BucketingSpec asserts the shuffle-free
+    // plan). The oracle is the plain join+agg on the raw tables:
+    // layout is a physical choice and must not change one row.
+    "q_bucketed_join" -> ((s, dir) => {
+      val base = graft.util.TempDirs.scratch("graft_buckets")
+      graft.sink.Bucketing.writeBucketed(
+        TestTables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_partkey")),
+        "graft_li_bkt", base + "/li", Seq("l_orderkey"), 8, Seq("l_orderkey"))
+      graft.sink.Bucketing.writeBucketed(
+        TestTables.orders(s, dir)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
+        "graft_ord_bkt", base + "/ord", Seq("l_orderkey"), 8, Seq("l_orderkey"))
+      graft.sink.Bucketing.table(s, "graft_li_bkt")
+        .join(graft.sink.Bucketing.table(s, "graft_ord_bkt"), Seq("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy(col("l_orderkey"), col("o_orderstatus"))
+    }),
+
     // Skew-salted join: the engine runs the salted plan (probe salted
     // round-robin over 8 buckets, build replicated 8x, join keys
     // (l_suppkey, salt)); the oracle is the PLAIN left join — salting
@@ -302,6 +326,13 @@ object QueriesB {
     "q_b17_top_counts" ->
       """SELECT event_type, count(*) AS count FROM events
         |GROUP BY event_type ORDER BY count DESC, event_type LIMIT 10""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT l.l_orderkey, o.o_orderstatus, count(*) AS n_items,
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY l.l_orderkey, o.o_orderstatus
+        |ORDER BY l.l_orderkey, o.o_orderstatus""".stripMargin,
 
     "q_skew_salted_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, l.l_quantity,
