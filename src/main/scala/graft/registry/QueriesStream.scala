@@ -22,6 +22,35 @@ object QueriesStream {
         .withColumn("total_value", col("total_value").cast("double"))
         .orderBy(col("window_start"), col("event_type"))),
 
+    // Incremental rollup maintenance: the corpus splits at a MID-DAY
+    // watermark (2024-01-16T12:00Z) into "already rolled up" and "new
+    // poll window"; each half aggregates independently and the two
+    // rollups fold via IncrementalAgg.merge — so the cut day's groups
+    // genuinely merge partials, they don't just pass through. The
+    // oracle aggregates ALL events in one pass: the fold must be
+    // EXACT, or incremental maintenance would silently drift from a
+    // recompute.
+    "q_agg_incremental_merge" -> ((s, dir) => {
+      import graft.streaming.IncrementalAgg
+      val cutUs = 1705406400000000L // 2024-01-16T12:00:00Z
+      val keys = Seq("day", "event_type")
+      val measures = Seq(
+        "n" -> ("sum", lit(1L)),
+        "total_value" -> ("sum", col("value").cast("decimal(18,2)")),
+        "first_us" -> ("min", col("ts_us")),
+        "last_us" -> ("max", col("ts_us")))
+      def slice(keep: org.apache.spark.sql.Column) =
+        TestTables.events(s, dir).filter(keep)
+          .select(to_date(col("ts")).as("day"), col("event_type"),
+            col("value"), col("ts_us"))
+      val prev = IncrementalAgg.rollup(slice(col("ts_us") < cutUs), keys, measures)
+      val delta = IncrementalAgg.rollup(slice(col("ts_us") >= cutUs), keys, measures)
+      IncrementalAgg.merge(Seq(prev, delta), keys,
+          Seq("n" -> "sum", "total_value" -> "sum", "first_us" -> "min", "last_us" -> "max"))
+        .withColumn("total_value", col("total_value").cast("double"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
     // 30-minute-gap sessionization, batch twin of the stateful stream.
     "q_stream_sessions" -> ((s, dir) =>
       EventsStream.sessionizeBatch(
@@ -113,6 +142,15 @@ object QueriesStream {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_agg_incremental_merge" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  min(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+        |  max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
 
     "q_stream_sessions" ->
       """WITH e AS (

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import graft.SharedSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IncrementalAggSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private lazy val data = (1 to 300).map(i =>
+    (s"k${i % 5}", i.toLong, (i % 13).toLong)).toDF("k", "seq", "v")
+
+  private val measures = Seq(
+    "n" -> ("sum", lit(1L)),
+    "total" -> ("sum", col("v")),
+    "lo" -> ("min", col("seq")),
+    "hi" -> ("max", col("seq")))
+  private val mergeSpec = Seq("n" -> "sum", "total" -> "sum", "lo" -> "min", "hi" -> "max")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("k").collect().map(_.toSeq).toSeq
+
+  test("folding per-batch rollups equals the one-pass recompute, for any batching") {
+    val full = IncrementalAgg.rollup(data, Seq("k"), measures)
+    for (splits <- Seq(Seq(100), Seq(37, 201), Seq(1, 2, 3, 299))) {
+      val bounds = (0L +: splits.map(_.toLong)) :+ 301L
+      val batches = bounds.sliding(2).map { case Seq(a, b) =>
+        IncrementalAgg.rollup(data.filter($"seq" >= a && $"seq" < b), Seq("k"), measures)
+      }.toSeq
+      assert(rows(IncrementalAgg.merge(batches, Seq("k"), mergeSpec)) == rows(full),
+        s"merge drifted from recompute for splits $splits")
+    }
+  }
+
+  test("a key present in only one batch passes through unchanged") {
+    val a = IncrementalAgg.rollup(data.filter($"k" === "k1"), Seq("k"), measures)
+    val b = IncrementalAgg.rollup(data.filter($"k" === "k2"), Seq("k"), measures)
+    val merged = rows(IncrementalAgg.merge(Seq(a, b), Seq("k"), mergeSpec))
+    assert(merged == (rows(a) ++ rows(b)).sortBy(_.head.toString))
+  }
+
+  test("non-mergeable measures are rejected, not silently mis-merged") {
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAgg.merge(Seq(data), Seq("k"), Seq("n" -> "count_distinct"))
+    }
+    assert(e.getMessage.contains("not a mergeable measure"))
+  }
+}
