@@ -163,6 +163,17 @@ object QueriesB {
         .orderBy(col("o_orderkey")).limit(10)
         .select(col("o_orderkey"), col("o_orderstatus"))),
 
+    // Z-order layout: the Morton code of two quantized dimensions,
+    // computed by the engine's codegen'd shift/and fold and recomputed
+    // bit-for-bit by the oracle's unrolled bitwise SQL — exact integer
+    // agreement or the layout key is wrong everywhere it's used.
+    "q_layout_zorder" -> ((s, dir) =>
+      TestTables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          graft.ops.Layout.zValue(
+            Seq(col("l_partkey") % 1024, col("l_suppkey") % 1024), bits = 10).as("z"))
+        .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"))),
+
     // Bucketed co-located join: both sides land bucketed 8-way on the
     // join key, so the join AND the aggregation on it plan with ZERO
     // exchanges — the scan itself carries the hash partitioning (see
@@ -326,6 +337,18 @@ object QueriesB {
     "q_b17_top_counts" ->
       """SELECT event_type, count(*) AS count FROM events
         |GROUP BY event_type ORDER BY count DESC, event_type LIMIT 10""".stripMargin,
+
+    "q_layout_zorder" -> {
+      // The same Morton interleave, unrolled to DuckDB bitwise SQL.
+      val terms = for {
+        i <- 0 until 10
+        (e, j) <- Seq("(l_partkey % 1024)", "(l_suppkey % 1024)").zipWithIndex
+      } yield s"((($e >> $i) & 1) << ${i * 2 + j})"
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  ${terms.mkString(" + ")} AS z
+         |FROM lineitem
+         |ORDER BY z, l_orderkey, l_linenumber, l_partkey""".stripMargin
+    },
 
     "q_bucketed_join" ->
       """SELECT l.l_orderkey, o.o_orderstatus, count(*) AS n_items,
