@@ -49,6 +49,37 @@ object IncrementalAgg {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Streaming maintenance: each micro-batch's rollup lands as its own
+    * `__batch=<id>` partition of a rollup LOG (dynamic partition
+    * overwrite — a replayed batch overwrites exactly its own partition,
+    * so recovery re-delivery is idempotent, the same exactly-once
+    * discipline as the upsert/ingest sinks). Readers fold the log with
+    * [[merge]]; a compaction is the same fold written back. The log
+    * stays rollup-sized per batch — the stream never holds corpus
+    * state, and a crash loses nothing but the in-flight batch.
+    */
+  def maintainSink(stream: DataFrame, outDir: String, checkpointDir: String,
+                   keys: Seq[String],
+                   measures: Seq[(String, (String, Column))]): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        rollup(batch, keys, measures)
+          .withColumn("__batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__batch")
+          .parquet(outDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** The maintained rollup: fold the batch log on read. */
+  def readMerged(spark: org.apache.spark.sql.SparkSession, outDir: String,
+                 keys: Seq[String], measures: Seq[(String, String)]): DataFrame =
+    merge(Seq(spark.read.parquet(outDir).drop("__batch")), keys, measures)
+
   private def mergeFn(name: String): Column => Column = name match {
     case "sum" => sum
     case "min" => min

@@ -40,6 +40,39 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(merged == (rows(a) ++ rows(b)).sortBy(_.head.toString))
   }
 
+  test("maintainSink folds a real stream into the batch recompute, and replay is idempotent") {
+    val src = java.nio.file.Files.createTempDirectory("iagg_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      src.resolve("events.parquet"))
+    val rawSchema = graft.tables.TestTables.rawEventsSchema(spark, "/root/testdata/sf0.001")
+    val out = java.nio.file.Files.createTempDirectory("iagg_out").toString
+    val keys = Seq("event_type")
+    val ms = Seq(
+      "n" -> ("sum", lit(1L)),
+      "first_us" -> ("min", col("ts_us")),
+      "last_us" -> ("max", col("ts_us")))
+    def stream() = graft.tables.TestTables.normalizeEvents(
+      spark.readStream.schema(rawSchema).parquet(src.toString))
+    def run(checkpoint: String): Unit =
+      IncrementalAgg.maintainSink(stream(), out, checkpoint, keys, ms)
+        .awaitTermination(60000)
+
+    run(java.nio.file.Files.createTempDirectory("iagg_ck1").toString)
+    val expected = rows(IncrementalAgg.rollup(
+      graft.tables.TestTables.events(spark, "/root/testdata/sf0.001"), keys, ms)
+      .withColumnRenamed("event_type", "k"))
+    def merged() = rows(IncrementalAgg.readMerged(spark, out, keys,
+      Seq("n" -> "sum", "first_us" -> "min", "last_us" -> "max"))
+      .withColumnRenamed("event_type", "k"))
+    assert(merged() == expected)
+
+    // Replay: a FRESH checkpoint re-delivers the same data as the same
+    // batch id — the dynamic partition overwrite must absorb it.
+    run(java.nio.file.Files.createTempDirectory("iagg_ck2").toString)
+    assert(merged() == expected, "replayed batch must overwrite, not double-count")
+  }
+
   test("non-mergeable measures are rejected, not silently mis-merged") {
     val e = intercept[IllegalArgumentException] {
       IncrementalAgg.merge(Seq(data), Seq("k"), Seq("n" -> "count_distinct"))
