@@ -11,11 +11,12 @@ import org.apache.spark.sql.functions._
   * data arrived: you aggregate ONLY the new slice and fold it into the
   * stored rollup. That fold is exact when every measure is mergeable —
   * `sum` (and counts, which are sums of 1), `min`, `max` merge by
-  * re-applying themselves over partial results. Non-mergeable measures
-  * (exact distinct counts, exact medians) are rejected by construction
-  * here: they need sketch state (HLL, GK) or the raw data, and
-  * pretending `count(distinct)` merges additively is the classic
-  * silent-wrong-rollup bug.
+  * re-applying themselves over partial results, and `hll` carries a
+  * distinct count as a DataSketches HLL sketch whose union is
+  * register-identical to the single-stream sketch. EXACT distinct
+  * counts and quantiles are rejected by construction: they need the
+  * raw data, and pretending `count(distinct)` merges additively is
+  * the classic silent-wrong-rollup bug.
   *
   * Plan shape: `merge` unions rollup-sized tables (days × types, not
   * events) and re-aggregates — the only data-scaled work in the whole
@@ -31,7 +32,7 @@ object IncrementalAgg {
   def rollup(batch: DataFrame, keys: Seq[String],
              measures: Seq[(String, (String, Column))]): DataFrame = {
     require(measures.nonEmpty, "need at least one measure")
-    val aggs = measures.map { case (name, (fn, e)) => mergeFn(fn)(e).as(name) }
+    val aggs = measures.map { case (name, (fn, e)) => rollupFn(fn)(e).as(name) }
     batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -80,12 +81,32 @@ object IncrementalAgg {
                  keys: Seq[String], measures: Seq[(String, String)]): DataFrame =
     merge(Seq(spark.read.parquet(outDir).drop("__batch")), keys, measures)
 
+  /** Replace HLL sketch columns with their cardinality estimates —
+    * the read-side final step for `hll` measures.
+    */
+  def estimates(rollup: DataFrame, hllCols: Seq[String]): DataFrame =
+    hllCols.foldLeft(rollup)((df, c) => df.withColumn(c, hll_sketch_estimate(col(c))))
+
+  /** Batch-side aggregate for a measure. `hll` produces a DataSketches
+    * HLL sketch — the MERGEABLE form of a distinct count. The merge of
+    * partial sketches is register-identical to the single-stream
+    * sketch (each register is a max, and max is associative), so
+    * maintenance never drifts from a recompute; the estimate itself is
+    * approximate (and exact while the sketch is in sparse mode), which
+    * is the honest trade for a distinct count that folds.
+    */
+  private def rollupFn(name: String): Column => Column = name match {
+    case "hll" => hll_sketch_agg(_)
+    case other => mergeFn(other)
+  }
+
   private def mergeFn(name: String): Column => Column = name match {
     case "sum" => sum
     case "min" => min
     case "max" => max
+    case "hll" => hll_union_agg(_)
     case other => throw new IllegalArgumentException(
-      s"'$other' is not a mergeable measure: only sum/min/max fold exactly over partial rollups " +
-        "(distinct counts and quantiles need sketch state or the raw data)")
+      s"'$other' is not a mergeable measure: only sum/min/max/hll fold exactly over partial rollups " +
+        "(EXACT distinct counts and quantiles need the raw data — use 'hll' for a mergeable distinct)")
   }
 }

@@ -79,4 +79,23 @@ class IncrementalAggSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("not a mergeable measure"))
   }
+
+  test("hll distinct measure: merged sketches equal the one-pass sketch, exactly") {
+    val ms = Seq("users" -> ("hll", col("v")), "n" -> ("sum", lit(1L)))
+    val onePass = IncrementalAgg.estimates(
+      IncrementalAgg.rollup(data, Seq("k"), ms), Seq("users"))
+    val halves = Seq(data.filter($"seq" <= 150), data.filter($"seq" > 150))
+      .map(IncrementalAgg.rollup(_, Seq("k"), ms))
+    val folded = IncrementalAgg.estimates(
+      IncrementalAgg.merge(halves, Seq("k"), Seq("users" -> "hll", "n" -> "sum")),
+      Seq("users"))
+    assert(rows(folded) == rows(onePass),
+      "HLL registers are maxes — the fold must be register-identical to one pass")
+    // At this cardinality (13 distinct v per key) the sketch is still
+    // in sparse mode: the estimate is EXACT, not just close.
+    val exact = data.groupBy($"k").agg(countDistinct($"v").as("users")).orderBy("k")
+      .as[(String, Long)].collect().toMap
+    val est = onePass.orderBy("k").select($"k", $"users").as[(String, Long)].collect().toMap
+    assert(est == exact, "sparse-mode HLL must be exact at tiny cardinality")
+  }
 }
