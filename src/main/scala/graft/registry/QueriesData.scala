@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.datapipe.{Boilerplate, Decontam, Dedup, DupSpans, Html, IncrementalDedup, Keywords, LmScore, Multimodal, Quantize, Retrieval, SemDedup, Similarity, TextAnalysis, Urls}
+import graft.datapipe.{Boilerplate, Decontam, Dedup, DupSpans, GraphRank, Html, IncrementalDedup, Keywords, LmScore, Multimodal, Quantize, Retrieval, SemDedup, Similarity, TextAnalysis, Urls}
 import graft.tables.TestTables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -29,6 +29,24 @@ object QueriesData {
         transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Crawl-graph centrality: a deterministic synthetic link graph —
+    // doc d emits 1 + d % 3 edges, dst = (d*31 + 97k) % N — ranked by
+    // 10 iterations of integer-quantized PageRank. Out-degree varies
+    // per node, so in-degrees (and the fixed point) are genuinely
+    // non-uniform: a flat answer fails the hash. The oracle unrolls
+    // the SAME 10 iterations as chained CTEs — every node's score
+    // must agree as an exact long.
+    "q_graph_pagerank" -> ((s, dir) => {
+      val docs = TestTables.documents(s, dir).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), col("__n"),
+          explode(sequence(lit(1), (lit(1) + col("doc_id") % 3).cast("int"))).as("k"))
+        .select(col("src"), ((col("src") * 31 + col("k") * 97) % col("__n")).as("dst"))
+      GraphRank.pageRank(docs, "doc_id", edges, "src", "dst", iters = 10)
+        .orderBy(col("node"))
+    }),
+
     // Exact dedup: canonical-hash groups, deterministic survivor.
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(TestTables.documents(s, dir), "doc_id", "text")
@@ -886,6 +904,27 @@ object QueriesData {
        |ORDER BY doc_id, chunk_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_graph_pagerank" -> {
+      val S = "1000000000000"
+      def iter(i: Int) =
+        s"""r$i AS (
+           |  SELECT nodes.node,
+           |    (15 * $S) // (100 * (SELECT c FROM nn)) + coalesce(s.s, 0) AS r
+           |  FROM nodes LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(sum((p.r * 85) // (100 * d.deg)) AS BIGINT) AS s
+           |    FROM r${i - 1} p JOIN edges e ON p.node = e.src JOIN deg d ON d.src = e.src
+           |    GROUP BY e.dst) s ON nodes.node = s.node)""".stripMargin
+      s"""WITH nodes AS (SELECT doc_id AS node FROM documents),
+         |nn AS (SELECT count(*) AS c FROM nodes),
+         |edges AS (
+         |  SELECT doc_id AS src, (doc_id * 31 + 97 * k.k) % (SELECT c FROM nn) AS dst
+         |  FROM documents, (SELECT unnest([1, 2, 3]) AS k) k
+         |  WHERE k.k <= 1 + doc_id % 3),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |r0 AS (SELECT node, $S // (SELECT c FROM nn) AS r FROM nodes),
+         |${(1 to 10).map(iter).mkString(",\n")}
+         |SELECT node, r FROM r10 ORDER BY node""".stripMargin
+    },
     "q_dedup_minhash_md5" -> minhashMd5Oracle,
     "q_dedup_minhash_md5_capped" -> minhashMd5CappedOracle,
     "q_dedup_incremental" -> incrementalDedupOracle,
