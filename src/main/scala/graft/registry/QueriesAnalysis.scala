@@ -82,9 +82,58 @@ object QueriesAnalysis {
         .select(col("visit_id"), col("svc"), col("n_times"), col("first_uid"), col("last_uid"),
           (col("last_uid") - col("first_uid")).as("uid_span"))
         .orderBy(col("visit_id"), col("svc"))),
+
+    // Cohort retention over the event log: distinct (user, active-day)
+    // first, so nothing downstream is event-volume-sized and the
+    // matrix count IS the distinct-user count with no countDistinct.
+    "q_cohort_retention" -> ((s, dir) =>
+      graft.ops.Cohorts.retention(graft.tables.TestTables.events(s, dir), "user_id", "ts", maxDays = 14)
+        .select(col("cohort_day"), col("k").cast("long").as("k"), col("active_users"))
+        .orderBy(col("cohort_day"), col("k"))),
+
+    // Ordered conversion funnel signup -> view -> purchase: stage i
+    // counts users whose earliest qualifying stage-i event is strictly
+    // AFTER their stage-(i-1) completion — order-sensitive, which the
+    // oracle's chained strictly-greater joins mirror.
+    "q_funnel_conversion" -> ((s, dir) =>
+      graft.ops.Cohorts.funnel(graft.tables.TestTables.events(s, dir), "user_id", "event_type", "ts_us",
+          Seq("signup", "view", "purchase"))
+        .orderBy(col("stage_idx"))),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_cohort_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+        |cohorts AS (SELECT u, min(day) AS cohort_day FROM days GROUP BY u)
+        |SELECT c.cohort_day,
+        |  date_diff('day', c.cohort_day, d.day) AS k,
+        |  CAST(count(*) AS BIGINT) AS active_users
+        |FROM days d JOIN cohorts c ON d.u = c.u
+        |WHERE date_diff('day', c.cohort_day, d.day) <= 14
+        |GROUP BY 1, 2 ORDER BY cohort_day, k""".stripMargin,
+
+    "q_funnel_conversion" ->
+      """WITH s1 AS (
+        |  SELECT user_id AS u, min(epoch_us(CAST(ts AS TIMESTAMP))) AS t
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id AS u, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t
+        |  FROM events e JOIN s1 ON e.user_id = s1.u
+        |  WHERE e.event_type = 'view' AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s1.t
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id AS u, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t
+        |  FROM events e JOIN s2 ON e.user_id = s2.u
+        |  WHERE e.event_type = 'purchase' AND epoch_us(CAST(e.ts AS TIMESTAMP)) > s2.t
+        |  GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage_idx, 'signup' AS stage,
+        |    CAST((SELECT count(*) FROM s1) AS BIGINT) AS users
+        |  UNION ALL SELECT 2, 'view', CAST((SELECT count(*) FROM s2) AS BIGINT)
+        |  UNION ALL SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT))
+        |ORDER BY stage_idx""".stripMargin,
+
     "q_kpi_daily" ->
       s"""WITH preds AS (
          |${QueriesPipeline.predictionsSql(withDay = true)}
