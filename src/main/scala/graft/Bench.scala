@@ -43,7 +43,9 @@ object Bench {
     "q_mm_avi_roundtrip",
     "q_text_dup_spans",
     "q_sem_dedup",
-    "q_text_html_extract")
+    "q_text_html_extract",
+    "q_graph_pagerank",
+    "q_cohort_retention")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
