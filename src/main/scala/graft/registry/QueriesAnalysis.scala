@@ -91,6 +91,28 @@ object QueriesAnalysis {
         .select(col("cohort_day"), col("k").cast("long").as("k"), col("active_users"))
         .orderBy(col("cohort_day"), col("k"))),
 
+    // OLAP rollup: hierarchical grouping sets (source, lang) ->
+    // (source) -> () in ONE pass — Spark's native rollup, which plans
+    // an Expand + single aggregation rather than a union of three
+    // scans; DuckDB's GROUP BY ROLLUP is the independent oracle.
+    "q_olap_rollup" -> ((s, dir) =>
+      graft.tables.TestTables.documents(s, dir)
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)),
+
+    // Pivot: day x event_type count matrix with an explicit column
+    // list (unlisted types can't silently widen the schema). The
+    // oracle builds the same matrix with FILTERed counts.
+    "q_olap_pivot" -> ((s, dir) =>
+      graft.tables.TestTables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("day"))
+        .pivot("event_type", Seq("click", "view", "signup", "purchase", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy(col("day"))),
+
     // Ordered conversion funnel signup -> view -> purchase: stage i
     // counts users whose earliest qualifying stage-i event is strictly
     // AFTER their stage-(i-1) completion — order-sensitive, which the
@@ -112,6 +134,21 @@ object QueriesAnalysis {
         |FROM days d JOIN cohorts c ON d.u = c.u
         |WHERE date_diff('day', c.cohort_day, d.day) <= 14
         |GROUP BY 1, 2 ORDER BY cohort_day, k""".stripMargin,
+
+    "q_olap_rollup" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY ROLLUP(source, lang)
+        |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin,
+
+    "q_olap_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+        |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
 
     "q_funnel_conversion" ->
       """WITH s1 AS (
