@@ -91,6 +91,15 @@ object QueriesAnalysis {
         .select(col("cohort_day"), col("k").cast("long").as("k"), col("active_users"))
         .orderBy(col("cohort_day"), col("k"))),
 
+    // Column profiling: the whole table profiles through ONE unpivot +
+    // one col_name-keyed aggregation — n columns never become n scans.
+    // String/integer columns only (float→string formatting is
+    // engine-specific; see Profiler scaladoc).
+    "q_profile_columns" -> ((s, dir) =>
+      graft.ops.Profiler.profile(graft.tables.TestTables.documents(s, dir),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy(col("col_name"))),
+
     // OLAP rollup: hierarchical grouping sets (source, lang) ->
     // (source) -> () in ONE pass — Spark's native rollup, which plans
     // an Expand + single aggregation rather than a union of three
@@ -134,6 +143,17 @@ object QueriesAnalysis {
         |FROM days d JOIN cohorts c ON d.u = c.u
         |WHERE date_diff('day', c.cohort_day, d.day) <= 14
         |GROUP BY 1, 2 ORDER BY cohort_day, k""".stripMargin,
+
+    "q_profile_columns" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count($c) AS BIGINT) AS n_nonnull,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  min(CAST($c AS VARCHAR)) AS min_v, max(CAST($c AS VARCHAR)) AS max_v
+           |FROM documents""".stripMargin
+      Seq("doc_id", "text", "lang", "source", "n_chars").map(one)
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
+    },
 
     "q_olap_rollup" ->
       """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
