@@ -60,5 +60,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.TopKSum].getName, graft.functions.TopKSum.fnName),
       checked(graft.functions.TopKSum.fnName, "term, weight, k, capacity", 4)(
         exprs => graft.functions.TopKSum(exprs(0), exprs(1), exprs(2), exprs(3)))))
+    // Spark's own runtime-filter expressions, surfaced as callable
+    // functions so ops/Joins.bloomPrunedJoin can build/probe the
+    // sketch explicitly (the planner's InjectRuntimeFilter only fires
+    // under narrow preconditions). Both are codegen'd; the aggregate
+    // merges partial sketches executor-side.
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      checked("graft_bloom_agg", "xxhash64Value, estimatedItems, numBits", 3)(
+        exprs => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      checked("graft_might_contain", "bloomFilter, xxhash64Value", 2)(
+        exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1)))))
   }
 }

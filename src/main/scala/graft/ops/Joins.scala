@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Join-side planning helpers. */
@@ -55,6 +55,80 @@ object Joins {
     val replicated = build.withColumn("__salt",
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Bloom-pruned equi-join: semantically IDENTICAL to
+    * `probe.join(build, keys, joinType)`, but the big side is filtered
+    * against a Bloom filter of the other side's join keys BEFORE the
+    * join — the distributed analogue of a semi-join reduction.
+    *
+    * Why it exists at 100 TB: in a selective fact-to-subset join
+    * ("orders for this quarter's flagged parts"), the probe side
+    * shuffles its ENTIRE row mass to the join even though only a few
+    * percent of rows can match. Spark's own runtime row-group filter
+    * (`InjectRuntimeFilter`) fires only under narrow planner
+    * preconditions (creation-side thresholds, one filter per query,
+    * broadcast-adjacent shapes). This operator is the explicit,
+    * always-available form: one extra pass over the SMALL side builds
+    * a `numBits`-bit Bloom sketch of `xxhash64(keys…)` (Spark's own
+    * `BloomFilterAggregate` — partial sketches merge on the
+    * executors, only the final `numBits/8`-byte array reaches the
+    * driver, bounded regardless of data scale), and the sketch rides
+    * into the probe scan as a codegen'd `might_contain` literal
+    * predicate. Rows failing it are provably non-matching (a Bloom
+    * filter has NO false negatives over the same hash); rows passing
+    * it — including the false-positive fraction — meet the real join,
+    * which settles them. Mis-sized `expectedItems` only degrades the
+    * false-positive rate, never correctness.
+    *
+    * Pruning direction follows the join type:
+    *  - `inner` / `left_semi`: probe rows failing the BUILD-side bloom
+    *    can't appear in the result — filter the probe.
+    *  - `left`: probe rows must all survive, but build rows matching
+    *    no PROBE key never surface — filter the build with the
+    *    probe-side bloom (the cheap pass flips to the probe side, so
+    *    use this form when the probe is the smaller/filtered side).
+    *  - `left_anti`: probe rows failing the build-side bloom are
+    *    *guaranteed members* of the result — they bypass the join
+    *    entirely; only the might-match residue runs the real anti-join.
+    *
+    * An empty build/filter side yields a null sketch; the operator
+    * falls back to the plain join (already trivially cheap).
+    */
+  def bloomPrunedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+                      joinType: String = "inner",
+                      expectedItems: Long = 4L * 1000 * 1000,
+                      numBits: Long = 64L * 1024 * 1024): DataFrame = {
+    require(keys.nonEmpty, "bloomPrunedJoin needs at least one join key")
+    val jt = joinType.toLowerCase.replace("_", "")
+    def keyHash(df: DataFrame): Column = xxhash64(keys.map(df(_)): _*)
+    def sketch(side: DataFrame): Array[Byte] =
+      side.agg(call_function("graft_bloom_agg", keyHash(side),
+        lit(expectedItems), lit(numBits)).as("bf")).head.getAs[Array[Byte]](0)
+    def mightMatch(side: DataFrame, bf: Array[Byte]): Column =
+      call_function("graft_might_contain", lit(bf), keyHash(side))
+    jt match {
+      case "inner" | "leftsemi" =>
+        val bf = sketch(build)
+        if (bf == null) probe.join(build, keys, joinType)
+        else probe.filter(mightMatch(probe, bf)).join(build, keys, joinType)
+      case "left" | "leftouter" =>
+        val bf = sketch(probe)
+        if (bf == null) probe.join(build, keys, joinType)
+        else probe.join(build.filter(mightMatch(build, bf)), keys, joinType)
+      case "leftanti" =>
+        val bf = sketch(build)
+        if (bf == null) probe
+        else {
+          val definiteMiss = probe.filter(!mightMatch(probe, bf))
+          val residue = probe.filter(mightMatch(probe, bf)).join(build, keys, "left_anti")
+          definiteMiss.unionByName(residue)
+        }
+      case other =>
+        throw new IllegalArgumentException(
+          s"bloomPrunedJoin supports inner, left, left_semi, left_anti; '$other' " +
+            "has no prunable side (every row of both sides can surface)")
+    }
   }
 
   /** Broadcast-hint `df` only when its MEASURED row count is provably

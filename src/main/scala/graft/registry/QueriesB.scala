@@ -212,6 +212,24 @@ object QueriesB {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_quantity"))
     }),
 
+    // Bloom-pruned join: the engine filters the 60k-row lineitem probe
+    // against an executor-merged Bloom sketch of the ~2%-selective part
+    // subset BEFORE the join shuffle; the oracle is the PLAIN inner
+    // join — the sketch has no false negatives and the real join
+    // settles its false positives, so pruning must have zero semantic
+    // footprint.
+    "q_bloom_pruned_join" -> ((s, dir) => {
+      val prb = TestTables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey").as("partkey"), col("l_quantity"))
+      val bld = TestTables.part(s, dir)
+        .filter(col("p_size") === 1)
+        .select(col("p_partkey").as("partkey"), col("p_name"))
+      graft.ops.Joins.bloomPrunedJoin(prb, bld, Seq("partkey"),
+          joinType = "inner", expectedItems = 10000L, numBits = 1L << 20)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("partkey"))
+    }),
+
     // B4: Excel round-trip — write a slice to .xlsx (zip+SpreadsheetML,
     // JDK-only), read it back dtype=str like the reference's
     // pd.read_excel, coerce, and verify values survive both directions.
@@ -356,6 +374,14 @@ object QueriesB {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY l.l_orderkey, o.o_orderstatus
         |ORDER BY l.l_orderkey, o.o_orderstatus""".stripMargin,
+
+    "q_bloom_pruned_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey AS partkey,
+        |  l.l_quantity, p.p_name
+        |FROM lineitem l
+        |JOIN (SELECT p_partkey, p_name FROM part WHERE p_size = 1) p
+        |  ON l.l_partkey = p.p_partkey
+        |ORDER BY l.l_orderkey, l.l_linenumber, partkey""".stripMargin,
 
     "q_skew_salted_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, l.l_quantity,

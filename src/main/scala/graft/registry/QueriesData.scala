@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.datapipe.{Boilerplate, Decontam, Dedup, DupSpans, GraphRank, Html, IncrementalDedup, Keywords, LmScore, Multimodal, Quantize, Retrieval, SemDedup, Similarity, TextAnalysis, Urls}
+import graft.datapipe.{Boilerplate, Decontam, Dedup, DupSpans, FuzzyJoin, GraphRank, Html, IncrementalDedup, Keywords, LmScore, Multimodal, Quantize, Retrieval, SemDedup, Similarity, TextAnalysis, Urls}
 import graft.tables.TestTables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -45,6 +45,24 @@ object QueriesData {
         .select(col("src"), ((col("src") * 31 + col("k") * 97) % col("__n")).as("dst"))
       GraphRank.pageRank(docs, "doc_id", edges, "src", "dst", iters = 10)
         .orderBy(col("node"))
+    }),
+
+    // Fuzzy (edit-distance <= 1) join: a deterministic typo of each of
+    // the first 200 part names (8th char deleted) matched back against
+    // the whole part table via the SymSpell deletion-neighborhood
+    // candidate join + exact levenshtein verify. The oracle is the
+    // brute-force cross join with the same levenshtein predicate —
+    // the candidate scheme must lose nothing and add nothing.
+    "q_fuzzy_join" -> ((s, dir) => {
+      val part = TestTables.part(s, dir)
+      val probe = part.filter(col("p_partkey") <= 200)
+        .select(col("p_partkey").as("probe_key"),
+          concat(col("p_name").substr(lit(1), lit(7)),
+            col("p_name").substr(lit(9), length(col("p_name")))).as("typo"))
+      val corpus = part.select(col("p_partkey").as("match_key"), col("p_name"))
+      FuzzyJoin.editDistanceJoin(probe, "probe_key", "typo",
+          corpus, "match_key", "p_name", maxDist = 1)
+        .orderBy(col("probe_key"), col("match_key"))
     }),
 
     // Exact dedup: canonical-hash groups, deterministic survivor.
@@ -931,6 +949,16 @@ object QueriesData {
     "q_pipeline_corpus" -> corpusCleanOracle,
     "q_pipeline_corpus_cc" -> corpusCleanOracle(ccSurvivor = true),
     "q_pipeline_pretrain" -> pretrainOracle,
+
+    "q_fuzzy_join" ->
+      """WITH probe AS (
+        |  SELECT p_partkey AS probe_key,
+        |    substr(p_name, 1, 7) || substr(p_name, 9) AS typo
+        |  FROM part WHERE p_partkey <= 200)
+        |SELECT pr.probe_key, pr.typo, p.p_partkey AS match_key, p.p_name,
+        |  CAST(levenshtein(pr.typo, p.p_name) AS INT) AS dist
+        |FROM probe pr JOIN part p ON levenshtein(pr.typo, p.p_name) <= 1
+        |ORDER BY pr.probe_key, match_key""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,

@@ -61,4 +61,60 @@ class JoinsSpec extends AnyFunSuite {
     // The public result surface is salt-free.
     assert(!Joins.saltedJoin(probe, build, Seq("k"), 8).columns.contains("__salt"))
   }
+
+  test("bloomPrunedJoin == plain join for inner, left, left_semi, left_anti") {
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      val plain = probe.join(build, Seq("k"), jt)
+      val pruned = Joins.bloomPrunedJoin(probe, build, Seq("k"), jt)
+      assert(pruned.columns.toSeq == plain.columns.toSeq, s"columns for $jt")
+      assert(rows(pruned) == rows(plain), s"rows for $jt")
+    }
+  }
+
+  test("bloomPrunedJoin stays exact under heavy false positives (tiny sketch)") {
+    // 64 bits for 500 keys: the sketch saturates and passes nearly
+    // everything — the real join must still settle every row.
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      val plain = probe.join(build, Seq("k"), jt)
+      val pruned = Joins.bloomPrunedJoin(probe, build, Seq("k"), jt,
+        expectedItems = 4, numBits = 64)
+      assert(rows(pruned) == rows(plain), s"rows for $jt under saturation")
+    }
+  }
+
+  test("bloomPrunedJoin handles null keys and empty sides") {
+    val p = Seq((Option(1), "a"), (None, "b"), (Option(5), "c")).toDF("k", "v")
+    val b = Seq((Option(1), "one"), (None, "null-key")).toDF("k", "name")
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      assert(rows(Joins.bloomPrunedJoin(p, b, Seq("k"), jt))
+        == rows(p.join(b, Seq("k"), jt)), s"null keys, $jt")
+      val empty = b.filter(lit(false))
+      assert(rows(Joins.bloomPrunedJoin(p, empty, Seq("k"), jt))
+        == rows(p.join(empty, Seq("k"), jt)), s"empty build, $jt")
+    }
+  }
+
+  test("bloomPrunedJoin actually prunes: non-matching probe rows drop before the join") {
+    // Build keys cover only {2, 3}: of the 500 probe rows only
+    // k∈{2,3} (plus bloom false positives, ~0 at this sizing) should
+    // survive the pre-filter. Reconstruct the pruned probe the way the
+    // operator builds it and check the count collapsed.
+    val smallBuild = build.filter($"k" =!= 1 && $"k" =!= 9)
+    val bf = smallBuild.agg(
+      call_function("graft_bloom_agg", xxhash64($"k"), lit(1000L), lit(1L << 16))
+        .as("bf")).head.getAs[Array[Byte]](0)
+    val kept = probe.filter(call_function("graft_might_contain", lit(bf), xxhash64($"k"))).count()
+    val trueMatches = probe.filter($"k".isin(2, 3)).count()
+    assert(kept >= trueMatches, "no false negatives allowed")
+    assert(kept <= trueMatches + 10, s"pruning should collapse the probe (kept=$kept)")
+  }
+
+  test("bloomPrunedJoin rejects join types with no prunable side") {
+    intercept[IllegalArgumentException] {
+      Joins.bloomPrunedJoin(probe, build, Seq("k"), "full")
+    }
+    intercept[IllegalArgumentException] {
+      Joins.bloomPrunedJoin(probe, build, Seq("k"), "right")
+    }
+  }
 }
