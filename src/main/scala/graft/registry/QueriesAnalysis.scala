@@ -122,6 +122,31 @@ object QueriesAnalysis {
         .na.fill(0)
         .orderBy(col("day"))),
 
+    // Migration-audit fingerprints: orderless per-column checksums
+    // (md5-based XOR fold + modular sum) over orders. The oracle
+    // recomputes the same md5 arithmetic token for token — the whole
+    // point of the operator is that ANY engine can reproduce it.
+    "q_audit_fingerprint" -> ((s, dir) =>
+      graft.ops.Audit.columnFingerprints(graft.tables.TestTables.orders(s, dir),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy(col("column_name"))),
+
+    // Unpivot (melt): the day x event-type count matrix from
+    // q_olap_pivot folded back to long form — including the explicit
+    // zero cells the matrix materializes. The oracle rebuilds the
+    // dense grid with a day x type scaffold left-joined to the counts.
+    "q_olap_unpivot" -> ((s, dir) => {
+      val types = Seq("click", "view", "signup", "purchase", "error")
+      graft.tables.TestTables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .unpivot(Array(col("day")), types.map(col).toArray, "event_type", "n")
+        .orderBy(col("day"), col("event_type"))
+    }),
+
     // Ordered conversion funnel signup -> view -> purchase: stage i
     // counts users whose earliest qualifying stage-i event is strictly
     // AFTER their stage-(i-1) completion — order-sensitive, which the
@@ -154,6 +179,28 @@ object QueriesAnalysis {
       Seq("doc_id", "text", "lang", "source", "n_chars").map(one)
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
     },
+
+    "q_audit_fingerprint" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  bit_xor(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15))::BIGINT) AS xor_check,
+           |  CAST(sum((('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15))::BIGINT) % 1000000) AS BIGINT) AS sum_check
+           |FROM orders""".stripMargin
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority").map(one)
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
+    },
+
+    "q_olap_unpivot" ->
+      """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+        |t(event_type) AS (VALUES ('click'), ('view'), ('signup'), ('purchase'), ('error')),
+        |c AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM events GROUP BY 1, 2)
+        |SELECT d.day, t.event_type, coalesce(c.n, CAST(0 AS BIGINT)) AS n
+        |FROM days d CROSS JOIN t
+        |LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+        |ORDER BY d.day, t.event_type""".stripMargin,
 
     "q_olap_rollup" ->
       """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
