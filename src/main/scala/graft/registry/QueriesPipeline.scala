@@ -75,6 +75,26 @@ object QueriesPipeline {
         .orderBy(col("c_custkey"), col("valid_from"))
     }),
 
+    // D2 with snapshot isolation: the manifest-committed table format
+    // (immutable files + atomic manifest rename) runs the same MERGE;
+    // only key-range-overlapping files rewrite, the commit is one
+    // rename, and the pre-merge snapshot stays readable (time travel).
+    // Oracle: identical to q_d2_upsert — the table format must not
+    // change one row.
+    "q_d2_manifest_upsert" -> ((s, dir) => {
+      val table = graft.util.TempDirs.scratch("graft_mtable") + "/t"
+      val old = TestTables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sink.ManifestTable.create(s, table, old, "o_orderkey")
+      val updates = old.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * lit(2.0))
+      graft.sink.ManifestTable.upsert(s, table, updates)
+      graft.sink.ManifestTable.read(s, table)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // D2 at scale: partition-pruned MERGE — only month partitions that
     // contain updated keys are rewritten; the swap is rename-aside.
     "q_d2_upsert_pruned" -> ((s, dir) => {
@@ -156,6 +176,13 @@ object QueriesPipeline {
         |  FROM customer WHERE c_custkey % 10 = 0)
         |SELECT * FROM closed UNION ALL SELECT * FROM hist
         |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "q_d2_manifest_upsert" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * CAST(2.0 AS DOUBLE)
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_d2_upsert_pruned" ->
       """SELECT o_orderkey,

@@ -1,0 +1,132 @@
+package graft.sink
+
+import graft.SharedSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ManifestTableSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def root() = graft.util.TempDirs.scratch("graft_manifest") + "/t"
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+
+  private def mk(ids: Range, tag: String) =
+    ids.map(i => (i.toLong, tag, i * 10)).toDF("id", "tag", "v")
+
+  test("create / append / read round-trip") {
+    val r = root()
+    assert(ManifestTable.create(spark, r, mk(1 to 100, "a"), "id") == 1L)
+    assert(ManifestTable.append(spark, r, mk(101 to 150, "b")) == 2L)
+    val got = ManifestTable.read(spark, r)
+    assert(got.count() == 150)
+    assert(rowsOf(got) == rowsOf(mk(1 to 100, "a").unionAll(mk(101 to 150, "b"))))
+  }
+
+  test("upsert: updates win, others survive, result matches the plain merge") {
+    val r = root()
+    ManifestTable.create(spark, r, mk(1 to 100, "a"), "id")
+    val updates = (40 to 60).map(i => (i.toLong, "UPD", i * 100)).toDF("id", "tag", "v")
+    ManifestTable.upsert(spark, r, updates)
+    val expect = Sinks.upsert(mk(1 to 100, "a"), updates, "id")
+    assert(rowsOf(ManifestTable.read(spark, r)) == rowsOf(expect))
+  }
+
+  test("upsert rewrites only key-range-overlapping files; disjoint files carry over by reference") {
+    val r = root()
+    ManifestTable.create(spark, r, mk(1 to 100, "a").repartition(1), "id")
+    ManifestTable.append(spark, r, mk(1000 to 1100, "b").repartition(1))
+    val before = ManifestTable.snapshot(spark, r, 2L).entries.map(_.path).toSet
+    ManifestTable.upsert(spark, r, Seq((1050L, "UPD", 0)).toDF("id", "tag", "v"))
+    val after = ManifestTable.snapshot(spark, r, 3L).entries.map(_.path).toSet
+    val lowFiles = before.filter(after.contains) // carried over by reference
+    assert(lowFiles.nonEmpty, "the 1..100 file must survive untouched")
+    val lowSnap = ManifestTable.snapshot(spark, r, 3L).entries
+      .filter(e => lowFiles.contains(e.path))
+    assert(lowSnap.forall(_.max.exists(_ <= 100L)), "only the low-range file carries over")
+  }
+
+  test("readers see old or new snapshot, never a torn mix (manifest is the commit)") {
+    val r = root()
+    ManifestTable.create(spark, r, mk(1 to 50, "a"), "id")
+    val v1 = ManifestTable.read(spark, r).count()
+    // Simulate a crashed writer: data files land, commit rename never
+    // happens. Readers must be entirely blind to them.
+    val orphanDir = new org.apache.hadoop.fs.Path(r, "data/batch-orphan")
+    mk(51 to 90, "crash").write.parquet(orphanDir.toString)
+    assert(ManifestTable.read(spark, r).count() == v1, "orphans invisible")
+    assert(ManifestTable.latestVersion(spark, r) == 1L)
+  }
+
+  test("time travel: every committed version stays readable") {
+    val r = root()
+    ManifestTable.create(spark, r, mk(1 to 10, "a"), "id")
+    ManifestTable.upsert(spark, r, Seq((5L, "UPD", 0)).toDF("id", "tag", "v"))
+    assert(ManifestTable.read(spark, r, version = 1L)
+      .filter($"id" === 5).select("tag").as[String].head() == "a")
+    assert(ManifestTable.read(spark, r, version = 2L)
+      .filter($"id" === 5).select("tag").as[String].head() == "UPD")
+  }
+
+  test("scanKeyRange skips files by manifest min/max") {
+    val r = root()
+    ManifestTable.create(spark, r, mk(1 to 100, "a").repartition(1), "id")
+    ManifestTable.append(spark, r, mk(1000 to 1100, "b").repartition(1))
+    ManifestTable.append(spark, r, mk(5000 to 5100, "c").repartition(1))
+    val total = ManifestTable.snapshot(spark, r, 3L).entries.size
+    val scan = ManifestTable.scanKeyRange(spark, r, 1000L, 1100L)
+    assert(scan.count() == 101)
+    assert(scan.inputFiles.length < total,
+      s"file skipping must drop non-overlapping files (${scan.inputFiles.length} of $total)")
+    assert(ManifestTable.scanKeyRange(spark, r, 900L, 950L).count() == 0)
+  }
+
+  test("deleteKeys removes exactly the keyed rows") {
+    val r = root()
+    ManifestTable.create(spark, r, mk(1 to 100, "a"), "id")
+    ManifestTable.deleteKeys(spark, r, Seq(10L, 20L, 999L).toDF("id"))
+    val got = ManifestTable.read(spark, r)
+    assert(got.count() == 98)
+    assert(got.filter($"id".isin(10, 20)).count() == 0)
+  }
+
+  test("rename-as-CAS: a stale commit loses; it never clobbers the winner") {
+    val r = root()
+    ManifestTable.create(spark, r, mk(1 to 10, "a"), "id")
+    ManifestTable.append(spark, r, mk(11 to 20, "b")) // the "winner" lands v2
+    // A writer that read v1 and tries to commit against expected=1
+    // must LOSE (v2 exists) and leave v2's content untouched.
+    val stale = ManifestTable.snapshot(spark, r, 1L)
+    assert(ManifestTable.tryCommit(spark, r, "id", stale.entries, expected = 1L).isEmpty)
+    assert(ManifestTable.read(spark, r).count() == 20, "winner's snapshot intact")
+    // The public path re-derives against the winner and lands v3.
+    assert(ManifestTable.append(spark, r, mk(21 to 30, "c")) == 3L)
+    assert(ManifestTable.read(spark, r).count() == 30)
+  }
+
+  test("vacuum removes orphans and expired versions, keeps referenced files") {
+    val r = root()
+    ManifestTable.create(spark, r, mk(1 to 50, "a"), "id")
+    mk(900 to 910, "crash").write.parquet(new org.apache.hadoop.fs.Path(r, "data/batch-orphan").toString)
+    ManifestTable.upsert(spark, r, Seq((1L, "u1", 0)).toDF("id", "tag", "v"))
+    ManifestTable.upsert(spark, r, Seq((2L, "u2", 0)).toDF("id", "tag", "v"))
+    val deleted = ManifestTable.vacuum(spark, r, retainVersions = 2)
+    assert(deleted.exists(_.contains("batch-orphan")), "orphan batch must die")
+    assert(ManifestTable.read(spark, r).count() == 50)
+    assert(ManifestTable.read(spark, r, version = 2L).count() == 50, "retained version stays readable")
+    intercept[Exception] { ManifestTable.read(spark, r, version = 1L).count() }
+  }
+
+  test("guard rails: non-long stats column and double create are rejected") {
+    val r = root()
+    intercept[IllegalArgumentException] {
+      ManifestTable.create(spark, r, Seq(("x", 1L)).toDF("s", "id"), "s")
+    }
+    ManifestTable.create(spark, r, mk(1 to 5, "a"), "id")
+    intercept[IllegalArgumentException] {
+      ManifestTable.create(spark, r, mk(1 to 5, "a"), "id")
+    }
+  }
+}
