@@ -95,6 +95,29 @@ object QueriesPipeline {
         .orderBy(col("o_orderkey"))
     }),
 
+    // CDC over the manifest table: create -> upsert(+inserts) ->
+    // deleteKeys, then diff snapshot 1 against snapshot 3. The oracle
+    // derives the same insert/update/delete sets straight from the
+    // orders table. Deleted keys must surface with their ORIGINAL
+    // values even when an intermediate version updated them.
+    "q_cdc_changes" -> ((s, dir) => {
+      val table = graft.util.TempDirs.scratch("graft_cdc") + "/t"
+      val base = TestTables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sink.ManifestTable.create(s, table, base, "o_orderkey")
+      val updates = base.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("o_totalprice", col("o_totalprice") * lit(2.0))
+      val inserts = base.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(1000000L))
+        .withColumn("o_orderstatus", lit("N"))
+      graft.sink.ManifestTable.upsert(s, table, updates.unionByName(inserts))
+      graft.sink.ManifestTable.deleteKeys(s, table,
+        base.filter(col("o_orderkey") % 7 === 0).select(col("o_orderkey")))
+      graft.sink.ManifestTable.changes(s, table, fromV = 1L, toV = 3L)
+        .orderBy(col("o_orderkey"), col("change_type"))
+    }),
+
     // D2 at scale: partition-pruned MERGE — only month partitions that
     // contain updated keys are rewritten; the swap is rename-aside.
     "q_d2_upsert_pruned" -> ((s, dir) => {
@@ -176,6 +199,19 @@ object QueriesPipeline {
         |  FROM customer WHERE c_custkey % 10 = 0)
         |SELECT * FROM closed UNION ALL SELECT * FROM hist
         |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "q_cdc_changes" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders)
+        |SELECT 'delete' AS change_type, o_orderkey, o_orderstatus, o_totalprice
+        |FROM base WHERE o_orderkey % 7 = 0
+        |UNION ALL
+        |SELECT 'update', o_orderkey, 'U', o_totalprice * CAST(2.0 AS DOUBLE)
+        |FROM base WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+        |UNION ALL
+        |SELECT 'insert', o_orderkey + 1000000, 'N', o_totalprice
+        |FROM base WHERE o_orderkey % 11 = 0
+        |ORDER BY o_orderkey, change_type""".stripMargin,
 
     "q_d2_manifest_upsert" ->
       """SELECT o_orderkey,

@@ -231,6 +231,49 @@ object ManifestTable {
     throw new java.io.IOException(s"commit contention at $root after $attempts attempts")
   }
 
+  /** Change-data capture between two committed snapshots: every key
+    * whose row was inserted, updated, or deleted from `fromV` to
+    * `toV`, with the NEW values for insert/update and the OLD values
+    * for delete.
+    *
+    * The manifest diff is what makes this scale-free: files present
+    * in BOTH manifests carried over by reference, so their rows are
+    * bit-identical by construction and are never read — only files
+    * added or removed between the versions load at all. A
+    * 100 TB table whose daily MERGE touches one day's key range
+    * diffs at the cost of that day, not the table. Rewritten-but-
+    * unchanged rows (merge survivors that moved files) are dropped by
+    * a null-safe full-row compare (`md5(to_json(...))` — field names
+    * disambiguate dropped-null encodings).
+    */
+  def changes(spark: SparkSession, root: String, fromV: Long, toV: Long): DataFrame = {
+    require(fromV < toV, s"changes needs fromV < toV, got $fromV -> $toV")
+    val a = snapshot(spark, root, fromV)
+    val b = snapshot(spark, root, toV)
+    val aPaths = a.entries.map(_.path).toSet
+    val bPaths = b.entries.map(_.path).toSet
+    val removed = a.entries.filterNot(e => bPaths.contains(e.path))
+    val added = b.entries.filterNot(e => aPaths.contains(e.path))
+    val key = a.statsCol
+    def side(entries: Seq[FileEntry], version: Long): DataFrame =
+      if (entries.nonEmpty) readFiles(spark, root, entries)
+      else read(spark, root, version).filter(lit(false))
+    val oldDf = side(removed, fromV)
+    val dataCols = oldDf.columns.filterNot(_ == key).toSeq
+    def tagged(df: DataFrame, p: String): DataFrame =
+      df.select(col(key) +: dataCols.map(c => col(c).as(s"$p$c"))
+        :+ md5(to_json(struct(dataCols.map(col): _*))).as(s"${p}__sig"): _*)
+    tagged(oldDf, "o_0_").join(tagged(side(added, toV), "n_0_"), Seq(key), "full_outer")
+      .withColumn("change_type",
+        when(col("o_0___sig").isNull, "insert")
+          .when(col("n_0___sig").isNull, "delete")
+          .when(col("o_0___sig") === col("n_0___sig"), "unchanged")
+          .otherwise("update"))
+      .filter(col("change_type") =!= "unchanged")
+      .select(col("change_type") +: col(key) +:
+        dataCols.map(c => coalesce(col(s"n_0_$c"), col(s"o_0_$c")).as(c)): _*)
+  }
+
   /** Remove files no retained snapshot references plus manifests
     * older than the newest `retainVersions`. Returns deleted paths.
     * Orphans from crashed writers (data written, commit never

@@ -119,6 +119,36 @@ class ManifestTableSpec extends AnyFunSuite {
     intercept[Exception] { ManifestTable.read(spark, r, version = 1L).count() }
   }
 
+  test("changes classifies insert/update/delete and drops rewritten-but-unchanged rows") {
+    val r = root()
+    ManifestTable.create(spark, r, mk(1 to 10, "a"), "id")
+    // v2: update 3, insert 11. Unchanged keys sharing a rewritten file
+    // with key 3 move files without changing — none may appear in the
+    // diff (the exact-set assertion below is the proof).
+    ManifestTable.upsert(spark, r,
+      Seq((3L, "UPD", 333), (11L, "new", 110)).toDF("id", "tag", "v"))
+    ManifestTable.deleteKeys(spark, r, Seq(7L).toDF("id"))
+    val got = ManifestTable.changes(spark, r, 1L, 3L)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getString(2))).toSet
+    assert(got == Set(("update", 3L, "UPD"), ("insert", 11L, "new"), ("delete", 7L, "a")))
+  }
+
+  test("changes reads only files that differ between the manifests") {
+    val r = root()
+    ManifestTable.create(spark, r, mk(1 to 100, "a").repartition(1), "id")
+    ManifestTable.append(spark, r, mk(1000 to 1100, "b").repartition(1))
+    ManifestTable.upsert(spark, r, Seq((1050L, "UPD", 0)).toDF("id", "tag", "v"))
+    val carried = ManifestTable.snapshot(spark, r, 1L).entries.map(_.path).toSet
+      .intersect(ManifestTable.snapshot(spark, r, 3L).entries.map(_.path).toSet)
+    assert(carried.nonEmpty, "the low-range file must carry over")
+    val diff = ManifestTable.changes(spark, r, 1L, 3L)
+    assert(!diff.inputFiles.exists(f => carried.exists(f.contains)),
+      "carried-by-reference files must not be read")
+    // And between two versions whose manifests share everything the
+    // v2 batch brought in, the v2 file still reads (it was added).
+    assert(diff.filter($"change_type" === "insert").count() == 101)
+  }
+
   test("guard rails: non-long stats column and double create are rejected") {
     val r = root()
     intercept[IllegalArgumentException] {
