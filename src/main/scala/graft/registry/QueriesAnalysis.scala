@@ -122,6 +122,28 @@ object QueriesAnalysis {
         .na.fill(0)
         .orderBy(col("day"))),
 
+    // Ranking-window family over one exchange: ntile quartiles,
+    // percent_rank, cume_dist, lag/lead — all five share a single
+    // (partition, order) spec, so Catalyst plans ONE sort+window, not
+    // five. Ordering carries enough tiebreak columns that peers are
+    // full-row-identical (swap-safe for ntile).
+    "q_window_funcs" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_suppkey"))
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      graft.tables.TestTables.lineitem(s, dir)
+        .filter(col("l_suppkey") <= 20)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_quantity"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"),
+          lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+          lead(col("l_quantity"), 1).over(w).as("next_qty"))
+        .orderBy(col("l_suppkey"), col("l_quantity"), col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"))
+    }),
+
     // Migration-audit fingerprints: orderless per-column checksums
     // (md5-based XOR fold + modular sum) over orders. The oracle
     // recomputes the same md5 arithmetic token for token — the whole
@@ -179,6 +201,18 @@ object QueriesAnalysis {
       Seq("doc_id", "text", "lang", "source", "n_chars").map(one)
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
     },
+
+    "q_window_funcs" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist,
+        |  lag(l_quantity, 1) OVER w AS prev_qty,
+        |  lead(l_quantity, 1) OVER w AS next_qty
+        |FROM lineitem WHERE l_suppkey <= 20
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_quantity, l_orderkey, l_linenumber, l_partkey)
+        |ORDER BY l_suppkey, l_quantity, l_orderkey, l_linenumber, l_partkey""".stripMargin,
 
     "q_audit_fingerprint" -> {
       def one(c: String) =

@@ -40,7 +40,12 @@ import org.apache.spark.sql.functions._
 object ManifestTable {
 
   final case class FileEntry(path: String, rows: Long, min: Option[Long], max: Option[Long])
-  final case class Snapshot(version: Long, statsCol: String, entries: Seq[FileEntry])
+  /** `lastBatchId` is the streaming-ingest watermark: the highest
+    * micro-batch id ever folded in (-1 when none) — what makes
+    * [[upsertSink]] replay-idempotent across restarts.
+    */
+  final case class Snapshot(version: Long, statsCol: String, entries: Seq[FileEntry],
+                            lastBatchId: Long = -1L)
 
   private def fs(spark: SparkSession): FileSystem =
     FileSystem.get(spark.sparkContext.hadoopConfiguration)
@@ -66,14 +71,16 @@ object ManifestTable {
     val lines = text.split("\n").filter(_.nonEmpty)
     require(lines.head.startsWith("graft-manifest\t1\t"),
       s"unrecognized manifest header: ${lines.head}")
-    val statsCol = lines.head.split("\t")(2)
+    val header = lines.head.split("\t", -1)
+    val statsCol = header(2)
+    val lastBatchId = if (header.length > 3) header(3).toLong else -1L
     val entries = lines.tail.toIndexedSeq.map { l =>
       val p = l.split("\t", -1)
       FileEntry(p(0), p(1).toLong,
         if (p(2).isEmpty) None else Some(p(2).toLong),
         if (p(3).isEmpty) None else Some(p(3).toLong))
     }
-    Snapshot(version, statsCol, entries)
+    Snapshot(version, statsCol, entries, lastBatchId)
   }
 
   /** Atomically publish `entries` as version `expected + 1`. Returns
@@ -81,13 +88,14 @@ object ManifestTable {
     * (the rename-as-CAS lost) — the caller re-reads and re-derives.
     */
   private[sink] def tryCommit(spark: SparkSession, root: String, statsCol: String,
-                              entries: Seq[FileEntry], expected: Long): Option[Long] = {
+                              entries: Seq[FileEntry], expected: Long,
+                              lastBatchId: Long = -1L): Option[Long] = {
     val f = fs(spark)
     f.mkdirs(manifestDir(root))
     val tmp = new Path(manifestDir(root), s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
     try {
-      val body = (s"graft-manifest\t1\t$statsCol" +:
+      val body = (s"graft-manifest\t1\t$statsCol\t$lastBatchId" +:
         entries.map(e => s"${e.path}\t${e.rows}\t${e.min.fold("")(_.toString)}\t${e.max.fold("")(_.toString)}"))
         .mkString("", "\n", "\n")
       out.write(body.getBytes("UTF-8"))
@@ -218,17 +226,54 @@ object ManifestTable {
     * current snapshot, commit as version+1; when the rename-CAS
     * loses, re-read and re-derive against the winner.
     */
-  private def retrying(spark: SparkSession, root: String)(
+  private def retrying(spark: SparkSession, root: String,
+                       batchId: Snapshot => Long = _.lastBatchId)(
       derive: Snapshot => Seq[FileEntry]): Long = {
     var attempts = 0
     while (attempts < 5) {
       val snap = snapshot(spark, root, latestVersion(spark, root))
-      tryCommit(spark, root, snap.statsCol, derive(snap), snap.version) match {
+      tryCommit(spark, root, snap.statsCol, derive(snap), snap.version, batchId(snap)) match {
         case Some(v) => return v
         case None => attempts += 1
       }
     }
     throw new java.io.IOException(s"commit contention at $root after $attempts attempts")
+  }
+
+  /** Exactly-once streaming MERGE: a `foreachBatch` body that upserts
+    * each micro-batch into the manifest table and records the batch id
+    * in the SAME atomic manifest commit — data and progress marker
+    * can't diverge. On replay after a crash (Structured Streaming
+    * re-delivers the last uncommitted-at-the-sink batch), the recorded
+    * watermark makes the duplicate a no-op, so the table converges to
+    * exactly-once content on plain parquet. Use:
+    * {{{ stream.writeStream.foreachBatch(ManifestTable.upsertSink(root)).start() }}}
+    * The table must already exist ([[create]]); single stream per
+    * table (the id watermark is global, not per-query).
+    */
+  def upsertSink(root: String): (DataFrame, Long) => Unit = { (batch, id) =>
+    val spark = batch.sparkSession
+    val snap = snapshot(spark, root, latestVersion(spark, root))
+    if (id > snap.lastBatchId) {
+      val key = snap.statsCol
+      val b = batch.persist()
+      try {
+        if (b.isEmpty) { // still advance the watermark: an empty batch replayed must stay empty
+          retrying(spark, root, _ => id)(_.entries)
+        } else {
+          val keys = b.select(col(key)).distinct()
+          retrying(spark, root, _ => id) { s =>
+            val (candidates, untouched) = overlapSplit(s, keys, spark)
+            val survivors =
+              if (candidates.isEmpty) b
+              else readFiles(spark, root, candidates)
+                .join(keys, Seq(key), "left_anti")
+                .unionByName(b)
+            untouched ++ writeBatch(spark, root, survivors, key)
+          }
+        }
+      } finally b.unpersist()
+    }
   }
 
   /** Change-data capture between two committed snapshots: every key

@@ -149,6 +149,42 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(diff.filter($"change_type" === "insert").count() == 101)
   }
 
+  test("upsertSink: data and batch-id watermark commit atomically; replays are no-ops") {
+    val r = root()
+    ManifestTable.create(spark, r, mk(1 to 50, "a"), "id")
+    val sink = ManifestTable.upsertSink(r)
+    val b0 = Seq((10L, "s0", 1), (51L, "s0", 2)).toDF("id", "tag", "v")
+    val b1 = Seq((10L, "s1", 3)).toDF("id", "tag", "v")
+    sink(b0, 0L); sink(b1, 1L)
+    val vAfter = ManifestTable.latestVersion(spark, r)
+    assert(ManifestTable.snapshot(spark, r, vAfter).lastBatchId == 1L)
+    sink(b1, 1L) // crash-replay of the last batch
+    sink(b0, 0L) // older replay
+    assert(ManifestTable.latestVersion(spark, r) == vAfter, "replays must not commit")
+    val got = ManifestTable.read(spark, r).filter($"id".isin(10, 51))
+      .select($"id", $"tag").as[(Long, String)].collect().toMap
+    assert(got == Map(10L -> "s1", 51L -> "s0"))
+    // An empty batch advances the watermark without touching data.
+    sink(b0.filter(lit(false)), 2L)
+    assert(ManifestTable.snapshot(spark, r, vAfter + 1).lastBatchId == 2L)
+    assert(ManifestTable.read(spark, r).count() == 51)
+  }
+
+  test("upsertSink under a real readStream: table equals the batch-mode merge") {
+    val r = root()
+    val srcDir = graft.util.TempDirs.scratch("graft_mstream") + "/src"
+    ManifestTable.create(spark, r, mk(1 to 30, "base"), "id")
+    val updates = (20 to 40).map(i => (i.toLong, "live", i)).toDF("id", "tag", "v")
+    updates.write.parquet(srcDir)
+    val q = spark.readStream.schema(updates.schema).parquet(srcDir)
+      .writeStream.foreachBatch(ManifestTable.upsertSink(r))
+      .option("checkpointLocation", srcDir + ".ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val expect = Sinks.upsert(mk(1 to 30, "base"), updates, "id")
+    assert(rowsOf(ManifestTable.read(spark, r)) == rowsOf(expect))
+  }
+
   test("guard rails: non-long stats column and double create are rejected") {
     val r = root()
     intercept[IllegalArgumentException] {
