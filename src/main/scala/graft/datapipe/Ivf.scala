@@ -61,6 +61,24 @@ object Ivf {
     assign(vecs, centroids).write.partitionBy("cell").mode("overwrite").parquet(path)
   }
 
+  /** Incremental index maintenance: assign a NEW batch against the
+    * FIXED centroids and append it into the cell-partitioned layout —
+    * per-batch cost follows the batch, never the corpus, and the
+    * layout after ANY sequence of ingests is row-identical to a full
+    * rebuild with the same centroids (assignment is a pure function
+    * of (vector, centroids); spec-proven). Probes pick the additions
+    * up immediately: partition pruning works on directory values, not
+    * file age. Centroid drift is a retrain + full re-layout decision,
+    * deliberately out of band (standard IVF practice); the small
+    * files each ingest appends are `Sinks.compactPartitions`
+    * maintenance.
+    */
+  def ingestBatch(batch: DataFrame, centroids: DataFrame,
+                  idCol: String, vecCol: String, path: String): Unit = {
+    val vecs = batch.select(col(idCol).as("id"), asD(col(vecCol)).as("vec"))
+    assign(vecs, centroids).write.partitionBy("cell").mode("append").parquet(path)
+  }
+
   /** ANN top-k against a cell-partitioned corpus: the probed cell set
     * (≤ k centroids, a genuinely driver-sized list) becomes an isin
     * filter that prunes the scan to the probed partitions only.

@@ -499,6 +499,23 @@ object QueriesData {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Incremental IVF: the SAME planted-twin probe as q_sim_ivf_ann,
+    // but the cell-partitioned index is built by three ingestBatch
+    // calls against fixed centroids instead of one rebuild — assignment
+    // is a pure function of (vector, centroids), so the incremental
+    // layout must answer identically, down to the same closed-form
+    // brute-force oracle.
+    "q_sim_ivf_incremental" -> ((s, dir) => {
+      val emb = TestTables.embeddings(s, dir)
+      val centroids = graft.datapipe.Ivf.train(emb, "vec_id", "embedding", k = 16, iters = 2)
+      val path = graft.util.TempDirs.scratch("graft_ivf_inc") + "/corpus"
+      (0 to 2).foreach(i => graft.datapipe.Ivf.ingestBatch(
+        emb.filter(col("vec_id") % 3 === i), centroids, "vec_id", "embedding", path))
+      graft.datapipe.Ivf.topKPruned(s, twinQueries(emb), path, centroids,
+          "vec_id", "embedding", k = 1, nprobe = 4)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
     // Int8 scalar quantization of the embedding table (full oracle —
     // the affine code arithmetic is fixed-order IEEE, so DuckDB
     // reproduces every code; codes emitted as a joined string since
@@ -1484,6 +1501,21 @@ object QueriesData {
     // base's cell is always probed and top-1 = brute-force top-1 — the
     // same closed form as the LSH entry.
     "q_sim_ivf_ann" ->
+      """WITH q AS (
+        |  SELECT vec_id + 10000000 AS q_id,
+        |         CAST(list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+        |scored AS (
+        |  SELECT q_id, n_id,
+        |    list_dot_product(qv, nv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS cosine
+        |  FROM c CROSS JOIN q WHERE q_id <> n_id)
+        |SELECT q_id, n_id, cosine, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS INT) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 1 ORDER BY q_id, rank""".stripMargin,
+
+    "q_sim_ivf_incremental" ->
       """WITH q AS (
         |  SELECT vec_id + 10000000 AS q_id,
         |         CAST(list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS DOUBLE[]) AS qv

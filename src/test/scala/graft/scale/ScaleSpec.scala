@@ -85,6 +85,29 @@ class ScaleSpec extends AnyFunSuite {
       s"the probe's cell set must prune at the partition level:\n$plan")
   }
 
+  test("incremental IVF ingest converges to the full rebuild; probes see additions immediately") {
+    val emb = graft.tables.TestTables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = graft.datapipe.Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val full = java.nio.file.Files.createTempDirectory("ivf_full").toString + "/corpus"
+    val inc = java.nio.file.Files.createTempDirectory("ivf_inc").toString + "/corpus"
+    graft.datapipe.Ivf.writeCellPartitioned(emb, centroids, "vec_id", "embedding", full)
+    // Same corpus arriving as three uneven batches against fixed centroids.
+    graft.datapipe.Ivf.ingestBatch(emb.filter($"vec_id" % 3 === 0), centroids, "vec_id", "embedding", inc)
+    graft.datapipe.Ivf.ingestBatch(emb.filter($"vec_id" % 3 === 1), centroids, "vec_id", "embedding", inc)
+    graft.datapipe.Ivf.ingestBatch(emb.filter($"vec_id" % 3 === 2), centroids, "vec_id", "embedding", inc)
+    val layout = (p: String) => spark.read.parquet(p).select($"id", $"cell")
+      .as[(Long, Int)].collect().toSet
+    assert(layout(inc) == layout(full), "ingest sequence must equal the rebuild layout")
+    val queries = emb.filter($"vec_id" % 200 === 0)
+    val a = graft.datapipe.Ivf.topKPruned(spark, queries, inc, centroids,
+      "vec_id", "embedding", k = 5, nprobe = 2)
+      .select($"q_id", $"n_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    val b = graft.datapipe.Ivf.topKPruned(spark, queries, full, centroids,
+      "vec_id", "embedding", k = 5, nprobe = 2)
+      .select($"q_id", $"n_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(a == b, "probe results must be identical on both layouts")
+  }
+
   test("IVF recall vs brute force is reasonable on random embeddings") {
     val emb = graft.tables.TestTables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter($"vec_id" % 100 === 0)
