@@ -45,7 +45,10 @@ object Bench {
     "q_sem_dedup",
     "q_text_html_extract",
     "q_graph_pagerank",
-    "q_cohort_retention")
+    "q_cohort_retention",
+    "q_bloom_pruned_join",
+    "q_fuzzy_join",
+    "q_d2_manifest_upsert")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -122,6 +122,24 @@ object QueriesAnalysis {
         .na.fill(0)
         .orderBy(col("day"))),
 
+    // Per-group exact quantiles: one aggregation, all three cut
+    // points. Spark's exact `percentile` buffers value->count maps —
+    // scale-safe exactly when the measure's cardinality is bounded
+    // (l_quantity has 50 values at any corpus size); the unbounded
+    // path is the GK sketch (q_sample_percentile_gate). Interpolation
+    // hits exact binary fractions here, so DuckDB's quantile_cont
+    // reproduces every double bit-for-bit.
+    "q_group_quantiles" -> ((s, dir) => {
+      val ps = array(lit(0.25), lit(0.5), lit(0.75))
+      graft.tables.TestTables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qs"))
+        .select(col("l_returnflag"), posexplode(col("qs")).as(Seq("pos", "q")))
+        .select(col("l_returnflag"),
+          element_at(ps, col("pos") + 1).as("p"), col("q"))
+        .orderBy(col("l_returnflag"), col("p"))
+    }),
+
     // Ranking-window family over one exchange: ntile quartiles,
     // percent_rank, cume_dist, lag/lead — all five share a single
     // (partition, order) spec, so Catalyst plans ONE sort+window, not
@@ -201,6 +219,13 @@ object QueriesAnalysis {
       Seq("doc_id", "text", "lang", "source", "n_chars").map(one)
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
     },
+
+    "q_group_quantiles" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qs
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, unnest([0.25, 0.5, 0.75]) AS p, unnest(qs) AS q
+        |FROM g ORDER BY l_returnflag, p""".stripMargin,
 
     "q_window_funcs" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_partkey, l_quantity,

@@ -155,7 +155,7 @@ object ManifestTable {
         if (candidates.isEmpty) updates
         else readFiles(spark, root, candidates)
           .join(keys, Seq(key), "left_anti")
-          .unionByName(updates)
+          .unionByName(updates, allowMissingColumns = true) // schema evolution: new columns null-fill old survivors
       untouched ++ writeBatch(spark, root, survivors, key)
     }
 
@@ -200,8 +200,14 @@ object ManifestTable {
     (cand.map(_._1), cold.map(_._1))
   }
 
+  /** Footer-merged read: batches committed after a column was added
+    * coexist with older files — readers see the union schema with
+    * NULLs where a file predates the column (parquet mergeSchema; the
+    * manifest never pins a schema, files are the source of truth).
+    */
   private def readFiles(spark: SparkSession, root: String, entries: Seq[FileEntry]): DataFrame =
-    spark.read.parquet(entries.map(e => new Path(root, e.path).toString): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(entries.map(e => new Path(root, e.path).toString): _*)
 
   /** Read the latest snapshot (or `version` for time travel). */
   def read(spark: SparkSession, root: String, version: Long = 0L): DataFrame = {
@@ -268,7 +274,7 @@ object ManifestTable {
               if (candidates.isEmpty) b
               else readFiles(spark, root, candidates)
                 .join(keys, Seq(key), "left_anti")
-                .unionByName(b)
+                .unionByName(b, allowMissingColumns = true)
             untouched ++ writeBatch(spark, root, survivors, key)
           }
         }
@@ -318,6 +324,28 @@ object ManifestTable {
       .select(col("change_type") +: col(key) +:
         dataCols.map(c => coalesce(col(s"n_0_$c"), col(s"o_0_$c")).as(c)): _*)
   }
+
+  /** Small-files maintenance as a LAYOUT-ONLY commit: files under
+    * `minBytes` coalesce into `targetPartitions` rewritten files;
+    * files already big enough carry over by reference. Incremental
+    * ingest (streaming upserts, IVF-style batch appends) accretes
+    * small files every commit, and at 100 TB the scan's task count
+    * follows file count — periodic compaction is what keeps read
+    * parallelism sane. Rows are untouched (same snapshot content
+    * before and after, spec-checked by fingerprint); readers on the
+    * old version keep their files until [[vacuum]].
+    */
+  def compact(spark: SparkSession, root: String, minBytes: Long = 8L * 1024 * 1024,
+              targetPartitions: Int = 1): Long =
+    retrying(spark, root) { snap =>
+      val f = fs(spark)
+      val (small, big) = snap.entries.partition { e =>
+        f.getFileStatus(new Path(root, e.path)).getLen < minBytes
+      }
+      if (small.length <= 1) snap.entries
+      else big ++ writeBatch(spark, root,
+        readFiles(spark, root, small).coalesce(targetPartitions), snap.statsCol)
+    }
 
   /** Remove files no retained snapshot references plus manifests
     * older than the newest `retainVersions`. Returns deleted paths.

@@ -109,6 +109,26 @@ class JoinsSpec extends AnyFunSuite {
     assert(kept <= trueMatches + 10, s"pruning should collapse the probe (kept=$kept)")
   }
 
+  test("bloom pre-filter sits UNDER the join in the optimized plan (prunes before the shuffle)") {
+    // A local-relation probe gets the filter constant-folded away at
+    // plan time (which is itself the proof it runs pre-join); the
+    // cluster-relevant shape needs a file-backed probe.
+    val dir = graft.util.TempDirs.scratch("graft_bloomplan")
+    probe.write.mode("overwrite").parquet(s"$dir/probe")
+    val fileProbe = spark.read.parquet(s"$dir/probe")
+    val plan = Joins.bloomPrunedJoin(fileProbe, build, Seq("k"), "inner")
+      .queryExecution.optimizedPlan
+    val joins = plan.collect { case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty)
+    val hasBloomFilter = joins.head.left.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.find(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]).isDefined => f
+    }
+    assert(hasBloomFilter.nonEmpty,
+      s"might_contain must filter the probe below the join:\n$plan")
+  }
+
   test("bloomPrunedJoin rejects join types with no prunable side") {
     intercept[IllegalArgumentException] {
       Joins.bloomPrunedJoin(probe, build, Seq("k"), "full")
