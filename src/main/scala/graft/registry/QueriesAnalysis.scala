@@ -110,6 +110,18 @@ object QueriesAnalysis {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
         .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first)),
 
+    // OLAP cube: all four grouping sets of (source, lang) in one
+    // Expand+aggregate pass, with explicit grouping() markers so the
+    // subtotal rows are distinguishable from genuine NULL groups.
+    "q_olap_cube" -> ((s, dir) =>
+      graft.tables.TestTables.documents(s, dir)
+        .cube(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+          grouping(col("source")).cast("int").as("g_source"),
+          grouping(col("lang")).cast("int").as("g_lang"))
+        .orderBy(col("g_source"), col("g_lang"),
+          col("source").asc_nulls_first, col("lang").asc_nulls_first)),
+
     // Pivot: day x event_type count matrix with an explicit column
     // list (unlisted types can't silently widen the schema). The
     // oracle builds the same matrix with FILTERed counts.
@@ -266,6 +278,14 @@ object QueriesAnalysis {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY ROLLUP(source, lang)
         |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin,
+
+    "q_olap_cube" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(grouping(source) AS INT) AS g_source,
+        |  CAST(grouping(lang) AS INT) AS g_lang
+        |FROM documents GROUP BY CUBE(source, lang)
+        |ORDER BY g_source, g_lang, source NULLS FIRST, lang NULLS FIRST""".stripMargin,
 
     "q_olap_pivot" ->
       """SELECT CAST(ts AS DATE) AS day,

@@ -245,6 +245,19 @@ object QueriesB {
       slice.write.mode("overwrite").json(path)
       s.read.schema(slice.schema).json(path).orderBy(col("c_custkey"))
     }),
+    // B2 variant: XML round-trip via Spark 4's NATIVE xml datasource
+    // (rowTag rows under a root element) — the remaining interchange
+    // format a warehouse boundary meets; schema declared on read-back
+    // like the JSON path.
+    "q_b02_xml_roundtrip" -> ((s, dir) => {
+      val path = graft.util.TempDirs.scratch("graft_xml") + "/cust"
+      val slice = TestTables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+      slice.write.mode("overwrite").option("rowTag", "row").format("xml").save(path)
+      s.read.schema(slice.schema).option("rowTag", "row").format("xml").load(path)
+        .orderBy(col("c_custkey"))
+    }),
+
     "q_b02_orc_roundtrip" -> ((s, dir) => {
       val path = graft.util.TempDirs.scratch("graft_orc") + "/orders"
       val slice = TestTables.orders(s, dir)
@@ -448,6 +461,10 @@ object QueriesB {
       """SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 10""".stripMargin,
 
     "q_b02_json_roundtrip" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_b02_xml_roundtrip" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
