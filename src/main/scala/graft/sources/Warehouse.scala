@@ -55,4 +55,83 @@ object Warehouse {
     Retry.dbWrite(sleep) {
       df.write.format("jdbc").options(writeOptions(conn, table)).mode(SaveMode.Append).save()
     }
+
+  /** Exactly-once streaming load into a JDBC warehouse: a
+    * `foreachBatch` body that inserts the micro-batch rows AND
+    * advances a per-table batch-id progress marker inside ONE database
+    * transaction — the warehouse-side twin of
+    * `ManifestTable.upsertSink`. Structured Streaming re-delivers the
+    * last in-flight batch after a crash; because rows and marker
+    * commit or roll back together, a replayed id compares ≤ the
+    * marker and is skipped whole — no dedup column, no MERGE needed.
+    * The progress row is read `FOR UPDATE`, serializing concurrent
+    * deliveries of the same query.
+    *
+    * Rows route through the driver connection (a micro-batch is
+    * watermark-bounded — the same boundedness argument as every
+    * single-transaction warehouse load), chunked into `batchSize`
+    * `executeBatch` rounds like the reference's 1000-row inserts.
+    * Corpus-scale loads belong to the staging-table + MERGE path, not
+    * a streaming sink.
+    */
+  def exactlyOnceSink(conn: Conn, table: String,
+                      progressTable: String = "GRAFT_STREAM_PROGRESS",
+                      batchSize: Int = 1000): (DataFrame, Long) => Unit = { (batch, id) =>
+    val rows = batch.collect()
+    val schema = batch.schema
+    val c = java.sql.DriverManager.getConnection(conn.url, conn.user, conn.password)
+    try {
+      c.setAutoCommit(false)
+      ensureProgressRow(c, progressTable, table)
+      val sel = c.prepareStatement(
+        s"SELECT last_batch FROM $progressTable WHERE table_name = ? FOR UPDATE")
+      sel.setString(1, table)
+      val rs = sel.executeQuery()
+      rs.next()
+      val last = rs.getLong(1)
+      rs.close(); sel.close()
+      if (id > last) {
+        val cols = schema.fieldNames
+        val ins = c.prepareStatement(
+          s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})")
+        var pending = 0
+        rows.foreach { r =>
+          schema.fields.zipWithIndex.foreach { case (f, i) =>
+            if (r.isNullAt(i)) ins.setObject(i + 1, null) else ins.setObject(i + 1, r.get(i))
+          }
+          ins.addBatch()
+          pending += 1
+          if (pending == batchSize) { ins.executeBatch(); pending = 0 }
+        }
+        if (pending > 0) ins.executeBatch()
+        ins.close()
+        val upd = c.prepareStatement(
+          s"UPDATE $progressTable SET last_batch = ? WHERE table_name = ?")
+        upd.setLong(1, id); upd.setString(2, table)
+        upd.executeUpdate(); upd.close()
+        c.commit()
+      } else c.rollback() // replay: nothing to do, release the lock
+    } catch {
+      case e: Throwable => try c.rollback() catch { case _: Throwable => }; throw e
+    } finally c.close()
+  }
+
+  /** Create the progress table/row if missing (committed separately —
+    * Derby and friends auto-commit DDL anyway, and an existing
+    * table/row is the normal case).
+    */
+  private def ensureProgressRow(c: java.sql.Connection, progressTable: String,
+                                table: String): Unit = {
+    val st = c.createStatement()
+    try st.executeUpdate(
+      s"CREATE TABLE $progressTable (table_name VARCHAR(128) PRIMARY KEY, last_batch BIGINT)")
+    catch { case _: java.sql.SQLException => } // exists
+    finally st.close()
+    val ins = c.prepareStatement(
+      s"INSERT INTO $progressTable (table_name, last_batch) VALUES (?, -1)")
+    try { ins.setString(1, table); ins.executeUpdate() }
+    catch { case _: java.sql.SQLException => } // row exists
+    finally ins.close()
+    c.commit()
+  }
 }

@@ -29,6 +29,33 @@ class WarehouseJdbcSpec extends AnyFunSuite {
     assert(rows == Set((1L, 1000.0), (3L, 250.5)), "pushdown query filters server-side and round-trips values")
   }
 
+  test("exactly-once JDBC sink: rows+progress commit atomically, replays skip, failures roll back whole") {
+    val c = java.sql.DriverManager.getConnection(conn.url)
+    c.createStatement().executeUpdate(
+      "CREATE TABLE STREAM_TGT (event_id BIGINT PRIMARY KEY, amount DOUBLE)")
+    c.close()
+    def count(): Long = Warehouse.readQuery(spark, conn,
+      "SELECT event_id FROM STREAM_TGT", sleep = _ => ()).count()
+    val sink = Warehouse.exactlyOnceSink(conn, "STREAM_TGT")
+    sink(Seq((1L, 1.0), (2L, 2.0)).toDF("event_id", "amount"), 0L)
+    sink(Seq((3L, 3.0)).toDF("event_id", "amount"), 1L)
+    assert(count() == 3)
+    // Crash-replay of both delivered batches: ids at or below the
+    // marker are skipped whole — no duplicates, no PK explosion.
+    sink(Seq((3L, 3.0)).toDF("event_id", "amount"), 1L)
+    sink(Seq((1L, 1.0), (2L, 2.0)).toDF("event_id", "amount"), 0L)
+    assert(count() == 3)
+    // All-or-nothing: a batch whose second row violates the PK must
+    // leave neither its first row nor the progress marker behind.
+    intercept[Exception] {
+      sink(Seq((4L, 4.0), (1L, 9.9)).toDF("event_id", "amount"), 2L)
+    }
+    assert(count() == 3, "failed batch must roll back wholesale")
+    // The fixed batch REUSES id 2 (what a retried trigger does) and lands.
+    sink(Seq((4L, 4.0)).toDF("event_id", "amount"), 2L)
+    assert(count() == 4)
+  }
+
   test("JDBC append accumulates across batches (chunked load)") {
     val b1 = Seq((10L, "a", 1.0)).toDF("visit_id", "class", "approval_limit")
     val b2 = Seq((11L, "b", 2.0)).toDF("visit_id", "class", "approval_limit")
