@@ -57,4 +57,56 @@ object GraphRank {
     }
     scores
   }
+
+  /** Per-node triangle counts over an undirected graph — the local
+    * clustering signal behind link-farm/spam-cluster detection in
+    * crawl curation (a farm's mutual-link block is triangle-dense;
+    * organic link neighborhoods are sparse).
+    *
+    * Scale shape is the degree-oriented node-iterator (public
+    * compact-forward algorithm): canonicalize to undirected distinct
+    * edges, orient every edge from its lower-(degree, id) endpoint to
+    * the higher, enumerate wedges by self-joining oriented edges on
+    * the source, and close each wedge with a semi-join back to the
+    * oriented edge set. Orientation is what caps the quadratic term:
+    * a wedge center's fan-out is its ORIENTED out-degree, O(sqrt(m))
+    * on any graph — the celebrity node with 10^6 followers generates
+    * no 10^12-pair wedge explosion, because almost all its edges
+    * point INTO it. Each triangle materializes exactly once (its
+    * unique ≺-ordered orientation), then contributes one count to
+    * each of its three corners.
+    *
+    * Returns (node, n_triangles) for nodes in at least one triangle;
+    * left-join and zero-fill against the node table for dense output.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"), greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // ≺-rank per node: (degree, id) — total order, ties broken by id.
+    val ranked = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(struct(col("da").as("rd"), col("a").as("rid"))
+            < struct(col("db").as("rd"), col("b").as("rid")),
+          struct(col("a").as("u"), col("b").as("v"),
+            struct(col("db").as("rd"), col("b").as("rid")).as("vr")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"),
+            struct(col("da").as("rd"), col("a").as("rid")).as("vr")))
+          .as("o"))
+      .select(col("o.u").as("u"), col("o.v").as("v"), col("o.vr").as("vr"))
+    val wedges = ranked.select(col("u"), col("v").as("x"), col("vr").as("xr"))
+      .join(ranked.select(col("u"), col("v").as("y"), col("vr").as("yr")), Seq("u"))
+      .filter(col("xr") < col("yr"))
+      .select(col("u"), col("x"), col("y"))
+    val triangles = wedges.join(
+      ranked.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"), "left_semi")
+    triangles
+      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
 }

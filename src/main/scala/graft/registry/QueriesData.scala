@@ -47,6 +47,25 @@ object QueriesData {
         .orderBy(col("node"))
     }),
 
+    // Per-node triangle counts on a deterministic graph that GUARANTEES
+    // triangles (ring edges d->d+1, d->d+2 close a triangle at every
+    // node) plus irregular hash edges so counts vary. The engine runs
+    // the degree-oriented enumeration; the oracle brute-enumerates
+    // a<b<c triangles — orientation must change nothing.
+    "q_graph_triangles" -> ((s, dir) => {
+      val docs = TestTables.documents(s, dir).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val raw = docs.crossJoin(broadcast(n)).select(
+        col("doc_id").as("s"),
+        explode(array((col("doc_id") + 1) % col("__n"), (col("doc_id") + 2) % col("__n"),
+          (col("doc_id") * 31 + 97) % col("__n"))).as("d"))
+      val tri = GraphRank.triangleCounts(raw, "s", "d")
+      docs.join(tri, docs("doc_id") === tri("node"), "left")
+        .select(col("doc_id").as("node"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+        .orderBy(col("node"))
+    }),
+
     // Fuzzy (edit-distance <= 1) join: a deterministic typo of each of
     // the first 200 part names (8th char deleted) matched back against
     // the whole part table via the SymSpell deletion-neighborhood
@@ -966,6 +985,30 @@ object QueriesData {
     "q_pipeline_corpus" -> corpusCleanOracle,
     "q_pipeline_corpus_cc" -> corpusCleanOracle(ccSurvivor = true),
     "q_pipeline_pretrain" -> pretrainOracle,
+
+    "q_graph_triangles" ->
+      """WITH nn AS (SELECT count(*) AS c FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS s, (doc_id + 1) % (SELECT c FROM nn) AS d FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 2) % (SELECT c FROM nn) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 31 + 97) % (SELECT c FROM nn) FROM documents),
+        |e AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM raw WHERE s <> d),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |corners AS (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri)
+        |SELECT d.doc_id AS node, CAST(coalesce(t.n, 0) AS BIGINT) AS n_triangles
+        |FROM documents d
+        |LEFT JOIN (SELECT node, count(*) AS n FROM corners GROUP BY node) t
+        |  ON d.doc_id = t.node
+        |ORDER BY node""".stripMargin,
 
     "q_fuzzy_join" ->
       """WITH probe AS (
