@@ -65,6 +65,19 @@ class FuzzyJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("the Column-expr neighborhood equals the property-tested JVM reference") {
+    val inputs = words.filter(_ != null)
+    for (k <- Seq(1, 2)) {
+      val got = inputs.toDF("w")
+        .select($"w", FuzzyJoin.deletionNeighborhood($"w", k).as("nb"))
+        .as[(String, Seq[String])].collect().toMap
+      inputs.foreach { w =>
+        assert(got(w).toSet == FuzzyJoinProps.neighborhood(w, k),
+          s"neighborhood($w, $k)")
+      }
+    }
+  }
+
   test("candidate generation is an equi-join on variants, not a cross join") {
     val plan = FuzzyJoin.editDistanceJoin(df("l"), "l_id", "l_w", df("r"), "r_id", "r_w", 1)
       .queryExecution.optimizedPlan.toString

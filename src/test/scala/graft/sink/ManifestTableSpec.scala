@@ -223,6 +223,19 @@ class ManifestTableSpec extends AnyFunSuite {
       == after.entries.map(_.path))
   }
 
+  test("a torn manifest write (crash before rename) is invisible to readers") {
+    val r = root()
+    ManifestTable.create(spark, r, mk(1 to 20, "a"), "id")
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // A writer died mid-write: a garbage .tmp in manifests/ and a
+    // half-written next-version file must both be ignored — .tmp by
+    // name, and only fully-renamed vNNNNNNNN.manifest names resolve.
+    val tmp = new org.apache.hadoop.fs.Path(r, "manifests/.tmp-deadbeef")
+    val out = f.create(tmp, true); out.write("garbage\tnot-a-manifest".getBytes); out.close()
+    assert(ManifestTable.latestVersion(spark, r) == 1L)
+    assert(ManifestTable.read(spark, r).count() == 20)
+  }
+
   test("guard rails: non-long stats column and double create are rejected") {
     val r = root()
     intercept[IllegalArgumentException] {
