@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.datapipe.{Boilerplate, Decontam, Dedup, DupSpans, FuzzyJoin, GraphRank, Html, IncrementalDedup, Keywords, LmScore, Multimodal, Quantize, Retrieval, SemDedup, Similarity, TextAnalysis, Urls}
+import graft.datapipe.{Boilerplate, Decontam, Dedup, DupSpans, FuzzyJoin, GraphRank, Html, IncrementalDedup, Keywords, LmScore, Markdown, Multimodal, Quantize, Retrieval, SemDedup, Similarity, TextAnalysis, Urls}
 import graft.tables.TestTables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -45,6 +45,21 @@ object QueriesData {
         .select(col("src"), ((col("src") * 31 + col("k") * 97) % col("__n")).as("dst"))
       GraphRank.pageRank(docs, "doc_id", edges, "src", "dst", iters = 10)
         .orderBy(col("node"))
+    }),
+
+    // Markdown -> text extraction: a deterministic markdown wrapper
+    // around each document (headers/bold/italics/quote/list/link/
+    // fence/hr), stripped by the ordered regex chain. The oracle is
+    // GENERATED from the same pattern list (Markdown.toTextSql), so
+    // the engines cannot drift silently.
+    "q_text_markdown" -> ((s, dir) => {
+      val md = concat(
+        lit("# Doc "), col("doc_id"), lit("\n\n**"), col("lang"),
+        lit("** and *"), col("source"), lit("*\n\n> a quote\n\n- item [link](http://ex.com/"),
+        col("doc_id"), lit(")\n\n```\ncode body\n```\n\n---\n\n"), col("text"))
+      TestTables.documents(s, dir)
+        .select(col("doc_id"), Markdown.toText(md).as("clean"))
+        .orderBy(col("doc_id"))
     }),
 
     // Per-node triangle counts on a deterministic graph that GUARANTEES
@@ -985,6 +1000,17 @@ object QueriesData {
     "q_pipeline_corpus" -> corpusCleanOracle,
     "q_pipeline_corpus_cc" -> corpusCleanOracle(ccSurvivor = true),
     "q_pipeline_pretrain" -> pretrainOracle,
+
+    "q_text_markdown" -> {
+      val nl = "' || chr(10) || '"
+      val md = ("'# Doc ' || doc_id || " +
+        s"'$nl$nl**' || lang || '** and *' || source || " +
+        s"'*$nl$nl> a quote$nl$nl- item [link](http://ex.com/' || doc_id || " +
+        s"')$nl$nl" + "```" + s"${nl}code body$nl" + "```" + s"$nl$nl---$nl$nl' || text")
+      s"""WITH m AS (SELECT doc_id, $md AS md FROM documents)
+         |SELECT doc_id, ${graft.datapipe.Markdown.toTextSql("md")} AS clean
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
 
     "q_graph_triangles" ->
       """WITH nn AS (SELECT count(*) AS c FROM documents),
