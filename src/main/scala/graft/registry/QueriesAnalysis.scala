@@ -134,6 +134,36 @@ object QueriesAnalysis {
         .na.fill(0)
         .orderBy(col("day"))),
 
+    // Calendar gap-fill + LOCF: per-customer daily spend densified
+    // over each customer's OWN [first, last] active window (no global
+    // calendar cross join) and carried forward through gap days with
+    // one ordered window. The oracle rebuilds the spine with
+    // generate_series and replays last_value IGNORE NULLS.
+    "q_ts_gapfill" -> ((s, dir) => {
+      val daily = graft.tables.TestTables.orders(s, dir)
+        .filter(col("o_custkey") <= 50)
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"), col("o_totalprice"))
+        .groupBy(col("o_custkey"), col("day"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"),
+          count(lit(1)).as("n_orders"))
+      graft.ops.TimeSeries.locf(daily, "o_custkey", "day", Seq("spend", "n_orders"))
+        .orderBy(col("o_custkey"), col("day"))
+    }),
+
+    // Event transition matrix: (event_type -> next event_type) counts
+    // per user-ordered stream — the Markov structure behind journey
+    // analysis. Deterministic ordering via (ts_us, event_id).
+    "q_event_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      graft.tables.TestTables.events(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("next_type"))
+    }),
+
     // Per-group exact quantiles: one aggregation, all three cut
     // points. Spark's exact `percentile` buffers value->count maps —
     // scale-safe exactly when the measure's cardinality is bounded
@@ -231,6 +261,36 @@ object QueriesAnalysis {
       Seq("doc_id", "text", "lang", "source", "n_chars").map(one)
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
     },
+
+    "q_ts_gapfill" ->
+      """WITH d AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders WHERE o_custkey <= 50 GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT o_custkey, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT o_custkey, min(day) AS lo, max(day) AS hi FROM d GROUP BY 1)),
+        |j AS (
+        |  SELECT s.o_custkey, s.day, d.spend, d.n_orders
+        |  FROM spine s LEFT JOIN d ON d.o_custkey = s.o_custkey AND d.day = s.day)
+        |SELECT o_custkey, day,
+        |  last_value(spend IGNORE NULLS) OVER w AS spend,
+        |  last_value(n_orders IGNORE NULLS) OVER w AS n_orders
+        |FROM j
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, day""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |FROM seq WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin,
 
     "q_group_quantiles" ->
       """WITH g AS (

@@ -1,0 +1,46 @@
+package graft.ops
+
+import graft.SharedSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TimeSeriesSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private lazy val facts = Seq(
+    (1L, "2024-01-01", 10.0), (1L, "2024-01-04", 40.0),
+    (2L, "2024-03-10", 5.0))
+    .toDF("ent", "d", "v").withColumn("d", to_date($"d"))
+
+  test("dateSpine densifies per entity within its OWN bounds") {
+    val spine = TimeSeries.dateSpine(facts, "ent", "d")
+      .as[(Long, java.sql.Date)].collect().toSet
+    assert(spine.map(_._1) == Set(1L, 2L))
+    assert(spine.count(_._1 == 1L) == 4, "Jan 1..4 inclusive")
+    assert(spine.count(_._1 == 2L) == 1, "single-day entity stays one row")
+    assert(!spine.exists { case (e, d) => e == 2L && d.toString != "2024-03-10" },
+      "no global-calendar leakage across entities")
+  }
+
+  test("locf carries the last observation through gap days only") {
+    val got = TimeSeries.locf(facts, "ent", "d", Seq("v"))
+      .filter($"ent" === 1L).orderBy($"d")
+      .select(date_format($"d", "yyyy-MM-dd"), $"v")
+      .as[(String, Double)].collect().toSeq
+    assert(got == Seq(
+      ("2024-01-01", 10.0), ("2024-01-02", 10.0),
+      ("2024-01-03", 10.0), ("2024-01-04", 40.0)))
+  }
+
+  test("a leading gap before the first observation stays NULL") {
+    // entity 3 has null value on its first day — nothing to carry.
+    val f = facts.unionByName(Seq((3L, "2024-05-01", null.asInstanceOf[java.lang.Double]),
+      (3L, "2024-05-03", java.lang.Double.valueOf(7.0)))
+      .toDF("ent", "d", "v").withColumn("d", to_date($"d")))
+    val e3 = TimeSeries.locf(f, "ent", "d", Seq("v"))
+      .filter($"ent" === 3L).orderBy($"d")
+      .select($"v").collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(e3.toSeq == Seq(None, None, Some(7.0)))
+  }
+}
