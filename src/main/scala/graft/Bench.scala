@@ -48,7 +48,9 @@ object Bench {
     "q_cohort_retention",
     "q_bloom_pruned_join",
     "q_fuzzy_join",
-    "q_d2_manifest_upsert")
+    "q_d2_manifest_upsert",
+    "q_graph_triangles",
+    "q_ts_gapfill")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
