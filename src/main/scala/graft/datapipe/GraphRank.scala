@@ -99,6 +99,10 @@ object GraphRank {
             struct(col("da").as("rd"), col("a").as("rid")).as("vr")))
           .as("o"))
       .select(col("o.u").as("u"), col("o.v").as("v"), col("o.vr").as("vr"))
+      // Consumed three times (both wedge sides + the closure probe):
+      // materialize once so the canonicalize+degree+orient subtree
+      // doesn't execute three times over a 100 TB edge list.
+      .transform(graft.util.Materialize.once)
     val wedges = ranked.select(col("u"), col("v").as("x"), col("vr").as("xr"))
       .join(ranked.select(col("u"), col("v").as("y"), col("vr").as("yr")), Seq("u"))
       .filter(col("xr") < col("yr"))
