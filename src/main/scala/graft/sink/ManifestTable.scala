@@ -115,6 +115,13 @@ object ManifestTable {
       s"statsCol '$statsCol' must be LongType (it is the skipping/merge key)")
     val batch = s"data/batch-${java.util.UUID.randomUUID()}"
     df.write.parquet(new Path(root, batch).toString)
+    // A 0-row batch writes no part files (deleteKeys can empty every
+    // candidate file; upsert can receive an empty update set): there
+    // is nothing to list in the manifest and the stats read-back
+    // would fail schema inference on a file-less directory.
+    val wrote = fs(spark).listStatus(new Path(root, batch))
+      .exists(_.getPath.getName.endsWith(".parquet"))
+    if (!wrote) return Seq.empty
     val rootUri = fs(spark).makeQualified(new Path(root)).toUri.getPath
     spark.read.parquet(new Path(root, batch).toString)
       .groupBy(input_file_name().as("f"))
@@ -131,6 +138,7 @@ object ManifestTable {
   def create(spark: SparkSession, root: String, df: DataFrame, statsCol: String): Long = {
     require(latestVersion(spark, root) == 0, s"table already exists at $root")
     val entries = writeBatch(spark, root, df, statsCol)
+    require(entries.nonEmpty, "create needs at least one row (the schema lives in the files)")
     tryCommit(spark, root, statsCol, entries, 0L)
       .getOrElse(throw new java.io.IOException(s"concurrent create at $root"))
   }
@@ -209,11 +217,23 @@ object ManifestTable {
     spark.read.option("mergeSchema", "true")
       .parquet(entries.map(e => new Path(root, e.path).toString): _*)
 
-  /** Read the latest snapshot (or `version` for time travel). */
+  /** Read the latest snapshot (or `version` for time travel). A
+    * fully-emptied snapshot (every row deleted) reads as an empty
+    * DataFrame carrying the schema of the nearest earlier non-empty
+    * version — emptiness is a table state, not an error.
+    */
   def read(spark: SparkSession, root: String, version: Long = 0L): DataFrame = {
     val v = if (version > 0) version else latestVersion(spark, root)
     require(v > 0, s"no committed snapshot at $root")
-    readFiles(spark, root, snapshot(spark, root, v).entries)
+    val entries = snapshot(spark, root, v).entries
+    if (entries.nonEmpty) readFiles(spark, root, entries)
+    else {
+      val donor = (v - 1 to 1L by -1).iterator
+        .map(pv => snapshot(spark, root, pv).entries).find(_.nonEmpty)
+        .getOrElse(throw new IllegalStateException(
+          s"snapshot v$v of $root is empty and no earlier version carries a schema"))
+      readFiles(spark, root, donor).filter(lit(false))
+    }
   }
 
   /** Key-range scan with manifest-level file skipping: only files

@@ -223,6 +223,20 @@ class ManifestTableSpec extends AnyFunSuite {
       == after.entries.map(_.path))
   }
 
+  test("deleting every row yields a readable empty table; upserting into it repopulates") {
+    val r = root()
+    ManifestTable.create(spark, r, mk(1 to 10, "a"), "id")
+    ManifestTable.deleteKeys(spark, r, (1L to 10L).toDF("id"))
+    val empty = ManifestTable.read(spark, r)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("id", "tag", "v"), "schema survives emptiness")
+    ManifestTable.upsert(spark, r, mk(5 to 7, "back"))
+    assert(ManifestTable.read(spark, r).count() == 3)
+    intercept[IllegalArgumentException] {
+      ManifestTable.create(spark, root(), mk(1 to 10, "a").filter(lit(false)), "id")
+    }
+  }
+
   test("a torn manifest write (crash before rename) is invisible to readers") {
     val r = root()
     ManifestTable.create(spark, r, mk(1 to 20, "a"), "id")
