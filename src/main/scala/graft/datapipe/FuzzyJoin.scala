@@ -70,11 +70,10 @@ object FuzzyJoin {
       .withColumn("__v", explode(deletionNeighborhood(col(leftText), maxDist)))
     val r = right.select(col(rightKey), col(rightText))
       .withColumn("__v", explode(deletionNeighborhood(col(rightText), maxDist)))
-    val dist = levenshtein(col(leftText), col(rightText))
     l.join(r, Seq("__v"))
       .select(col(leftKey), col(leftText), col(rightKey), col(rightText))
       .distinct()
-      .filter(dist <= maxDist)
-      .withColumn("dist", dist)
+      .withColumn("dist", levenshtein(col(leftText), col(rightText)))
+      .filter(col("dist") <= maxDist)
   }
 }

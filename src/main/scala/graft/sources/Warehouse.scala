@@ -77,7 +77,6 @@ object Warehouse {
   def exactlyOnceSink(conn: Conn, table: String,
                       progressTable: String = "GRAFT_STREAM_PROGRESS",
                       batchSize: Int = 1000): (DataFrame, Long) => Unit = { (batch, id) =>
-    val rows = batch.collect()
     val schema = batch.schema
     val c = java.sql.DriverManager.getConnection(conn.url, conn.user, conn.password)
     try {
@@ -91,6 +90,7 @@ object Warehouse {
       val last = rs.getLong(1)
       rs.close(); sel.close()
       if (id > last) {
+        val rows = batch.collect() // only materialize batches that will land
         val cols = schema.fieldNames
         val ins = c.prepareStatement(
           s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})")
