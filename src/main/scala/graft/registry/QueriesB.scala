@@ -212,6 +212,19 @@ object QueriesB {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_quantity"))
     }),
 
+    // Salted two-phase aggregation: partial (key, salt) combine →
+    // final key fold. Integer measures only (sum of long is
+    // associative-exact; a salted double sum would change IEEE
+    // accumulation order). Oracle: the plain GROUP BY.
+    "q_skew_salted_agg" -> ((s, dir) => {
+      val li = TestTables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("long").as("l_quantity")) // whole-number qty: long sum is associative-exact under salting
+      graft.ops.Skew.saltedCountSum(li, Seq("l_returnflag", "l_linestatus"),
+          "l_quantity", saltSrc = col("l_quantity"), buckets = 16)
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     // Bloom-pruned join: the engine filters the 60k-row lineitem probe
     // against an executor-merged Bloom sketch of the ~2%-selective part
     // subset BEFORE the join shuffle; the oracle is the PLAIN inner
@@ -387,6 +400,13 @@ object QueriesB {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY l.l_orderkey, o.o_orderstatus
         |ORDER BY l.l_orderkey, o.o_orderstatus""".stripMargin,
+
+    "q_skew_salted_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_l_quantity
+        |FROM lineitem GROUP BY 1, 2
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_bloom_pruned_join" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey AS partkey,
