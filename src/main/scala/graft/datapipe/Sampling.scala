@@ -96,6 +96,38 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Temperature-flattened mixture (T = 2): per-domain quotas
+    * proportional to sqrt(n_d) instead of caller-fixed weights — the
+    * standard move for multilingual/multi-source pretraining mixes
+    * (sampling p_d ∝ n_d^(1/T) up-weights small domains without
+    * letting any one giant source dominate). T is fixed at 2 because
+    * IEEE sqrt is correctly rounded — every engine computes the
+    * identical weight, which a general pow(n, 1/T) cannot promise.
+    *
+    * All arithmetic after the sqrt is integer-exact: weights quantize
+    * to floor(sqrt(n_d)·1e6) longs and each quota is
+    * wq_d · total ÷ Σwq (integer division), so the selected set is
+    * engine-reproducible. Plan shape: one count aggregation (domain
+    * cardinality bounded), quotas derived over that tiny table with an
+    * unpartitioned window (bounded rows), broadcast-joined back, and
+    * ONE corpus shuffle for the per-domain hash rank — the same cost
+    * as `toMixture`.
+    */
+  def temperatureMixture(df: DataFrame, domain: Column, key: Column,
+                         total: Long, salt: String = "mixT"): DataFrame = {
+    val counts = df.groupBy(domain.as("__d")).agg(count(lit(1)).as("__n"))
+    val wq = counts.withColumn("__wq", floor(sqrt(col("__n")) * lit(1e6)).cast("long"))
+    // Σwq over a bounded-cardinality table: the unpartitioned window is
+    // safe here and keeps the whole quota derivation in one small stage.
+    val quotas = wq.withColumn("__sumwq", sum(col("__wq")).over(Window.partitionBy()))
+      .select(col("__d"), expr(s"(__wq * ${total}L) div __sumwq").as("__quota"))
+    df.join(broadcast(quotas), domain === col("__d"))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy(col("__d")).orderBy(hashHex(key, salt), key)))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__d", "__quota", "__rn")
+  }
+
   /** Fractional-epoch up-sampling — the other half of data mixing:
     * where `toMixture` down-selects oversized domains, this repeats
     * rows of prized domains `epochs` times (e.g. 2.3 epochs ⇒ every

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Robust (median/MAD) outlier detection — the monitoring-side twin of
+  * the reference's data-quality gate (SURVEY §2.E1): instead of a fixed
+  * null-ratio threshold, flag values that sit more than k MADs from
+  * their group's median. Median/MAD are used instead of mean/stddev
+  * because a telemetry column's outliers are exactly what corrupts the
+  * mean — the robust pair is unmoved by them.
+  *
+  * Everything is computed on an integer-quantized grid supplied by the
+  * caller (e.g. `floor(value * 100)` = cents): medians of longs
+  * interpolate at exact binary fractions (x.0 / x.5 / x.25), so every
+  * engine reproduces the statistics bit-for-bit — the same trick the
+  * group-quantiles and LM-score oracles use.
+  *
+  * Scale shape: the corpus collapses to a (group, value, count)
+  * HISTOGRAM in the first aggregation — one shuffle over the raw rows —
+  * and every downstream step (median, deviations, MAD, flag counts)
+  * runs over that bounded table via `percentile(col, p, frequency)`.
+  * The quantized grid is what bounds the histogram (and the exact
+  * percentile's value->count buffers) at 100 TB; for genuinely
+  * unbounded measures swap in the GK sketch
+  * (Sampling.percentileGateApprox).
+  */
+object Anomaly {
+
+  /** Per-group robust stats + outlier counts over a pre-quantized long
+    * column: (group_key, n, med, mad, n_outliers) where an outlier is
+    * |vq - median| > k * MAD. Groups whose MAD is 0 (over half the
+    * values identical) flag every value off the median — the standard
+    * MAD caveat, kept deliberately (a constant column with one stray
+    * value SHOULD flag the stray).
+    */
+  def madOutlierStats(df: DataFrame, group: Column, vq: Column, k: Int = 3): DataFrame = {
+    // One corpus-sized shuffle; everything after runs on the histogram.
+    val hist = df.select(group.as("group_key"), vq.cast("long").as("__vq"))
+      .groupBy(col("group_key"), col("__vq")).agg(count(lit(1)).as("__cnt"))
+    val med = hist.groupBy(col("group_key"))
+      .agg(expr("percentile(__vq, 0.5D, __cnt)").as("med"))
+    val dev = hist.join(Joins.broadcastIfSmall(med), "group_key")
+      .withColumn("__dev", abs(col("__vq") - col("med")))
+    val mad = dev.groupBy(col("group_key"))
+      .agg(expr("percentile(__dev, 0.5D, __cnt)").as("mad"))
+    dev.join(Joins.broadcastIfSmall(mad), "group_key")
+      .groupBy(col("group_key"))
+      .agg(
+        sum(col("__cnt")).as("n"),
+        min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        sum(when(col("__dev") > lit(k) * col("mad"), col("__cnt")).otherwise(0L)).as("n_outliers"))
+  }
+}

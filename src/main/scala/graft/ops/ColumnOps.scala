@@ -83,6 +83,34 @@ object ColumnOps {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** pandas drop_duplicates(keep=False): drop EVERY row of a duplicated
+    * key, keeping only keys that occur exactly once — the strictest
+    * variant, used when a duplicated record means neither copy can be
+    * trusted. An unordered COUNT window (no sort), so it plans as one
+    * shuffle on `keys` with map-side partial counts — same scale cost
+    * as keep-first/keep-last.
+    */
+  def dedupKeepNone(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__n", count(lit(1)).over(w)).filter(col("__n") === 1).drop("__n")
+  }
+
+  /** pandas merge(how="outer", indicator=True): full-outer key join
+    * plus a `_merge` provenance column (both / left_only / right_only)
+    * — the reconciliation primitive for comparing two extract
+    * generations. Presence markers are attached BEFORE the join so the
+    * indicator never misreads genuine nulls in payload columns; the
+    * USING-style join coalesces the key columns.
+    */
+  def outerMergeIndicator(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.withColumn("__l", lit(1))
+      .join(right.withColumn("__r", lit(1)), keys, "full_outer")
+      .withColumn("_merge",
+        when(col("__l").isNotNull && col("__r").isNotNull, "both")
+          .when(col("__l").isNotNull, "left_only")
+          .otherwise("right_only"))
+      .drop("__l", "__r")
+
   /** Latest-row-per-group selection (DENSE_RANK/ROW_NUMBER … WHERE rn=1,
     * sql/resubmission.sql:55-68). `order` columns ranked descending; pass
     * a unique tiebreaker last for determinism.

@@ -164,6 +164,19 @@ object QueriesAnalysis {
         .orderBy(col("event_type"), col("next_type"))
     }),
 
+    // Robust anomaly detection: per-event-type median/MAD over the
+    // cent-quantized value, counting |v - med| > 3·MAD outliers. The
+    // corpus collapses to a (type, value, count) histogram in one
+    // shuffle; medians interpolate on exact binary fractions of longs,
+    // so DuckDB's quantile_cont reproduces them bit-for-bit.
+    "q_anomaly_mad" -> ((s, dir) =>
+      graft.ops.Anomaly.madOutlierStats(
+          graft.tables.TestTables.events(s, dir),
+          group = col("event_type"),
+          vq = floor(col("value") * 100).cast("long"),
+          k = 3)
+        .orderBy(col("group_key"))),
+
     // Per-group exact quantiles: one aggregation, all three cut
     // points. Spark's exact `percentile` buffers value->count maps —
     // scale-safe exactly when the measure's cardinality is bounded
@@ -291,6 +304,21 @@ object QueriesAnalysis {
         |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin,
+
+    "q_anomaly_mad" ->
+      """WITH q AS (
+        |  SELECT event_type AS group_key, CAST(floor(value * 100) AS BIGINT) AS vq
+        |  FROM events),
+        |m AS (SELECT group_key, quantile_cont(vq, 0.5) AS med FROM q GROUP BY 1),
+        |d AS (
+        |  SELECT q.group_key, vq, med, abs(vq - med) AS dev
+        |  FROM q JOIN m ON q.group_key = m.group_key),
+        |mm AS (SELECT group_key, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.group_key, CAST(count(*) AS BIGINT) AS n, min(med) AS med,
+        |  min(mad) AS mad,
+        |  CAST(sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN mm ON d.group_key = mm.group_key
+        |GROUP BY d.group_key ORDER BY d.group_key""".stripMargin,
 
     "q_group_quantiles" ->
       """WITH g AS (

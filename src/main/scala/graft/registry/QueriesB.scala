@@ -41,6 +41,30 @@ object QueriesB {
         .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"), col("l_shipdate"))
         .orderBy(col("l_orderkey"), col("l_partkey"))),
 
+    // B8 variant: keep-NONE (pandas drop_duplicates(keep=False)) —
+    // every row of a duplicated (orderkey, partkey) is dropped; only
+    // singleton keys survive. lineitem has planted duplicate rows by
+    // design, so the cut is exercised for real.
+    "q_b08_dedup_keep_none" -> ((s, dir) =>
+      ColumnOps.dedupKeepNone(TestTables.lineitem(s, dir),
+          keys = Seq("l_orderkey", "l_partkey"))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"), col("l_shipdate"))
+        .orderBy(col("l_orderkey"), col("l_partkey"))),
+
+    // B12 variant: pandas merge(how="outer", indicator=True) — the
+    // extract-reconciliation shape: which keys are only in the old
+    // extract, only in the new, or in both. The custkey <= 1000 cut on
+    // the left plus order-less customers on the right produce all
+    // three indicator classes.
+    "q_b12_outer_indicator" -> ((s, dir) => {
+      val l = TestTables.customer(s, dir).filter(col("c_custkey") <= 1000)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      val r = TestTables.orders(s, dir)
+        .groupBy(col("o_custkey").as("custkey")).agg(count(lit(1)).as("n_orders"))
+      ColumnOps.outerMergeIndicator(l, r, Seq("custkey"))
+        .orderBy(col("custkey"))
+    }),
+
     // B9: null-row drop, any-null semantics (pandas dropna()).
     "q_b09_dropna_any" -> ((s, dir) =>
       TestTables.lineitem(s, dir)
@@ -346,6 +370,26 @@ object QueriesB {
         |                       ORDER BY l_shipdate ASC, l_linenumber ASC) AS rn
         |  FROM lineitem) t WHERE rn = 1
         |ORDER BY l_orderkey, l_partkey""".stripMargin,
+
+    "q_b08_dedup_keep_none" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber, l_shipdate FROM (
+        |  SELECT l_orderkey, l_partkey, l_linenumber, l_shipdate,
+        |    count(*) OVER (PARTITION BY l_orderkey, l_partkey) AS n
+        |  FROM lineitem) t WHERE n = 1
+        |ORDER BY l_orderkey, l_partkey""".stripMargin,
+
+    "q_b12_outer_indicator" ->
+      """WITH l AS (
+        |  SELECT c_custkey AS custkey, c_mktsegment FROM customer WHERE c_custkey <= 1000),
+        |r AS (
+        |  SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT coalesce(l.custkey, r.custkey) AS custkey, c_mktsegment, n_orders,
+        |  CASE WHEN l.custkey IS NOT NULL AND r.custkey IS NOT NULL THEN 'both'
+        |       WHEN l.custkey IS NOT NULL THEN 'left_only'
+        |       ELSE 'right_only' END AS _merge
+        |FROM l FULL OUTER JOIN r ON l.custkey = r.custkey
+        |ORDER BY custkey""".stripMargin,
 
     "q_b09_dropna_any" ->
       """SELECT l_orderkey, l_linenumber,

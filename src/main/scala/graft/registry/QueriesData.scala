@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.datapipe.{Boilerplate, Decontam, Dedup, DupSpans, FuzzyJoin, GraphRank, Html, IncrementalDedup, Keywords, LmScore, Markdown, Multimodal, Quantize, Retrieval, SemDedup, Similarity, TextAnalysis, Urls}
+import graft.datapipe.{Boilerplate, Decontam, Dedup, DupSpans, FuzzyJoin, GraphRank, Html, IncrementalDedup, Keywords, LmScore, Markdown, Multimodal, Quantize, Retrieval, SemDedup, Similarity, TextAnalysis, Urls, Vocab}
 import graft.tables.TestTables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -362,6 +362,19 @@ object QueriesData {
     "q_text_keywords" -> ((s, dir) =>
       Keywords.topTfIdf(TestTables.documents(s, dir), "doc_id", "text", k = 3)
         .orderBy(col("doc"), col("rank"))),
+
+    // Vocabulary induction + OOV coverage: top-100 corpus tokens by
+    // frequency (ties lexicographic) as the candidate vocab, then
+    // per-doc token/OOV counts against it — the tokenizer-feasibility
+    // check. One corpus explode for the vocab, one for the per-doc
+    // stats; the induced vocab is top-N so its join is broadcast.
+    "q_vocab_coverage" -> ((s, dir) => {
+      val docs = TestTables.documents(s, dir)
+      val vocab = Vocab.topVocab(docs, col("text"), n = 100)
+      Vocab.oovStats(docs, col("doc_id"), col("text"), vocab)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
 
     // CCNet-style trigram-LM quality score: the corpus scores itself
     // (train = score set), all-integer quantized conditionals — see
@@ -1422,6 +1435,20 @@ object QueriesData {
         |  END AS domain,
         |  regexp_extract(host, '\.([^.]+)$', 1) AS tld
         |FROM f ORDER BY doc""".stripMargin,
+
+    "q_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS c FROM t2 GROUP BY 1
+        |    ORDER BY c DESC, token LIMIT 100))
+        |SELECT t2.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |FROM t2 LEFT JOIN vocab v ON t2.token = v.token
+        |GROUP BY t2.doc_id ORDER BY doc_id""".stripMargin,
 
     "q_text_keywords" ->
       s"""WITH w AS (SELECT doc_id AS doc, unnest($wordsSql) AS term FROM documents),

@@ -71,6 +71,16 @@ object QueriesSample {
         .select(col("doc_id"), col("source"))
         .orderBy(col("source"), col("doc_id"))),
 
+    // Temperature-flattened mixture (T=2): per-language quotas
+    // proportional to sqrt(n_lang) — en (218 docs) is flattened toward
+    // the small languages. All arithmetic after the correctly-rounded
+    // IEEE sqrt is integer, so the quota set is engine-exact.
+    "q_sample_temperature" -> ((s, dir) =>
+      Sampling.temperatureMixture(TestTables.documents(s, dir), col("lang"), col("doc_id"),
+          total = 300L)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("lang"), col("doc_id"))),
+
     // Fractional-epoch up-sampling: 2.3 epochs of the high-quality
     // slice — every doc twice, a hash-chosen 30% a third time.
     "q_sample_epochs" -> ((s, dir) =>
@@ -137,6 +147,17 @@ object QueriesSample {
          |WHERE rn <= CASE source WHEN 'src0' THEN 18 WHEN 'src1' THEN 12
          |                        WHEN 'src2' THEN 6 WHEN 'src3' THEN 3 ELSE 0 END
          |ORDER BY source, doc_id""".stripMargin,
+
+    "q_sample_temperature" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+         |w AS (SELECT lang, CAST(floor(sqrt(n) * 1e6) AS BIGINT) AS wq FROM c),
+         |q AS (SELECT lang, (wq * 300) // (SELECT CAST(sum(wq) AS BIGINT) FROM w) AS quota FROM w)
+         |SELECT doc_id, lang FROM (
+         |  SELECT d.doc_id, d.lang, quota,
+         |    row_number() OVER (PARTITION BY d.lang
+         |      ORDER BY ${hashHexSql("doc_id", "mixT")}, d.doc_id) AS rn
+         |  FROM documents d JOIN q ON d.lang = q.lang) t
+         |WHERE rn <= quota ORDER BY lang, doc_id""".stripMargin,
 
     "q_sample_epochs" ->
       s"""WITH d AS (

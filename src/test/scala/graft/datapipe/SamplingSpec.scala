@@ -81,6 +81,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("temperatureMixture quotas match the closed-form sqrt arithmetic and flatten skew") {
+    val counts = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val wq = counts.map { case (d, n) => d -> math.floor(math.sqrt(n.toDouble) * 1e6).toLong }
+    val sumWq = wq.values.sum
+    val expected = wq.map { case (d, w) => d -> w * 300L / sumWq }
+    val out = Sampling.temperatureMixture(docs, col("lang"), col("doc_id"), total = 300L)
+    val got = out.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(got == expected.filter(_._2 > 0), s"got $got expected $expected")
+    // sqrt flattening: the biggest domain's share of the mixture is
+    // strictly below its share of the raw corpus.
+    val big = counts.maxBy(_._2)._1
+    val rawShare = counts(big).toDouble / counts.values.sum
+    val mixShare = got(big).toDouble / got.values.sum
+    assert(mixShare < rawShare, s"$big raw=$rawShare mix=$mixShare")
+    // Deterministic: rerun picks identical rows.
+    val a = out.select($"doc_id").as[Long].collect().sorted.toSeq
+    val b = Sampling.temperatureMixture(docs, col("lang"), col("doc_id"), total = 300L)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
   test("withEpochs repeats every row floor(e) times plus a stable fractional extra") {
     val out = Sampling.withEpochs(docs.select($"doc_id"), $"doc_id", epochs = 2.3)
     val perDoc = out.groupBy("doc_id").count().as[(Long, Long)].collect().toMap

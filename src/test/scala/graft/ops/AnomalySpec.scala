@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SharedSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnomalySpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private def stats(rows: Seq[(String, Long)], k: Int = 3) =
+    Anomaly.madOutlierStats(rows.toDF("g", "v"), col("g"), col("v"), k)
+      .select($"group_key", $"n", $"med", $"mad", $"n_outliers")
+      .as[(String, Long, Double, Double, Long)].collect().map(r => r._1 -> r).toMap
+
+  test("median/MAD and outlier count match the hand computation") {
+    // values 1..9 plus a 1000 stray: med = 5.5, devs of the in-liers
+    // 0.5..4.5, stray dev 994.5 -> MAD = median(0.5,1.5,...,4.5,994.5) = 2.5
+    // outliers: dev > 7.5 -> only the stray.
+    val vals = (1L to 9L).map(("a", _)) :+ ("a", 1000L)
+    val s = stats(vals)("a")
+    assert(s._2 == 10 && s._3 == 5.5 && s._4 == 2.5 && s._5 == 1)
+  }
+
+  test("odd count takes the exact middle; no outliers in a tight cluster") {
+    val s = stats(Seq(("b", 10L), ("b", 12L), ("b", 14L)))("b")
+    assert(s._3 == 12.0 && s._4 == 2.0 && s._5 == 0)
+  }
+
+  test("MAD = 0 (constant majority) flags every off-median value") {
+    // five 7s and one 8: med 7, devs (0,0,0,0,0,1) -> MAD 0; 8 deviates.
+    val s = stats(Seq.fill(5)(("c", 7L)) :+ ("c", 8L))("c")
+    assert(s._4 == 0.0 && s._5 == 1)
+  }
+
+  test("groups are independent") {
+    val out = stats(Seq(("a", 1L), ("a", 100L), ("b", 5L), ("b", 5L)))
+    assert(out("a")._3 == 50.5 && out("b")._3 == 5.0)
+  }
+
+  test("duplicate values flow through the histogram with correct weight") {
+    // (1,1,1,2,3): med = 1 (middle of 5), devs (0,0,0,1,2) -> MAD 0,
+    // outliers = the 2 and the 3.
+    val s = stats(Seq(1L, 1L, 1L, 2L, 3L).map(("d", _)))("d")
+    assert(s._2 == 5 && s._3 == 1.0 && s._4 == 0.0 && s._5 == 2)
+  }
+}

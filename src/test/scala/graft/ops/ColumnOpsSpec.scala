@@ -41,6 +41,28 @@ class ColumnOpsSpec extends AnyFunSuite {
     assert(out == Map(1 -> "b", 2 -> "c"))
   }
 
+  test("dedupKeepNone drops every row of a duplicated key") {
+    val df = Seq((1, "a"), (1, "b"), (2, "c"), (3, "d"), (3, "e"), (3, "f")).toDF("k", "v")
+    val out = ColumnOps.dedupKeepNone(df, Seq("k")).select($"k", $"v").as[(Int, String)].collect()
+    assert(out.toSeq == Seq((2, "c")))
+  }
+
+  test("dedupKeepNone treats a composite key as one unit") {
+    val df = Seq((1, 1, "a"), (1, 2, "b"), (1, 2, "c")).toDF("k1", "k2", "v")
+    val out = ColumnOps.dedupKeepNone(df, Seq("k1", "k2")).select($"v").as[String].collect()
+    assert(out.toSeq == Seq("a"))
+  }
+
+  test("outerMergeIndicator classifies both/left_only/right_only; payload nulls don't confuse it") {
+    val l = Seq((1, Option.empty[String]), (2, Some("x"))).toDF("k", "lv")
+    val r = Seq((2, Option.empty[String]), (3, Some("y"))).toDF("k", "rv")
+    val out = ColumnOps.outerMergeIndicator(l, r, Seq("k"))
+      .select($"k", $"_merge").as[(Int, String)].collect().toMap
+    assert(out == Map(1 -> "left_only", 2 -> "both", 3 -> "right_only"))
+    // key 1 has a NULL payload on the present (left) side — still left_only,
+    // because the indicator reads presence markers, not payload columns.
+  }
+
   test("dedupKeepLast keeps exactly one row per key for randomized inputs") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 5) {
