@@ -60,6 +60,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.TopKSum].getName, graft.functions.TopKSum.fnName),
       checked(graft.functions.TopKSum.fnName, "term, weight, k, capacity", 4)(
         exprs => graft.functions.TopKSum(exprs(0), exprs(1), exprs(2), exprs(3)))))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.SubwordTokenize.fnName),
+      new ExpressionInfo(classOf[graft.functions.SubwordTokenize].getName, graft.functions.SubwordTokenize.fnName),
+      checked(graft.functions.SubwordTokenize.fnName, "words, vocab, unk", 3)(
+        exprs => graft.functions.SubwordTokenize(exprs(0), exprs(1), exprs(2)))))
     // Spark's own runtime-filter expressions, surfaced as callable
     // functions so ops/Joins.bloomPrunedJoin can build/probe the
     // sketch explicitly (the planner's InjectRuntimeFilter only fires

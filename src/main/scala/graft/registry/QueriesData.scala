@@ -1,6 +1,7 @@
 package graft.registry
 
 import graft.datapipe.{Boilerplate, Decontam, Dedup, DupSpans, FuzzyJoin, GraphRank, Html, IncrementalDedup, Keywords, LmScore, Markdown, Multimodal, Quantize, Retrieval, SemDedup, Similarity, TextAnalysis, Urls, Vocab}
+import graft.functions.SubwordTokenize
 import graft.tables.TestTables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -28,7 +29,41 @@ object QueriesData {
       .select((col("vec_id") + lit(10000000L)).as("vec_id"),
         transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
 
+  /** Fixture piece vocab for q_text_subword, rendered into BOTH the
+    * Spark query and the DuckDB oracle so the two cannot drift. It is
+    * built to make greedy longest-match observable: `custom`+`##er`
+    * must beat `cust`+`##omer` (both tile "customer"), `filt`+`##er`
+    * beats char-by-char, and `q` is absent from every piece so "query"
+    * exercises the whole-word UNK rollback.
+    */
+  private val subwordVocab: Seq[String] =
+    Seq("custom", "cust", "cus", "##er", "##omer", "wind", "##ow", "spark", "tab", "##le",
+      "val", "##ue", "str", "##eam", "fast", "filt") ++
+      ('a' to 'z').filter(_ != 'q').map(_.toString) ++
+      ('a' to 'z').filter(_ != 'q').map(c => s"##$c")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Greedy longest-match subword tokenization (WordPiece MaxMatch)
+    // over every document, as one codegen'd expression: per doc emits
+    // word/piece/UNK counts plus the full piece sequence. The oracle
+    // re-derives the tokenization independently with a recursive CTE
+    // over the DISTINCT words (greedy step = lateral longest-match),
+    // then reassembles per-doc sequences by joining words back in
+    // position order — engine and oracle share only the vocab.
+    "q_text_subword" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      TestTables.documents(s, dir)
+        .select(col("doc_id"),
+          size(filter(ws, w => w =!= lit(""))).cast("long").as("n_words"),
+          SubwordTokenize.of(ws, subwordVocab).as("pieces"))
+        .filter(col("n_words") > 0)
+        .select(col("doc_id"), col("n_words"),
+          size(col("pieces")).cast("long").as("n_pieces"),
+          size(filter(col("pieces"), p => p === lit("[UNK]"))).cast("long").as("n_unk"),
+          concat_ws(" ", col("pieces")).as("piece_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Crawl-graph centrality: a deterministic synthetic link graph —
     // doc d emits 1 + d % 3 edges, dst = (d*31 + 97k) % N — ranked by
     // 10 iterations of integer-quantized PageRank. Out-degree varies
@@ -1013,6 +1048,42 @@ object QueriesData {
     "q_pipeline_corpus" -> corpusCleanOracle,
     "q_pipeline_corpus_cc" -> corpusCleanOracle(ccSurvivor = true),
     "q_pipeline_pretrain" -> pretrainOracle,
+
+    "q_text_subword" -> {
+      val vocabValues = subwordVocab.map(p => s"('$p')").mkString(",")
+      s"""WITH RECURSIVE vocab(piece) AS (SELECT * FROM (VALUES $vocabValues) v),
+         |words AS (
+         |  SELECT DISTINCT w FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+         |  WHERE w <> ''),
+         |steps AS (
+         |  SELECT w, 1 AS pos, CAST([] AS VARCHAR[]) AS pieces, false AS fail FROM words
+         |  UNION ALL
+         |  SELECT s.w,
+         |    CASE WHEN m.stem IS NULL THEN length(s.w) + 1 ELSE s.pos + length(m.stem) END,
+         |    CASE WHEN m.stem IS NULL THEN ['[UNK]'] ELSE array_append(s.pieces, m.piece) END,
+         |    (m.stem IS NULL)
+         |  FROM steps s
+         |  LEFT JOIN LATERAL (
+         |    SELECT piece, stem FROM (
+         |      SELECT v.piece, CASE WHEN s.pos = 1 THEN v.piece ELSE substr(v.piece, 3) END AS stem
+         |      FROM vocab v WHERE ((s.pos = 1) = (v.piece NOT LIKE '##%'))) vv
+         |    WHERE substr(s.w, s.pos, length(vv.stem)) = vv.stem
+         |    ORDER BY length(vv.stem) DESC, vv.piece LIMIT 1) m ON true
+         |  WHERE s.pos <= length(s.w) AND NOT s.fail),
+         |toks AS (SELECT w, pieces, fail FROM steps WHERE pos > length(w)),
+         |docw AS (
+         |  SELECT doc_id, unnest(ws) AS w, unnest(range(1, length(ws) + 1)) AS i
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d)
+         |SELECT d.doc_id,
+         |  count(*) AS n_words,
+         |  CAST(sum(length(t.pieces)) AS BIGINT) AS n_pieces,
+         |  CAST(sum(CASE WHEN t.fail THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+         |  string_agg(array_to_string(t.pieces, ' '), ' ' ORDER BY d.i) AS piece_text
+         |FROM docw d JOIN toks t ON d.w = t.w
+         |WHERE d.w <> ''
+         |GROUP BY d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     "q_text_markdown" -> {
       val nl = "' || chr(10) || '"
