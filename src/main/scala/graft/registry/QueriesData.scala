@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.datapipe.{Boilerplate, Decontam, Dedup, DupSpans, FuzzyJoin, GraphRank, Html, IncrementalDedup, Keywords, LmScore, Markdown, Multimodal, Quantize, Retrieval, SemDedup, Similarity, TextAnalysis, Urls, Vocab}
+import graft.datapipe.{Boilerplate, Bpe, Decontam, Dedup, DupSpans, FuzzyJoin, GraphRank, Html, IncrementalDedup, Keywords, LmScore, Markdown, Multimodal, Quantize, Retrieval, SemDedup, Similarity, TextAnalysis, Urls, Vocab}
 import graft.functions.SubwordTokenize
 import graft.tables.TestTables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -43,6 +43,24 @@ object QueriesData {
       ('a' to 'z').filter(_ != 'q').map(c => s"##$c")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BPE merge learning on the word-frequency dict (vocab-bounded,
+    // never corpus-bounded): 10 heaviest-pair merges with a full
+    // deterministic tie-break. The oracle unrolls the SAME 10
+    // iterations as chained CTEs (weighted pair count → LIMIT-1
+    // arg-max → padded-string replace) — a drift in counting,
+    // selection, or greedy application fails the hash.
+    "q_bpe_learn" -> ((s, dir) => {
+      val (merges, _) = Bpe.learn(TestTables.documents(s, dir), "text", nMerges = 10)
+      Bpe.mergesDf(s, merges).orderBy(col("step"))
+    }),
+
+    // The final symbolization of every distinct word after those 10
+    // merges — the dictionary SubwordTokenize would be trained from.
+    "q_bpe_apply" -> ((s, dir) => {
+      val (_, dict) = Bpe.learn(TestTables.documents(s, dir), "text", nMerges = 10)
+      dict.orderBy(col("word"))
+    }),
+
     // Greedy longest-match subword tokenization (WordPiece MaxMatch)
     // over every document, as one codegen'd expression: per doc emits
     // word/piece/UNK counts plus the full piece sequence. The oracle
@@ -1048,6 +1066,9 @@ object QueriesData {
     "q_pipeline_corpus" -> corpusCleanOracle,
     "q_pipeline_corpus_cc" -> corpusCleanOracle(ccSurvivor = true),
     "q_pipeline_pretrain" -> pretrainOracle,
+
+    "q_bpe_learn" -> Bpe.oracleSql(10, mergeTable = true),
+    "q_bpe_apply" -> Bpe.oracleSql(10, mergeTable = false),
 
     "q_text_subword" -> {
       val vocabValues = subwordVocab.map(p => s"('$p')").mkString(",")
