@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.datapipe.{Boilerplate, Bpe, Decontam, Dedup, DupSpans, FuzzyJoin, GraphRank, Html, IncrementalDedup, Keywords, LmScore, Markdown, Multimodal, Quantize, Retrieval, SemDedup, Similarity, TextAnalysis, Urls, Vocab}
+import graft.datapipe.{Boilerplate, Bpe, Classifier, Decontam, Dedup, DupSpans, FuzzyJoin, GraphRank, Html, IncrementalDedup, Keywords, LmScore, Markdown, Multimodal, Quantize, Retrieval, SemDedup, Similarity, TextAnalysis, Urls, Vocab}
 import graft.functions.SubwordTokenize
 import graft.tables.TestTables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -43,6 +43,16 @@ object QueriesData {
       ('a' to 'z').filter(_ != 'q').map(c => s"##$c")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Hashed-feature linear classifier inference (the VW/fastText-style
+    // corpus quality gate): token → md5-prefix bucket → literal weight
+    // vector, summed per doc as a pure Column fold — zero shuffle, all
+    // integer. The oracle replays bucket hash + fold exactly; weights
+    // render into both sides from the same generator.
+    "q_quality_classifier" -> ((s, dir) =>
+      Classifier.scoreDocs(TestTables.documents(s, dir), "doc_id", "text",
+          Classifier.syntheticWeights(64), salt = "cls0", threshold = 0L)
+        .orderBy(col("doc_id"))),
+
     // BPE merge learning on the word-frequency dict (vocab-bounded,
     // never corpus-bounded): 10 heaviest-pair merges with a full
     // deterministic tie-break. The oracle unrolls the SAME 10
@@ -1067,6 +1077,8 @@ object QueriesData {
     "q_pipeline_corpus_cc" -> corpusCleanOracle(ccSurvivor = true),
     "q_pipeline_pretrain" -> pretrainOracle,
 
+    "q_quality_classifier" ->
+      Classifier.scoreDocsSql(Classifier.syntheticWeights(64), salt = "cls0", threshold = 0L),
     "q_bpe_learn" -> Bpe.oracleSql(10, mergeTable = true),
     "q_bpe_apply" -> Bpe.oracleSql(10, mergeTable = false),
 
