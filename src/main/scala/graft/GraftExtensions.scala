@@ -61,6 +61,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       checked(graft.functions.TopKSum.fnName, "term, weight, k, capacity", 4)(
         exprs => graft.functions.TopKSum(exprs(0), exprs(1), exprs(2), exprs(3)))))
     ext.injectFunction((
+      FunctionIdentifier(graft.functions.NfcNormalize.fnName),
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, graft.functions.NfcNormalize.fnName),
+      checked(graft.functions.NfcNormalize.fnName, "str", 1)(
+        exprs => graft.functions.NfcNormalize(exprs(0)))))
+    ext.injectFunction((
       FunctionIdentifier(graft.functions.SubwordTokenize.fnName),
       new ExpressionInfo(classOf[graft.functions.SubwordTokenize].getName, graft.functions.SubwordTokenize.fnName),
       checked(graft.functions.SubwordTokenize.fnName, "words, vocab, unk", 3)(

@@ -43,6 +43,21 @@ object QueriesData {
       ('a' to 'z').filter(_ != 'q').map(c => s"##$c")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Unicode NFC canonicalization ahead of dedup hashing: a fixture
+    // suffix mixes combining sequences (e+ACUTE, A+RING), precomposed
+    // é, and Hangul jamo; engine (java.text.Normalizer) and oracle
+    // (DuckDB utf8proc) must compose byte-identically per UAX #15.
+    "q_text_nfc" -> ((s, dir) => {
+      import graft.functions.NfcNormalize
+      val raw = concat(col("text").substr(lit(1), lit(16)),
+        lit(" e\u0301 \u00e9 A\u030A \u1100\u1161")) // e+ACUTE, precomposed, A+RING, jamo
+      TestTables.documents(s, dir)
+        .select(col("doc_id"), length(raw).cast("long").as("raw_len"),
+          NfcNormalize.of(raw).as("norm"))
+        .withColumn("norm_len", length(col("norm")).cast("long"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Hashed-feature linear classifier inference (the VW/fastText-style
     // corpus quality gate): token → md5-prefix bucket → literal weight
     // vector, summed per doc as a pure Column fold — zero shuffle, all
@@ -1076,6 +1091,16 @@ object QueriesData {
     "q_pipeline_corpus" -> corpusCleanOracle,
     "q_pipeline_corpus_cc" -> corpusCleanOracle(ccSurvivor = true),
     "q_pipeline_pretrain" -> pretrainOracle,
+
+    "q_text_nfc" ->
+      """WITH r AS (
+        |  SELECT doc_id, substr(text, 1, 16) || ' e' || chr(769) || ' ' || chr(233)
+        |    || ' A' || chr(778) || ' ' || chr(4352) || chr(4449) AS raw
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(raw) AS BIGINT) AS raw_len,
+        |  nfc_normalize(raw) AS norm,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS norm_len
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_quality_classifier" ->
       Classifier.scoreDocsSql(Classifier.syntheticWeights(64), salt = "cls0", threshold = 0L),
