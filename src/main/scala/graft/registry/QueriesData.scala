@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.datapipe.{Boilerplate, Bpe, Classifier, Decontam, Dedup, DupSpans, FuzzyJoin, GraphRank, Html, IncrementalDedup, Keywords, LmScore, Markdown, Multimodal, Quantize, Retrieval, SemDedup, Similarity, TextAnalysis, Urls, Vocab}
+import graft.datapipe.{Boilerplate, Bpe, Classifier, Gopher, Decontam, Dedup, DupSpans, FuzzyJoin, GraphRank, Html, IncrementalDedup, Keywords, LmScore, Markdown, Multimodal, Quantize, Retrieval, SemDedup, Similarity, TextAnalysis, Urls, Vocab}
 import graft.functions.SubwordTokenize
 import graft.tables.TestTables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -43,6 +43,28 @@ object QueriesData {
       ('a' to 'z').filter(_ != 'q').map(c => s"##$c")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gopher quality rules (Rae 2021 A1.1) over a fixture that forces
+    // every rule both ways: bullets-only docs, sub-minimum word counts,
+    // short-word and numeric word-soups, symbol/ellipsis injections,
+    // stop-word presence varying by doc id. All-integer verdicts; the
+    // oracle replays each count and comparison exactly.
+    "q_gopher_rules" -> ((s, dir) => {
+      val d = col("doc_id")
+      val fixture =
+        when(d % 13 === 0, lit("- alpha beta\n- gamma delta\n- epsilon zeta"))
+          .when(d % 13 === 1, lit("a aa b bb c cc d dd e ee"))
+          .when(d % 13 === 2, lit("1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 the of"))
+          .otherwise(concat(
+            when(d % 3 === 0, lit("# # # # #\n")).otherwise(lit("")),
+            when(d % 7 === 0, lit("trailing thought...\nanother one…\n")).otherwise(lit("")),
+            when(d % 11 =!= 0, lit("the story goes that we have to be of and with them\n")).otherwise(lit("")),
+            when(d % 2 === 0, col("text")).otherwise(col("text").substr(lit(1), lit(120)))))
+      TestTables.documents(s, dir)
+        .select(d, graft.datapipe.Gopher.rules(fixture, Gopher.Config(minWords = 50)).as("g"))
+        .select(col("doc_id"), col("g.*"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unicode NFC canonicalization ahead of dedup hashing: a fixture
     // suffix mixes combining sequences (e+ACUTE, A+RING), precomposed
     // é, and Hangul jamo; engine (java.text.Normalizer) and oracle
@@ -1091,6 +1113,21 @@ object QueriesData {
     "q_pipeline_corpus" -> corpusCleanOracle,
     "q_pipeline_corpus_cc" -> corpusCleanOracle(ccSurvivor = true),
     "q_pipeline_pretrain" -> pretrainOracle,
+
+    "q_gopher_rules" -> {
+      val fixtureSql =
+        """CASE WHEN doc_id % 13 = 0 THEN '- alpha beta' || chr(10) || '- gamma delta' || chr(10) || '- epsilon zeta'
+          |     WHEN doc_id % 13 = 1 THEN 'a aa b bb c cc d dd e ee'
+          |     WHEN doc_id % 13 = 2 THEN '1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 the of'
+          |     ELSE (CASE WHEN doc_id % 3 = 0 THEN '# # # # #' || chr(10) ELSE '' END) ||
+          |       (CASE WHEN doc_id % 7 = 0 THEN 'trailing thought...' || chr(10) || 'another one…' || chr(10) ELSE '' END) ||
+          |       (CASE WHEN doc_id % 11 <> 0 THEN 'the story goes that we have to be of and with them' || chr(10) ELSE '' END) ||
+          |       (CASE WHEN doc_id % 2 = 0 THEN text ELSE substr(text, 1, 120) END)
+          |END""".stripMargin
+      s"""WITH m AS (SELECT doc_id, $fixtureSql AS txt FROM documents)
+         |${Gopher.rulesSql("m", "doc_id", Gopher.Config(minWords = 50))}
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_text_nfc" ->
       """WITH r AS (
