@@ -51,6 +51,15 @@ object QueriesStream {
         .orderBy(col("day"), col("event_type"))
     }),
 
+    // Stream-static dimension enrichment: events left-join the static
+    // customer dim (broadcast — the stateless streaming join shape).
+    "q_stream_dim_join" -> ((s, dir) =>
+      EventsStream.enrichWithDim(
+          TestTables.events(s, dir).select(col("event_id"), col("user_id"), col("value")),
+          TestTables.customer(s, dir), "user_id", "c_custkey",
+          Seq("c_name", "c_mktsegment"))
+        .orderBy(col("event_id"))),
+
     // 30-minute-gap sessionization, batch twin of the stateful stream.
     "q_stream_sessions" -> ((s, dir) =>
       EventsStream.sessionizeBatch(
@@ -136,6 +145,11 @@ object QueriesStream {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_stream_dim_join" ->
+      """SELECT e.event_id, e.user_id, e.value, c.c_name, c.c_mktsegment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
+
     "q_stream_windowed_agg" ->
       """SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 300000000) * 300000000) AS window_start,
         |  event_type, count(*) AS n_events,

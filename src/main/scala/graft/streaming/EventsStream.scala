@@ -28,6 +28,22 @@ object EventsStream {
   def withWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", delay)
 
+  /** Stream-static dimension enrichment: the event stream left-joins a
+    * static dimension table. The dim side is broadcast — on a stream
+    * this is the ONLY join shape that needs no state store at all
+    * (each micro-batch joins against the same static relation), and
+    * in batch it is the standard small-dim broadcast. The same call
+    * works under readStream and as a plain batch join, which is what
+    * the oracle and the stream≡batch spec both exploit.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    eventKey: String, dimKey: String,
+                    dimCols: Seq[String]): DataFrame = {
+    val slim = dim.select((dimKey +: dimCols).map(col): _*)
+    events.join(broadcast(slim), col(eventKey) === col(dimKey), "left")
+      .drop(dimKey)
+  }
+
   /** Trailing-window per-event features (online-ML feature
     * engineering): for every event, the count and value sum of the
     * SAME user's events in the preceding `windowUs` microseconds,

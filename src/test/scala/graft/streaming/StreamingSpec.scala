@@ -46,6 +46,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, s"stream/batch mismatch: ${streamed.size} vs ${batch.size} windows")
   }
 
+  test("stream-static dim join: streamed enrichment equals the batch join") {
+    val dim = graft.tables.TestTables.customer(spark, "/root/testdata/sf0.001")
+    def enrich(events: org.apache.spark.sql.DataFrame) =
+      EventsStream.enrichWithDim(
+        events.select($"event_id", $"user_id"), dim, "user_id", "c_custkey",
+        Seq("c_name", "c_mktsegment"))
+    val q = enrich(streamSource()).writeStream.format("memory").queryName("dim_join")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    val streamed = key(spark.table("dim_join"))
+    val batch = key(enrich(graft.tables.TestTables.events(spark, "/root/testdata/sf0.001")))
+    assert(streamed == batch, s"stream/batch mismatch: ${streamed.size} vs ${batch.size} rows")
+    // Unmatched users (dim holds 0..149 at sf0.001? customers beyond
+    // range) must survive as nulls — left join, not inner.
+    assert(streamed.size == spark.read.parquet("/root/testdata/sf0.001/events.parquet").count())
+  }
+
   test("upsert sink: stream merges into partitioned table; replayed batch is idempotent") {
     val base = java.nio.file.Files.createTempDirectory("stream_upsert").toString
     val table = s"$base/table"
