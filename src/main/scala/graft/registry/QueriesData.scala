@@ -43,6 +43,20 @@ object QueriesData {
       ('a' to 'z').filter(_ != 'q').map(c => s"##$c")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Asymmetric containment dedup: each sampled doc gets a planted
+    // 200-char-prefix twin (its shingle set is a near-subset — the
+    // short-in-long duplication symmetric Jaccard under-scores), and
+    // pairs pass on an exact integer cross-multiplication ≥ 4/5 in
+    // either direction.
+    "q_dedup_containment" -> ((s, dir) => {
+      val base = sampledDocs(s, dir).select(col("doc_id"), col("text"))
+      val prefixes = base.select((col("doc_id") + 10000L).as("doc_id"),
+        col("text").substr(lit(1), lit(200)).as("text"))
+      Dedup.containmentPairs(base.unionByName(prefixes), "doc_id", "text",
+          minNum = 4, minDen = 5, maxDf = 1000, shingle = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Gopher quality rules (Rae 2021 A1.1) over a fixture that forces
     // every rule both ways: bullets-only docs, sub-minimum word counts,
     // short-word and numeric word-soups, symbol/ellipsis injections,
@@ -1113,6 +1127,28 @@ object QueriesData {
     "q_pipeline_corpus" -> corpusCleanOracle,
     "q_pipeline_corpus_cc" -> corpusCleanOracle(ccSurvivor = true),
     "q_pipeline_pretrain" -> pretrainOracle,
+
+    "q_dedup_containment" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |docs AS (SELECT doc_id, text FROM base
+        |         UNION ALL SELECT doc_id + 10000, substr(text, 1, 200) FROM base),
+        |wl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws FROM docs),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+        |       ELSE list_transform(range(1, len(ws) - 1), j -> ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2]) END AS sg
+        |  FROM wl),
+        |tok AS (SELECT DISTINCT doc_id AS doc, unnest(sg) AS w FROM sh),
+        |keep AS (SELECT w FROM tok GROUP BY w HAVING count(*) <= 1000),
+        |tk AS (SELECT * FROM tok WHERE w IN (SELECT w FROM keep)),
+        |sizes AS (SELECT doc_id AS doc, CAST(len(list_distinct(sg)) AS BIGINT) AS n FROM sh),
+        |inter AS (
+        |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
+        |  FROM tk a JOIN tk b ON a.w = b.w AND a.doc < b.doc GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, c, sa.n AS na, sb.n AS nb,
+        |  (c * 5 >= 4 * sa.n) AS a_in_b, (c * 5 >= 4 * sb.n) AS b_in_a
+        |FROM inter JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+        |WHERE (c * 5 >= 4 * sa.n) OR (c * 5 >= 4 * sb.n)
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_gopher_rules" -> {
       val fixtureSql =
