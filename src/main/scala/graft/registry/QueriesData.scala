@@ -43,6 +43,27 @@ object QueriesData {
       ('a' to 'z').filter(_ != 'q').map(c => s"##$c")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Record-linkage resolution: fuzzy candidate sets collapse to ONE
+    // canonical match per probe (min distance, then min key — fully
+    // deterministic). The fixture deletes each customer name's LAST
+    // char, so every probe ties at distance 1 against its whole
+    // ten-key decade and the resolver's tie-break is load-bearing.
+    "q_linkage_resolve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cust = TestTables.customer(s, dir)
+      val probe = cust.filter(col("c_custkey") <= 300)
+        .select(col("c_custkey").as("probe_key"),
+          col("c_name").substr(lit(1), length(col("c_name")) - 1).as("typo"))
+      val cand = FuzzyJoin.editDistanceJoin(probe, "probe_key", "typo",
+        cust.select(col("c_custkey").as("match_key"), col("c_name")), "match_key", "c_name",
+        maxDist = 1)
+      val w = Window.partitionBy(col("probe_key")).orderBy(col("dist"), col("match_key"))
+      cand.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("probe_key"), col("typo"), col("match_key").as("resolved_key"),
+          col("c_name").as("resolved_name"), col("dist"))
+        .orderBy(col("probe_key"))
+    }),
+
     // Asymmetric containment dedup: each sampled doc gets a planted
     // 200-char-prefix twin (its shingle set is a near-subset — the
     // short-in-long duplication symmetric Jaccard under-scores), and
@@ -1127,6 +1148,19 @@ object QueriesData {
     "q_pipeline_corpus" -> corpusCleanOracle,
     "q_pipeline_corpus_cc" -> corpusCleanOracle(ccSurvivor = true),
     "q_pipeline_pretrain" -> pretrainOracle,
+
+    "q_linkage_resolve" ->
+      """WITH probe AS (
+        |  SELECT c_custkey AS probe_key, substr(c_name, 1, length(c_name) - 1) AS typo
+        |  FROM customer WHERE c_custkey <= 300),
+        |cand AS (
+        |  SELECT pr.probe_key, pr.typo, c.c_custkey AS match_key, c.c_name,
+        |    CAST(levenshtein(pr.typo, c.c_name) AS INT) AS dist
+        |  FROM probe pr JOIN customer c ON levenshtein(pr.typo, c.c_name) <= 1)
+        |SELECT probe_key, typo, match_key AS resolved_key, c_name AS resolved_name, dist
+        |FROM cand
+        |QUALIFY row_number() OVER (PARTITION BY probe_key ORDER BY dist, match_key) = 1
+        |ORDER BY probe_key""".stripMargin,
 
     "q_dedup_containment" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
