@@ -30,20 +30,47 @@ object TemporalJoins {
     * `asof_<name>` (null when no right row precedes the left row).
     */
   def asOf(left: DataFrame, right: DataFrame, key: String, tsCol: String,
-           payload: Seq[String]): DataFrame = {
+           payload: Seq[String]): DataFrame =
+    asOfDirected(left, right, key, tsCol, payload, "backward")
+
+  /** [[asOf]] with a direction: `backward` (latest right ≤ left, the
+    * default), `forward` (earliest right ≥ left — the lookahead join
+    * of label attachment: "next outcome after this event"), `nearest`
+    * (closer of the two, ties to backward; requires a NUMERIC ts).
+    *
+    * Same single-shuffle shape for all three: the directional sweeps
+    * are windows over the SAME key partitioning (forward is the
+    * backward sweep over a descending sort — the running `last` then
+    * carries the SMALLEST right ts ≥ each left row), so `nearest`
+    * costs one exchange and two sorts, never a range-join explosion.
+    */
+  def asOfDirected(left: DataFrame, right: DataFrame, key: String, tsCol: String,
+                   payload: Seq[String], direction: String): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"asOf direction must be backward|forward|nearest, got $direction")
     val l = left.withColumn("__side", lit(1))
     val r = right.select(
       col(key), col(tsCol), lit(0).as("__side"),
-      struct(payload.map(col): _*).as("__payload"))
+      struct((payload.map(col) :+ col(tsCol).as("__rts")): _*).as("__payload"))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val out = unioned
-      .withColumn("__last", last(col("__payload"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+    def sweep(ts: Column) = last(col("__payload"), ignoreNulls = true).over(
+      Window.partitionBy(col(key)).orderBy(ts, col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val picked = direction match {
+      case "backward" => unioned.withColumn("__pick", sweep(col(tsCol).asc))
+      case "forward" => unioned.withColumn("__pick", sweep(col(tsCol).desc))
+      case "nearest" => unioned
+        .withColumn("__b", sweep(col(tsCol).asc))
+        .withColumn("__f", sweep(col(tsCol).desc))
+        .withColumn("__pick",
+          when(col("__f").isNull, col("__b"))
+            .when(col("__b").isNull, col("__f"))
+            .when(col(tsCol) - col("__b.__rts") <= col("__f.__rts") - col(tsCol), col("__b"))
+            .otherwise(col("__f")))
+    }
     val keep = left.columns.map(col) ++
-      payload.map(p => col(s"__last.$p").as(s"asof_$p"))
-    out.select(keep: _*)
+      payload.map(p => col(s"__pick.$p").as(s"asof_$p"))
+    picked.filter(col("__side") === 1).select(keep: _*)
   }
 
   /** Interval-containment join: `rows` whose `tsCol` falls inside

@@ -32,6 +32,36 @@ object QueriesTemporal {
         .orderBy(col("event_id"))
     }),
 
+    // Forward as-of: the earliest click AT or AFTER each purchase —
+    // the lookahead join of outcome labeling. Oracle: DuckDB native
+    // ASOF with the inequality reversed.
+    "q_asof_forward" -> ((s, dir) => {
+      val e = slimEvents(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase").drop("event_type")
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("click_id"))
+        .withColumn("click_ts", col("ts_us"))
+      TemporalJoins.asOfDirected(purchases, clicks, "user_id", "ts_us",
+          Seq("click_id", "click_ts"), "forward")
+        .orderBy(col("event_id"))
+    }),
+
+    // Nearest as-of (ties to backward): closer of the two directional
+    // sweeps, one exchange + two sorts. Oracle composes BOTH native
+    // ASOF directions and replays the tie-break.
+    "q_asof_nearest" -> ((s, dir) => {
+      val e = slimEvents(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase").drop("event_type")
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("click_id"))
+        .withColumn("click_ts", col("ts_us"))
+      TemporalJoins.asOfDirected(purchases, clicks, "user_id", "ts_us",
+          Seq("click_id", "click_ts"), "nearest")
+        .orderBy(col("event_id"))
+    }),
+
     // Purchases that happened inside an error-incident window (minute
     // buckets with >= 1 error, gaps of <= 15 empty minutes bridged),
     // matched via the banded interval join.
@@ -60,6 +90,37 @@ object QueriesTemporal {
         |SELECT p.event_id, p.user_id, p.value, p.ts_us,
         |  c.click_id AS asof_click_id, c.click_ts AS asof_click_ts
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts_us <= p.ts_us
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_asof_forward" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |p AS (SELECT event_id, user_id, value, ts_us FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts_us, max(event_id) AS click_id, ts_us AS click_ts
+        |      FROM e WHERE event_type = 'click' GROUP BY user_id, ts_us)
+        |SELECT p.event_id, p.user_id, p.value, p.ts_us,
+        |  c.click_id AS asof_click_id, c.click_ts AS asof_click_ts
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts_us >= p.ts_us
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_asof_nearest" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |p AS (SELECT event_id, user_id, value, ts_us FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts_us, max(event_id) AS click_id, ts_us AS click_ts
+        |      FROM e WHERE event_type = 'click' GROUP BY user_id, ts_us),
+        |b AS (SELECT p.event_id, c.click_id AS b_id, c.click_ts AS b_ts
+        |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts_us <= p.ts_us),
+        |f AS (SELECT p.event_id, c.click_id AS f_id, c.click_ts AS f_ts
+        |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts_us >= p.ts_us)
+        |SELECT p.event_id, p.user_id, p.value, p.ts_us,
+        |  CASE WHEN f.f_ts IS NULL THEN b.b_id WHEN b.b_ts IS NULL THEN f.f_id
+        |       WHEN p.ts_us - b.b_ts <= f.f_ts - p.ts_us THEN b.b_id ELSE f.f_id END AS asof_click_id,
+        |  CASE WHEN f.f_ts IS NULL THEN b.b_ts WHEN b.b_ts IS NULL THEN f.f_ts
+        |       WHEN p.ts_us - b.b_ts <= f.f_ts - p.ts_us THEN b.b_ts ELSE f.f_ts END AS asof_click_ts
+        |FROM p JOIN b ON p.event_id = b.event_id JOIN f ON p.event_id = f.event_id
         |ORDER BY p.event_id""".stripMargin,
 
     "q_range_incident_join" ->

@@ -21,6 +21,38 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(out("d").isEmpty, "key with no right rows gets null")
   }
 
+  test("asOfDirected forward attaches the earliest right row at or after each left row") {
+    val left = Seq((1L, 10L, "a"), (1L, 25L, "b"), (2L, 5L, "c"), (3L, 50L, "d"))
+      .toDF("k", "ts_us", "tag")
+    val right = Seq((1L, 10L, 100L), (1L, 20L, 200L), (2L, 3L, 300L))
+      .toDF("k", "ts_us", "payload")
+    val out = TemporalJoins.asOfDirected(left, right, "k", "ts_us", Seq("payload"), "forward")
+      .select($"tag", $"asof_payload").as[(String, Option[Long])].collect().toMap
+    assert(out("a").contains(100L), "equal timestamp is inclusive going forward")
+    assert(out("b").isEmpty, "no right row follows ts 25")
+    assert(out("c").isEmpty, "right row before the left row must not match forward")
+    assert(out("d").isEmpty, "key with no right rows gets null")
+  }
+
+  test("asOfDirected nearest picks the closer side and ties go backward") {
+    val left = Seq((1L, 10L, "near_b"), (1L, 19L, "near_f"), (1L, 15L, "tie"))
+      .toDF("k", "ts_us", "tag")
+    val right = Seq((1L, 9L, 100L), (1L, 21L, 200L)).toDF("k", "ts_us", "payload")
+    val out = TemporalJoins.asOfDirected(left, right, "k", "ts_us", Seq("payload"), "nearest")
+      .select($"tag", $"asof_payload").as[(String, Option[Long])].collect().toMap
+    assert(out("near_b").contains(100L), "1 back beats 11 forward")
+    assert(out("near_f").contains(200L), "2 forward beats 10 back")
+    assert(out("tie").contains(100L), "equidistant resolves backward")
+  }
+
+  test("asOfDirected nearest falls back to the only available side") {
+    val left = Seq((1L, 1L, "only_f"), (2L, 99L, "only_b")).toDF("k", "ts_us", "tag")
+    val right = Seq((1L, 50L, 500L), (2L, 10L, 600L)).toDF("k", "ts_us", "payload")
+    val out = TemporalJoins.asOfDirected(left, right, "k", "ts_us", Seq("payload"), "nearest")
+      .select($"tag", $"asof_payload").as[(String, Option[Long])].collect().toMap
+    assert(out("only_f").contains(500L) && out("only_b").contains(600L))
+  }
+
   test("asOf output keeps exactly the left rows") {
     val left = Seq((1L, 10L), (1L, 10L), (9L, 1L)).toDF("k", "ts_us")
     val right = Seq((1L, 3L, 7L)).toDF("k", "ts_us", "payload")
