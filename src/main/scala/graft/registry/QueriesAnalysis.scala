@@ -169,6 +169,22 @@ object QueriesAnalysis {
     // corpus collapses to a (type, value, count) histogram in one
     // shuffle; medians interpolate on exact binary fractions of longs,
     // so DuckDB's quantile_cont reproduces them bit-for-bit.
+    // Distribution drift between two snapshots (event-type mix before
+    // vs after the mid-corpus cut, with click traffic from a third of
+    // users dropped in the "after" half to plant a real shift): exact
+    // integer TVD numerators, cross-multiplied 1% alarms.
+    "q_drift_tvd" -> ((s, dir) => {
+      import graft.ops.Drift
+      import graft.tables.TestTables
+      val cutUs = 1705406400000000L // 2024-01-16T12:00:00Z
+      val e = TestTables.events(s, dir).select(col("event_type"), col("user_id"), col("ts_us"))
+      val before = e.filter(col("ts_us") < cutUs)
+      val after = e.filter(col("ts_us") >= cutUs)
+        .filter(!(col("event_type") === "click" && col("user_id") % 3 === 0))
+      Drift.tvd(before, after, "event_type", threshNum = 1, threshDen = 100)
+        .orderBy(col("event_type"))
+    }),
+
     "q_anomaly_mad" -> ((s, dir) =>
       graft.ops.Anomaly.madOutlierStats(
           graft.tables.TestTables.events(s, dir),
@@ -304,6 +320,23 @@ object QueriesAnalysis {
         |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin,
+
+    "q_drift_tvd" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |a AS (SELECT event_type FROM e WHERE ts_us < 1705406400000000),
+        |b AS (SELECT event_type FROM e WHERE ts_us >= 1705406400000000
+        |      AND NOT (event_type = 'click' AND user_id % 3 = 0)),
+        |ca AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c_a FROM a GROUP BY 1),
+        |cb AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c_b FROM b GROUP BY 1),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM a),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM b)
+        |SELECT event_type,
+        |  coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b, n_a, n_b,
+        |  abs(coalesce(c_a, 0) * n_b - coalesce(c_b, 0) * n_a) AS tvd_num,
+        |  (abs(coalesce(c_a, 0) * n_b - coalesce(c_b, 0) * n_a) * 100 > 2 * n_a * n_b) AS drifted
+        |FROM ca FULL OUTER JOIN cb USING (event_type), na, nb
+        |ORDER BY event_type""".stripMargin,
 
     "q_anomaly_mad" ->
       """WITH q AS (
