@@ -147,6 +147,49 @@ object Multimodal {
     }(enc)
   }
 
+  /** Audio DSP on the real codec — decode, block-mean downsample by
+    * `factor`, apply an integer-rational gain `gNum/gDen` with PCM16
+    * saturation, and RE-ENCODE as WAV at the reduced rate (the
+    * transcode step of an audio-corpus pipeline: normalize every clip
+    * to one target rate/loudness before feature extraction).
+    *
+    * All sample math is floor-exact integer arithmetic
+    * (`floorDiv(block_sum, factor)`, `floorDiv(v·gNum, gDen)`, clamp
+    * to [-32768, 32767]) so any engine reproduces the output
+    * bit-for-bit; the tail partial block is dropped (documented,
+    * mirrored by the oracle). Batch-shaped like every decode op here.
+    */
+  def transcodeWav(media: DataFrame, factor: Int, gNum: Int, gDen: Int,
+                   batchSize: Int = 32): DataFrame = {
+    require(factor >= 1 && gDen >= 1, "factor and gDen must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType), StructField("content", BinaryType)))
+    val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val (sr, samples) = decodeWavPcm16(r.getAs[Array[Byte]](contentIdx))
+          val n2 = samples.length / factor
+          val out = new Array[Short](n2)
+          var j = 0
+          while (j < n2) {
+            var sum = 0L
+            var i = j * factor
+            val end = i + factor
+            while (i < end) { sum += samples(i); i += 1 }
+            val v = Math.floorDiv(sum, factor.toLong)
+            val w = Math.floorDiv(v * gNum, gDen.toLong)
+            out(j) = math.max(-32768L, math.min(32767L, w)).toShort
+            j += 1
+          }
+          Row(r.getLong(idIdx), encodeWavPcm16(out, sr / factor))
+        }
+      }
+    }(enc)
+  }
+
   /** Real decode + feature extraction over WAV content, batch-shaped
     * like `decodeFeatures`: per clip, (sample_rate, n_samples,
     * duration_ms, peak, sum_sq, rms). Integer features throughout;

@@ -43,6 +43,19 @@ object QueriesData {
       ('a' to 'z').filter(_ != 'q').map(c => s"##$c")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Audio transcode on the real WAV codec: decode → 2:1 block-mean
+    // downsample → 81/2 gain with PCM16 saturation → re-encode at
+    // 4 kHz → decode again for features. The oracle recomputes the
+    // whole chain from the closed-form sample definition: floor-exact
+    // integer DSP means a single saturation or rounding drift anywhere
+    // in decode/process/encode/decode fails the hash.
+    "q_mm_wav_transcode" -> ((s, dir) => {
+      val wav = Multimodal.synthWav(TestTables.documents(s, dir), "doc_id")
+      Multimodal.decodeWavFeatures(
+          Multimodal.transcodeWav(wav, factor = 2, gNum = 81, gDen = 2))
+        .orderBy(col("media_id"))
+    }),
+
     // Record-linkage resolution: fuzzy candidate sets collapse to ONE
     // canonical match per probe (min distance, then min key — fully
     // deterministic). The fixture deletes each customer name's LAST
@@ -1148,6 +1161,26 @@ object QueriesData {
     "q_pipeline_corpus" -> corpusCleanOracle,
     "q_pipeline_corpus_cc" -> corpusCleanOracle(ccSurvivor = true),
     "q_pipeline_pretrain" -> pretrainOracle,
+
+    "q_mm_wav_transcode" ->
+      """WITH d AS (SELECT doc_id, 400 + (doc_id % 5) * 200 AS n FROM documents),
+        |s AS (SELECT doc_id, n, i, ((doc_id * 31 + i * 7) % 2048) - 1024 AS v
+        |      FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d)),
+        |blk AS (
+        |  SELECT doc_id, n, i // 2 AS j, CAST(sum(v) AS BIGINT) AS block_sum
+        |  FROM s GROUP BY doc_id, n, i // 2),
+        |proc AS (
+        |  SELECT doc_id, n,
+        |    greatest(-32768, least(32767,
+        |      CAST(floor(CAST(floor(block_sum / 2.0) AS BIGINT) * 81 / 2.0) AS BIGINT))) AS w
+        |  FROM blk),
+        |agg AS (SELECT doc_id, n, max(abs(w)) AS peak,
+        |               CAST(sum(w * w) AS BIGINT) AS sum_sq
+        |        FROM proc GROUP BY doc_id, n)
+        |SELECT doc_id AS media_id, CAST(4000 AS INT) AS sample_rate,
+        |  n // 2 AS n_samples, (n // 2) * 1000 // 4000 AS duration_ms, peak, sum_sq,
+        |  sqrt(CAST(sum_sq AS DOUBLE) / CAST(n // 2 AS DOUBLE)) AS rms
+        |FROM agg ORDER BY media_id""".stripMargin,
 
     "q_linkage_resolve" ->
       """WITH probe AS (

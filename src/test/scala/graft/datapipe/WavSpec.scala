@@ -55,4 +55,32 @@ class WavSpec extends AnyFunSuite {
       assert(rms == math.sqrt(sumSq.toDouble / n.toDouble))
     }
   }
+
+  private def transcodeOne(samples: Array[Short], factor: Int, gNum: Int, gDen: Int): (Int, Array[Short]) = {
+    val media = Seq((1L, Multimodal.encodeWavPcm16(samples, 8000))).toDF("media_id", "content")
+    val out = Multimodal.transcodeWav(media, factor, gNum, gDen).collect().head
+    Multimodal.decodeWavPcm16(out.getAs[Array[Byte]](1))
+  }
+
+  test("transcode: block mean is floor-exact on negative sums") {
+    // Block (-3, 0) sums to -3: floorDiv(-3, 2) = -2, NOT -1.
+    val (sr, out) = transcodeOne(Array[Short](-3, 0, 3, 0), 2, 1, 1)
+    assert(sr == 4000)
+    assert(out.toSeq == Seq[Short](-2, 1))
+  }
+
+  test("transcode: gain saturates at the PCM16 rails") {
+    val (_, out) = transcodeOne(Array[Short](30000, 30000, -30000, -30000, 10, 10), 2, 81, 2)
+    assert(out.toSeq == Seq[Short](32767, -32768, 405))
+  }
+
+  test("transcode: tail partial block is dropped") {
+    val (_, out) = transcodeOne(Array[Short](10, 20, 99), 2, 1, 1)
+    assert(out.toSeq == Seq[Short](15))
+  }
+
+  test("transcode: factor 1 with unit gain is the identity") {
+    val (sr, out) = transcodeOne(tone, 1, 1, 1)
+    assert(sr == 8000 && out.sameElements(tone))
+  }
 }
