@@ -169,6 +169,18 @@ object QueriesAnalysis {
     // corpus collapses to a (type, value, count) histogram in one
     // shuffle; medians interpolate on exact binary fractions of longs,
     // so DuckDB's quantile_cont reproduces them bit-for-bit.
+    // Global sequence numbers without the single-partition window:
+    // range-partition + zipWithIndex. Oracle is the thing itself —
+    // row_number() over the same total order.
+    "q_global_index" -> ((s, dir) => {
+      import graft.ops.GlobalIndex
+      import graft.tables.TestTables
+      GlobalIndex.withGlobalIndex(
+          TestTables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+          Seq(col("o_orderkey")))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Distribution drift between two snapshots (event-type mix before
     // vs after the mid-corpus cut, with click traffic from a third of
     // users dropped in the "after" half to plant a real shift): exact
@@ -320,6 +332,11 @@ object QueriesAnalysis {
         |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin,
+
+    "q_global_index" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  row_number() OVER (ORDER BY o_orderkey) - 1 AS global_idx
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_drift_tvd" ->
       """WITH e AS (
