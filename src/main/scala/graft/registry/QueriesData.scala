@@ -43,6 +43,16 @@ object QueriesData {
       ('a' to 'z').filter(_ != 'q').map(c => s"##$c")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Contrastive negative sampling: 4 deterministic hash-stream draws
+    // per anchor (with replacement), excluding self and exact-dup
+    // twins — the planted duplicates in the corpus make the exclusion
+    // path load-bearing. The oracle replays draws, exclusions, and
+    // draw-order ranking exactly.
+    "q_negative_sample" -> ((s, dir) =>
+      graft.datapipe.NegativeSampling.sample(
+          TestTables.documents(s, dir), "doc_id", "text", k = 4, salt = "neg0")
+        .orderBy(col("anchor"), col("neg_rank"))),
+
     // Audio transcode on the real WAV codec: decode → 2:1 block-mean
     // downsample → 81/2 gain with PCM16 saturation → re-encode at
     // 4 kHz → decode again for features. The oracle recomputes the
@@ -1161,6 +1171,24 @@ object QueriesData {
     "q_pipeline_corpus" -> corpusCleanOracle,
     "q_pipeline_corpus_cc" -> corpusCleanOracle(ccSurvivor = true),
     "q_pipeline_pretrain" -> pretrainOracle,
+
+    "q_negative_sample" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |a AS (SELECT doc_id AS anchor, md5(text) AS a_fp FROM documents),
+        |c AS (SELECT doc_id AS neg_id, md5(text) AS n_fp FROM documents),
+        |draws AS (
+        |  SELECT anchor, a_fp, j,
+        |    CAST(('0x' || substr(md5('neg0' || '|' || CAST(anchor AS VARCHAR) || '|' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % (SELECT n FROM nn) AS cand
+        |  FROM a, (SELECT unnest(range(0, 8)) AS j) r),
+        |surv AS (
+        |  SELECT d.anchor, d.j, c.neg_id,
+        |    row_number() OVER (PARTITION BY d.anchor ORDER BY d.j) AS neg_rank
+        |  FROM draws d JOIN c ON d.cand = c.neg_id
+        |  WHERE c.neg_id <> d.anchor AND c.n_fp <> d.a_fp)
+        |SELECT anchor, CAST(neg_rank AS INT) AS neg_rank, CAST(j AS INT) AS j, neg_id
+        |FROM surv WHERE neg_rank <= 4
+        |ORDER BY anchor, neg_rank""".stripMargin,
 
     "q_mm_wav_transcode" ->
       """WITH d AS (SELECT doc_id, 400 + (doc_id % 5) * 200 AS n FROM documents),
