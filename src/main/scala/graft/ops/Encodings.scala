@@ -1,0 +1,29 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Categorical dictionary encoding (label encoding) — string categories
+  * to dense integer codes plus a reusable vocab table, the feature-
+  * engineering primitive in front of any model input.
+  *
+  * Codes are assigned lexicographically (deterministic across runs and
+  * engines), via [[GlobalIndex]] over the DISTINCT value set — NOT a
+  * `dense_rank()` over the full table, whose global window would
+  * funnel every row through one task. The distinct set is
+  * vocabulary-sized; the join back to the data is an ordinary equi-join
+  * that AQE broadcasts when the vocab measures small. Unseen-at-encode
+  * values are the caller's contract (join is left; they surface as
+  * null codes, the standard "new category" signal).
+  */
+object Encodings {
+
+  /** (encoded df with `codeCol` attached, vocab table (value, code)). */
+  def dictionaryEncode(df: DataFrame, valueCol: String,
+                       codeCol: String): (DataFrame, DataFrame) = {
+    val vocab = GlobalIndex.withGlobalIndex(
+      df.select(col(valueCol)).distinct(), Seq(col(valueCol)), outCol = codeCol)
+    val encoded = df.join(vocab, Seq(valueCol), "left")
+    (encoded, vocab)
+  }
+}

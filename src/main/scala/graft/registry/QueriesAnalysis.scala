@@ -169,6 +169,45 @@ object QueriesAnalysis {
     // corpus collapses to a (type, value, count) histogram in one
     // shuffle; medians interpolate on exact binary fractions of longs,
     // so DuckDB's quantile_cont reproduces them bit-for-bit.
+    // Top user journeys: 30-minute-gap sessions → ordered event-type
+    // paths → sliding path trigrams (the codegen'd WordShingles kernel
+    // reused on event types) → global top-20 with full tie-break.
+    // Sessions shorter than 3 events collapse to their whole journey,
+    // the shingle kernel's documented semantics, mirrored in SQL.
+    "q_journey_ngrams" -> ((s, dir) => {
+      import graft.tables.TestTables
+      import org.apache.spark.sql.expressions.Window
+      val gapUs = 1800000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val sess = TestTables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+        .withColumn("__new", coalesce(
+          (col("ts_us") - lag(col("ts_us"), 1).over(w)) > gapUs, lit(true)).cast("int"))
+        .withColumn("__sess", sum(col("__new")).over(w))
+      val paths = sess
+        .groupBy(col("user_id"), col("__sess"))
+        .agg(array_sort(collect_list(struct(col("ts_us"), col("event_id"), col("event_type"))))
+          .as("__ord"))
+        .select(transform(col("__ord"), e => e.getField("event_type")).as("__types"))
+      paths
+        .select(explode(graft.functions.WordShingles.of(col("__types"), 3)).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(20)
+    }),
+
+    // Dictionary (label) encoding: lexicographic dense codes via the
+    // scalable GlobalIndex over the DISTINCT set, joined back — never
+    // a dense_rank window over the full table.
+    "q_dict_encode" -> ((s, dir) => {
+      import graft.ops.Encodings
+      import graft.tables.TestTables
+      val (encoded, _) = Encodings.dictionaryEncode(
+        TestTables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
+        "c_mktsegment", "seg_code")
+      encoded.select(col("c_custkey"), col("c_mktsegment"), col("seg_code"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Global sequence numbers without the single-partition window:
     // range-partition + zipWithIndex. Oracle is the thing itself —
     // row_number() over the same total order.
@@ -332,6 +371,41 @@ object QueriesAnalysis {
         |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin,
+
+    "q_journey_ngrams" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |marked AS (
+        |  SELECT user_id, event_id, ts_us, event_type,
+        |    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |              > 1800000000 THEN 1
+        |         WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL THEN 1
+        |         ELSE 0 END AS new_sess
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, event_id, ts_us, event_type,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM marked),
+        |journeys AS (
+        |  SELECT list(event_type ORDER BY ts_us, event_id) AS types
+        |  FROM sess GROUP BY user_id, sess_id),
+        |paths AS (
+        |  SELECT unnest(CASE WHEN len(types) < 3 THEN [array_to_string(types, ' ')]
+        |    ELSE list_transform(range(1, len(types) - 1),
+        |           j -> types[j] || ' ' || types[j + 1] || ' ' || types[j + 2]) END) AS path
+        |  FROM journeys)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n FROM paths
+        |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
+
+    "q_dict_encode" ->
+      """WITH vocab AS (
+        |  SELECT c_mktsegment, row_number() OVER (ORDER BY c_mktsegment) - 1 AS seg_code
+        |  FROM (SELECT DISTINCT c_mktsegment FROM customer))
+        |SELECT c.c_custkey, c.c_mktsegment, v.seg_code
+        |FROM customer c LEFT JOIN vocab v USING (c_mktsegment)
+        |ORDER BY c.c_custkey""".stripMargin,
 
     "q_global_index" ->
       """SELECT o_orderkey, o_totalprice,
