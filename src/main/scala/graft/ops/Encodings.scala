@@ -26,4 +26,23 @@ object Encodings {
     val encoded = df.join(vocab, Seq(valueCol), "left")
     (encoded, vocab)
   }
+
+  /** Leave-one-out target encoding with Laplace smoothing — the
+    * leakage-safe category→rate feature: each row's code excludes its
+    * OWN target, `(sum(cat) − t_row + priorNum) / (n(cat) − 1 +
+    * priorDen)`. The code ships as an exact integer rational
+    * (code_num, code_den), never a pre-divided IEEE value — downstream
+    * chooses its precision, and any engine reproduces the pair
+    * bit-for-bit. One category-sized aggregation joined back; AQE
+    * broadcasts it when small.
+    */
+  def targetEncodeLoo(df: DataFrame, catCol: String, targetCol: String,
+                      priorNum: Long, priorDen: Long): DataFrame = {
+    val stats = df.groupBy(col(catCol)).agg(
+      sum(col(targetCol)).as("__sum"), count(lit(1)).as("__n"))
+    df.join(stats, Seq(catCol))
+      .withColumn("code_num", col("__sum") - col(targetCol) + lit(priorNum))
+      .withColumn("code_den", col("__n") - 1 + lit(priorDen))
+      .drop("__sum", "__n")
+  }
 }

@@ -169,6 +169,20 @@ object QueriesAnalysis {
     // corpus collapses to a (type, value, count) histogram in one
     // shuffle; medians interpolate on exact binary fractions of longs,
     // so DuckDB's quantile_cont reproduces them bit-for-bit.
+    // Leave-one-out target encoding (leakage-safe category rate with
+    // Laplace 1/2 prior), codes as exact integer rationals.
+    "q_target_encode" -> ((s, dir) => {
+      import graft.ops.Encodings
+      import graft.tables.TestTables
+      val df = TestTables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          (col("c_acctbal") > 5000.0).cast("long").as("target"))
+      Encodings.targetEncodeLoo(df, "c_mktsegment", "target", priorNum = 1, priorDen = 2)
+        .select(col("c_custkey"), col("c_mktsegment"), col("target"),
+          col("code_num"), col("code_den"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Top user journeys: 30-minute-gap sessions → ordered event-type
     // paths → sliding path trigrams (the codegen'd WordShingles kernel
     // reused on event types) → global top-20 with full tie-break.
@@ -371,6 +385,16 @@ object QueriesAnalysis {
         |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin,
+
+    "q_target_encode" ->
+      """WITH t AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(c_acctbal > 5000.0 AS BIGINT) AS target
+        |  FROM customer)
+        |SELECT c_custkey, c_mktsegment, target,
+        |  CAST(sum(target) OVER (PARTITION BY c_mktsegment) - target + 1 AS BIGINT) AS code_num,
+        |  count(*) OVER (PARTITION BY c_mktsegment) - 1 + 2 AS code_den
+        |FROM t ORDER BY c_custkey""".stripMargin,
 
     "q_journey_ngrams" ->
       """WITH e AS (

@@ -43,6 +43,24 @@ object QueriesData {
       ('a' to 'z').filter(_ != 'q').map(c => s"##$c")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Score normalization for curriculum/filter decisions: classifier
+    // scores → exact global ranks (scalable GlobalIndex, no global
+    // window) → integer percentile (basis points) and equal-frequency
+    // decile. All floor-integer arithmetic on non-negative ranks.
+    "q_score_ranks" -> ((s, dir) => {
+      import graft.ops.GlobalIndex
+      val scored = Classifier.scoreDocs(TestTables.documents(s, dir), "doc_id", "text",
+        Classifier.syntheticWeights(64), salt = "cls0")
+        .select(col("doc_id"), col("score"))
+      val n = scored.agg(count(lit(1)).as("__n"))
+      GlobalIndex.withGlobalIndex(scored, Seq(col("score"), col("doc_id")), "rank")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("score"), col("rank"),
+          expr("(rank * 10000) div (__n - 1)").as("pct_bp"),
+          expr("(rank * 10) div __n").as("decile"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Contrastive negative sampling: 4 deterministic hash-stream draws
     // per anchor (with replacement), excluding self and exact-dup
     // twins — the planted duplicates in the corpus make the exclusion
@@ -1171,6 +1189,20 @@ object QueriesData {
     "q_pipeline_corpus" -> corpusCleanOracle,
     "q_pipeline_corpus_cc" -> corpusCleanOracle(ccSurvivor = true),
     "q_pipeline_pretrain" -> pretrainOracle,
+
+    "q_score_ranks" -> {
+      val scoreSql = Classifier.scoreDocsSql(Classifier.syntheticWeights(64), "cls0", 0L)
+      s"""WITH scored AS (SELECT doc_id, score FROM ($scoreSql)),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM scored),
+         |ranked AS (
+         |  SELECT doc_id, score,
+         |    row_number() OVER (ORDER BY score, doc_id) - 1 AS rank
+         |  FROM scored)
+         |SELECT doc_id, score, rank,
+         |  rank * 10000 // ((SELECT n FROM nn) - 1) AS pct_bp,
+         |  rank * 10 // (SELECT n FROM nn) AS decile
+         |FROM ranked ORDER BY doc_id""".stripMargin
+    },
 
     "q_negative_sample" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),
