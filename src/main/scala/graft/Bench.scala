@@ -50,7 +50,13 @@ object Bench {
     "q_fuzzy_join",
     "q_d2_manifest_upsert",
     "q_graph_triangles",
-    "q_ts_gapfill")
+    "q_ts_gapfill",
+    "q_text_subword",
+    "q_bpe_learn",
+    "q_gopher_rules",
+    "q_quality_classifier",
+    "q_journey_ngrams",
+    "q_negative_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

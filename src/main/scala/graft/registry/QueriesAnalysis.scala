@@ -169,6 +169,20 @@ object QueriesAnalysis {
     // corpus collapses to a (type, value, count) histogram in one
     // shuffle; medians interpolate on exact binary fractions of longs,
     // so DuckDB's quantile_cont reproduces them bit-for-bit.
+    // Fixed-width histogram of a measure (EDA companion to the column
+    // profiler): integer-quantized cents → 5-unit bins by double-floor
+    // (both engines make the identical IEEE choice), per-bin count and
+    // exact bounds.
+    "q_histogram" -> ((s, dir) => {
+      import graft.tables.TestTables
+      TestTables.events(s, dir)
+        .select(floor(col("value") * 100).cast("long").as("cents"))
+        .select(floor(col("cents") / 500.0).cast("long").as("bin"), col("cents"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), min(col("cents")).as("lo"), max(col("cents")).as("hi"))
+        .orderBy(col("bin"))
+    }),
+
     // Leave-one-out target encoding (leakage-safe category rate with
     // Laplace 1/2 prior), codes as exact integer rationals.
     "q_target_encode" -> ((s, dir) => {
@@ -385,6 +399,12 @@ object QueriesAnalysis {
         |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin,
+
+    "q_histogram" ->
+      """WITH q AS (SELECT CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT CAST(floor(cents / 500.0) AS BIGINT) AS bin, cents FROM q)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n, min(cents) AS lo, max(cents) AS hi
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     "q_target_encode" ->
       """WITH t AS (
