@@ -56,7 +56,8 @@ object Bench {
     "q_gopher_rules",
     "q_quality_classifier",
     "q_journey_ngrams",
-    "q_negative_sample")
+    "q_negative_sample",
+    "q_asof_native")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Whole-operator extension: the native as-of join (logical node →
+    // strategy → streaming merge exec). See graft.plans.AsOfJoin.
+    ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier(JsonFindNumbers.fnName),
       new ExpressionInfo(classOf[JsonFindNumbers].getName, JsonFindNumbers.fnName),

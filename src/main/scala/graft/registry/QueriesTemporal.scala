@@ -32,6 +32,23 @@ object QueriesTemporal {
         .orderBy(col("event_id"))
     }),
 
+    // The NATIVE as-of operator (custom LogicalPlan → Strategy →
+    // streaming merge SparkPlan via SparkSessionExtensions): same
+    // semantics and same DuckDB-native-ASOF oracle as q_asof_join,
+    // but the physical plan is one exchange+sort PER SIDE and a
+    // single-pass zip — no union, no window.
+    "q_asof_native" -> ((s, dir) => {
+      val e = slimEvents(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase").drop("event_type")
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("click_id"))
+        .withColumn("click_ts", col("ts_us"))
+      graft.plans.NativeAsOf.asOf(purchases, clicks, "user_id", "ts_us",
+          Seq("click_id", "click_ts"))
+        .orderBy(col("event_id"))
+    }),
+
     // Forward as-of: the earliest click AT or AFTER each purchase —
     // the lookahead join of outcome labeling. Oracle: DuckDB native
     // ASOF with the inequality reversed.
@@ -81,6 +98,18 @@ object QueriesTemporal {
 
   def oracleSql: Map[String, String] = Map(
     "q_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |p AS (SELECT event_id, user_id, value, ts_us FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts_us, max(event_id) AS click_id, ts_us AS click_ts
+        |      FROM e WHERE event_type = 'click' GROUP BY user_id, ts_us)
+        |SELECT p.event_id, p.user_id, p.value, p.ts_us,
+        |  c.click_id AS asof_click_id, c.click_ts AS asof_click_ts
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts_us <= p.ts_us
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_asof_native" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, value,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
