@@ -60,6 +60,20 @@ object QueriesStream {
           Seq("c_name", "c_mktsegment"))
         .orderBy(col("event_id"))),
 
+    // Native session windows (Spark's own session_window operator, the
+    // merging-window aggregation): 30-minute gap per user. The oracle
+    // derives the same sessions by the INDEPENDENT lag/cumsum
+    // formulation — the two definitions must coincide exactly.
+    "q_stream_session_window" -> ((s, dir) =>
+      TestTables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("tv"))
+        .select(col("user_id"),
+          col("sw.start").as("session_start"), col("sw.end").as("session_end"),
+          col("n_events"), col("tv").cast("double").as("total_value"))
+        .orderBy(col("user_id"), col("session_start"))),
+
     // 30-minute-gap sessionization, batch twin of the stateful stream.
     "q_stream_sessions" -> ((s, dir) =>
       EventsStream.sessionizeBatch(
@@ -145,6 +159,25 @@ object QueriesStream {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_stream_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |marked AS (
+        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                   OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sess AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |  make_timestamp(min(ts_us)) AS session_start,
+        |  make_timestamp(max(ts_us) + 1800000000) AS session_end,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
     "q_stream_dim_join" ->
       """SELECT e.event_id, e.user_id, e.value, c.c_name, c.c_mktsegment
         |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
