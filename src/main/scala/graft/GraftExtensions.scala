@@ -49,6 +49,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       checked(graft.functions.SimHash64.fnName, "words", 1)(
         exprs => graft.functions.SimHash64(exprs(0)))))
     ext.injectFunction((
+      FunctionIdentifier(graft.functions.SimHashMd5.fnName),
+      new ExpressionInfo(classOf[graft.functions.SimHashMd5].getName, graft.functions.SimHashMd5.fnName),
+      checked(graft.functions.SimHashMd5.fnName, "words", 1)(
+        exprs => graft.functions.SimHashMd5(exprs(0)))))
+    ext.injectFunction((
       FunctionIdentifier(graft.functions.WordShingles.fnName),
       new ExpressionInfo(classOf[graft.functions.WordShingles].getName, graft.functions.WordShingles.fnName),
       checked(graft.functions.WordShingles.fnName, "text, n", 2)(

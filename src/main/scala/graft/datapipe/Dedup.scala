@@ -269,6 +269,19 @@ object Dedup {
     * only the Hamming-verified STAR against the bucket minimum
     * (documented under-merge, never a false pair).
     */
+  /** [[simhashPairs]] with the PORTABLE md5 hash family
+    * (graft.functions.SimHashMd5) — sketches any engine can replay, so
+    * the pair set is fully oracle-checkable; the candidate machinery
+    * is identical.
+    */
+  def simhashPairsMd5(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val sh = graft.util.Materialize.once(
+      docs.select(col(idCol).as("doc"),
+        graft.functions.SimHashMd5.of(TextAnalysis.words(col(textCol))).as("sh")))
+    simhashPairsFromSketches(sh, maxHamming, maxBucket)
+  }
+
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
                    maxBucket: Int = Int.MaxValue): DataFrame = {
     // Materialized: the 64-bit sketch per doc is the expensive part

@@ -365,6 +365,19 @@ object QueriesData {
           maxBucket = 64)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // The portable-hash SimHash twin with PLANTED one-word-appended
+    // near-dups: full oracle recomputes every 63-bit sketch from md5
+    // prefixes in SQL, brute-forces all pairs, and must agree with
+    // the pigeonhole-chunk candidate scheme exactly (no cap → the
+    // scheme provably loses nothing within the Hamming radius).
+    "q_dedup_simhash_md5" -> ((s, dir) => {
+      val base = sampledDocs(s, dir).select(col("doc_id"), col("text"))
+      val twins = base.select((col("doc_id") + 10000L).as("doc_id"),
+        concat(col("text"), lit(" extraword")).as("text"))
+      Dedup.simhashPairsMd5(base.unionByName(twins), "doc_id", "text", maxHamming = 10)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Text analysis: token counts, punctuation, stopwords, quality.
     "q_text_stats" -> ((s, dir) =>
       TestTables.documents(s, dir).select(
@@ -1254,6 +1267,27 @@ object QueriesData {
         |FROM cand
         |QUALIFY row_number() OVER (PARTITION BY probe_key ORDER BY dist, match_key) = 1
         |ORDER BY probe_key""".stripMargin,
+
+    "q_dedup_simhash_md5" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+        |docs AS (SELECT doc_id, text FROM base
+        |         UNION ALL SELECT doc_id + 10000, text || ' extraword' FROM base),
+        |w AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+        |      FROM docs),
+        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 16)) AS UBIGINT) AS h FROM w),
+        |bits AS (
+        |  SELECT doc_id, r.b, CASE WHEN (h >> r.b) & 1 = 1 THEN 1 ELSE -1 END AS v
+        |  FROM h, (SELECT unnest(range(0, 63)) AS b) r),
+        |votes AS (SELECT doc_id, b, CAST(sum(v) AS BIGINT) AS vote FROM bits GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 10
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_dedup_containment" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
