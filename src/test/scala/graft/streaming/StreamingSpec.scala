@@ -46,6 +46,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, s"stream/batch mismatch: ${streamed.size} vs ${batch.size} windows")
   }
 
+  test("native session_window: streamed merging windows equal the batch aggregation") {
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", $"sw.start".as("s"), $"sw.end".as("e"), $"n")
+    val q = agg(EventsStream.withWatermark(streamSource(), "1 hour"))
+      .writeStream.format("memory").queryName("sess_win")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    val streamed = key(spark.table("sess_win"))
+    val batch = key(agg(graft.tables.TestTables.events(spark, "/root/testdata/sf0.001")))
+    assert(streamed == batch, s"stream/batch mismatch: ${streamed.size} vs ${batch.size} sessions")
+  }
+
   test("stream-static dim join: streamed enrichment equals the batch join") {
     val dim = graft.tables.TestTables.customer(spark, "/root/testdata/sf0.001")
     def enrich(events: org.apache.spark.sql.DataFrame) =
