@@ -43,6 +43,30 @@ object QueriesData {
       ('a' to 'z').filter(_ != 'q').map(c => s"##$c")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // End-to-end curriculum pipeline: classifier gate → global score
+    // ranks → decile tiers → per-tier epoch schedule (top deciles ×2,
+    // middle ×1, bottom hash-halved) — the serving-set construction a
+    // quality-curriculum trainer runs, in ONE deterministic plan.
+    "q_pipeline_curriculum" -> ((s, dir) => {
+      import graft.ops.GlobalIndex
+      import graft.datapipe.Sampling
+      val kept = Classifier.scoreDocs(TestTables.documents(s, dir), "doc_id", "text",
+          Classifier.syntheticWeights(64), salt = "cls0")
+        .filter(col("keep")).select(col("doc_id"), col("score"))
+      val n = kept.agg(count(lit(1)).as("__n"))
+      val tiered = GlobalIndex.withGlobalIndex(kept, Seq(col("score"), col("doc_id")), "rank")
+        .crossJoin(broadcast(n))
+        .withColumn("decile", expr("(rank * 10) div __n"))
+      tiered.select(col("doc_id"), col("score"), col("decile"),
+          explode(
+            when(col("decile") >= 8, array(lit(0L), lit(1L)))
+              .when(col("decile") >= 4, array(lit(0L)))
+              .when(Sampling.hashHex(col("doc_id"), "cur") < lit(Sampling.hexThreshold(0.5)),
+                array(lit(0L)))
+              .otherwise(array().cast("array<bigint>"))).as("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    }),
+
     // Score normalization for curriculum/filter decisions: classifier
     // scores → exact global ranks (scalable GlobalIndex, no global
     // window) → integer percentile (basis points) and equal-frequency
@@ -1202,6 +1226,27 @@ object QueriesData {
     "q_pipeline_corpus" -> corpusCleanOracle,
     "q_pipeline_corpus_cc" -> corpusCleanOracle(ccSurvivor = true),
     "q_pipeline_pretrain" -> pretrainOracle,
+
+    "q_pipeline_curriculum" -> {
+      val scoreSql = Classifier.scoreDocsSql(Classifier.syntheticWeights(64), "cls0", 0L)
+      s"""WITH scored AS (SELECT doc_id, score, keep FROM ($scoreSql)),
+         |kept AS (SELECT doc_id, score FROM scored WHERE keep),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM kept),
+         |ranked AS (
+         |  SELECT doc_id, score, row_number() OVER (ORDER BY score, doc_id) - 1 AS rank
+         |  FROM kept),
+         |tiered AS (
+         |  SELECT doc_id, score, rank * 10 // (SELECT n FROM nn) AS decile FROM ranked),
+         |cop AS (
+         |  SELECT doc_id, score, decile,
+         |    CASE WHEN decile >= 8 THEN 2 WHEN decile >= 4 THEN 1
+         |         WHEN substr(md5('cur' || '|' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+         |           THEN 1 ELSE 0 END AS copies
+         |  FROM tiered)
+         |SELECT doc_id, score, decile, CAST(t.i AS BIGINT) AS epoch
+         |FROM cop, unnest(range(0, copies)) AS t(i)
+         |ORDER BY doc_id, epoch""".stripMargin
+    },
 
     "q_score_ranks" -> {
       val scoreSql = Classifier.scoreDocsSql(Classifier.syntheticWeights(64), "cls0", 0L)
