@@ -133,6 +133,21 @@ object QueriesB {
         .orderBy(col("l_orderkey"))),
 
     // B19: set difference — ids dropped by dedup (duplicated services).
+    // MULTISET set ops (intersectAll / exceptAll): lineitem carries
+    // planted duplicate rows by design, so bag semantics — min(m,n)
+    // copies intersect, max(m−n, 0) survive the difference — are
+    // load-bearing; plain distinct INTERSECT/EXCEPT would hash-differ.
+    "q_set_ops_all" -> ((s, dir) => {
+      val li = TestTables.lineitem(s, dir)
+      val a = li.filter(col("l_orderkey") % 2 === 0)
+        .select(col("l_partkey"), col("l_suppkey"))
+      val b = li.filter(col("l_quantity") > 25)
+        .select(col("l_partkey"), col("l_suppkey"))
+      a.intersectAll(b).withColumn("op", lit("intersect_all"))
+        .unionByName(a.exceptAll(b).withColumn("op", lit("except_all")))
+        .orderBy(col("op"), col("l_partkey"), col("l_suppkey"))
+    }),
+
     "q_b19_set_difference" -> ((s, dir) => {
       val li = TestTables.lineitem(s, dir)
         .withColumn("service_uid", col("l_orderkey") * 10 + col("l_linenumber"))
@@ -473,6 +488,14 @@ object QueriesB {
       """SELECT l_orderkey,
         |  max(CASE WHEN nullif(l_returnflag, 'N') IS NULL THEN 1 ELSE 0 END) AS has_null_dx
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q_set_ops_all" ->
+      """WITH a AS (SELECT l_partkey, l_suppkey FROM lineitem WHERE l_orderkey % 2 = 0),
+        |b AS (SELECT l_partkey, l_suppkey FROM lineitem WHERE l_quantity > 25)
+        |SELECT *, 'intersect_all' AS op FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |UNION ALL
+        |SELECT *, 'except_all' AS op FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |ORDER BY op, l_partkey, l_suppkey""".stripMargin,
 
     "q_b19_set_difference" ->
       """WITH uid AS (
