@@ -322,6 +322,47 @@ object Multimodal {
     }(enc)
   }
 
+  /** Image resize on the real codec — decode, nearest-neighbor
+    * downscale to (dstW, dstH), re-encode (the image twin of
+    * [[transcodeWav]]: normalize every image to one model input size
+    * inside the scan). Source index per destination pixel is the
+    * truncating `x·srcW/dstW` — pure non-negative integer division,
+    * so the whole pixel mapping is engine-replayable; the BMP
+    * round-trip again exercises bottom-up rows, padding, BGR.
+    */
+  def resizeBmp(media: DataFrame, dstW: Int, dstH: Int, batchSize: Int = 32): DataFrame = {
+    require(dstW >= 1 && dstH >= 1, "target dims must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType), StructField("content", BinaryType)))
+    val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val (w, h, rgb) = decodeBmp24(r.getAs[Array[Byte]](contentIdx))
+          val out = new Array[Byte](dstW * dstH * 3)
+          var y = 0
+          while (y < dstH) {
+            val sy = y * h / dstH
+            var x = 0
+            while (x < dstW) {
+              val sx = x * w / dstW
+              var c = 0
+              while (c < 3) {
+                out((y * dstW + x) * 3 + c) = rgb((sy * w + sx) * 3 + c)
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          Row(r.getLong(idIdx), encodeBmp24(dstW, dstH, out))
+        }
+      }
+    }(enc)
+  }
+
   /** Real decode + feature extraction over BMP content, batch-shaped
     * like `decodeWavFeatures`: per image, dimensions, per-channel sums
     * (channel-order-sensitive), an index-weighted sum (pixel-order-

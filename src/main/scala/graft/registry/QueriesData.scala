@@ -108,6 +108,17 @@ object QueriesData {
         .orderBy(col("media_id"))
     }),
 
+    // Image resize on the real BMP codec: decode → 4×4 nearest-
+    // neighbor downscale → re-encode → decode for features. The
+    // oracle recomputes every destination pixel closed-form through
+    // the integer source-index map — a row-flip, padding, channel, or
+    // index bug anywhere in the chain fails the hash.
+    "q_mm_bmp_resize" -> ((s, dir) => {
+      val bmp = Multimodal.synthBmp(TestTables.documents(s, dir), "doc_id")
+      Multimodal.decodeBmpFeatures(Multimodal.resizeBmp(bmp, dstW = 4, dstH = 4))
+        .orderBy(col("media_id"))
+    }),
+
     // Record-linkage resolution: fuzzy candidate sets collapse to ONE
     // canonical match per probe (min distance, then min key — fully
     // deterministic). The fixture deletes each customer name's LAST
@@ -1279,6 +1290,25 @@ object QueriesData {
         |SELECT anchor, CAST(neg_rank AS INT) AS neg_rank, CAST(j AS INT) AS j, neg_id
         |FROM surv WHERE neg_rank <= 4
         |ORDER BY anchor, neg_rank""".stripMargin,
+
+    "q_mm_bmp_resize" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
+        |px AS (
+        |  SELECT doc_id, j,
+        |    (doc_id * 31
+        |      + ((((j // 3) // 4) * h // 4 * w + ((j // 3) % 4) * w // 4) * 3 + (j % 3)) * 7) % 256 AS v
+        |  FROM d, (SELECT unnest(range(0, 48)) AS j) r),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN j % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+        |    CAST(sum(CASE WHEN j % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+        |    CAST(sum(CASE WHEN j % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+        |    CAST(sum(v * (j % 251)) AS BIGINT) AS px_weighted
+        |  FROM px GROUP BY doc_id)
+        |SELECT doc_id AS media_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+        |  CAST(16 AS BIGINT) AS n_px, sum_r, sum_g, sum_b, px_weighted,
+        |  CAST(sum_r + sum_g + sum_b AS DOUBLE) / CAST(48 AS DOUBLE) AS mean_px
+        |FROM agg ORDER BY media_id""".stripMargin,
 
     "q_mm_wav_transcode" ->
       """WITH d AS (SELECT doc_id, 400 + (doc_id % 5) * 200 AS n FROM documents),

@@ -65,4 +65,21 @@ class BmpSpec extends AnyFunSuite {
       assert(mean == vs.sum.toDouble / (ew * eh * 3).toDouble)
     }
   }
+
+  test("resize: nearest-neighbor index map, identity at same size, corner pixels") {
+    val w = 8; val h = 6
+    val rgb = Array.tabulate(w * h * 3)(i => (i % 256).toByte)
+    val media = Seq((1L, Multimodal.encodeBmp24(w, h, rgb))).toDF("media_id", "content")
+    // Identity resize round-trips the exact pixels.
+    val same = Multimodal.resizeBmp(media, w, h).collect().head.getAs[Array[Byte]](1)
+    assert(Multimodal.decodeBmp24(same)._3.sameElements(rgb))
+    // 2x2: dst(0,0) = src(0,0); dst(1,1) = src(x=1*8/2=4, y=1*6/2=3).
+    val small = Multimodal.decodeBmp24(
+      Multimodal.resizeBmp(media, 2, 2).collect().head.getAs[Array[Byte]](1))
+    assert(small._1 == 2 && small._2 == 2)
+    val out = small._3
+    assert(out.slice(0, 3).sameElements(rgb.slice(0, 3)))
+    val srcIdx = (3 * w + 4) * 3
+    assert(out.slice(9, 12).sameElements(rgb.slice(srcIdx, srcIdx + 3)))
+  }
 }
