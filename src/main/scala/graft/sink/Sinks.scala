@@ -78,6 +78,14 @@ object Sinks {
     *
     * Untouched partitions are never read, written, or renamed.
     *
+    * Atomicity boundary, stated plainly: each partition swap is
+    * atomic, but a multi-partition MERGE is NOT atomic as a whole — a
+    * crash mid-loop leaves some partitions new and some old (each
+    * individually consistent and recoverable). When cross-partition
+    * snapshot atomicity matters, use [[ManifestTable.upsert]], whose
+    * single manifest-commit rename IS the all-or-nothing boundary —
+    * the in-repo equivalent of Delta/Iceberg MERGE.
+    *
     * Assumes `partCol` is stable per key (derived from the row's own
     * immutable attributes, e.g. visit month) — the same assumption that
     * makes partition-level MERGE pruning valid in Delta/Iceberg.
