@@ -582,6 +582,37 @@ object Multimodal {
     }(enc)
   }
 
+  /** Video transcode on the real codec — keep every `n`-th frame and
+    * divide the frame rate accordingly (the fps-normalization step of
+    * a video-corpus pipeline; completes the DSP set with
+    * [[transcodeWav]] and [[resizeBmp]]). Pure frame selection — no
+    * pixel math — so the oracle replays it by reindexing the
+    * closed-form frames. `fps` must divide evenly (the honest
+    * contract: a fractional frame rate has no AVI representation
+    * here).
+    */
+  def transcodeAvi(media: DataFrame, keepEveryNth: Int, batchSize: Int = 32): DataFrame = {
+    require(keepEveryNth >= 1, "keepEveryNth must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType), StructField("content", BinaryType)))
+    val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val (w, h, fps, frames) = decodeAvi(r.getAs[Array[Byte]](contentIdx))
+          require(fps % keepEveryNth == 0,
+            s"fps $fps not divisible by $keepEveryNth")
+          val kept = frames.indices.collect {
+            case f if f % keepEveryNth == 0 => frames(f)
+          }.toArray
+          Row(r.getLong(idIdx), encodeAvi(w, h, fps / keepEveryNth, kept))
+        }
+      }
+    }(enc)
+  }
+
   /** Real decode + feature extraction over AVI content, batch-shaped
     * like the WAV/BMP variants: per clip, dimensions, fps, frame
     * count, total pixel sum, a frame-order-weighted sum (catches

@@ -108,6 +108,15 @@ object QueriesData {
         .orderBy(col("media_id"))
     }),
 
+    // Video transcode on the real AVI codec: keep every 2nd frame,
+    // halve fps, re-encode, re-extract. The frame-order-weighted
+    // feature makes dropped-vs-kept frame identity load-bearing.
+    "q_mm_avi_transcode" -> ((s, dir) => {
+      val avi = Multimodal.synthAvi(TestTables.documents(s, dir), "doc_id")
+      Multimodal.decodeAviFeatures(Multimodal.transcodeAvi(avi, keepEveryNth = 2))
+        .orderBy(col("media_id"))
+    }),
+
     // Image resize on the real BMP codec: decode → 4×4 nearest-
     // neighbor downscale → re-encode → decode for features. The
     // oracle recomputes every destination pixel closed-form through
@@ -1290,6 +1299,29 @@ object QueriesData {
         |SELECT anchor, CAST(neg_rank AS INT) AS neg_rank, CAST(j AS INT) AS j, neg_id
         |FROM surv WHERE neg_rank <= 4
         |ORDER BY anchor, neg_rank""".stripMargin,
+
+    "q_mm_avi_transcode" ->
+      """WITH d AS (
+        |  SELECT doc_id, 8 + doc_id % 6 AS w, 6 + doc_id % 5 AS h,
+        |    (2 + doc_id % 4 + 1) // 2 AS nf2
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, f.f, j.j,
+        |    (doc_id * 31 + (f.f * 2) * 11 + j.j * 7) % 256 AS v
+        |  FROM d,
+        |  LATERAL (SELECT unnest(range(0, d.nf2)) AS f) f,
+        |  LATERAL (SELECT unnest(range(0, d.w * d.h * 3)) AS j) j),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(v) AS BIGINT) AS sum_px,
+        |    CAST(sum((f + 1) * v) AS BIGINT) AS frame_weighted,
+        |    CAST(sum(v * (j % 251)) AS BIGINT) AS px_weighted
+        |  FROM px GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(6 AS INT) AS fps, CAST(nf2 AS INT) AS n_frames,
+        |  CAST(w * h * nf2 AS BIGINT) AS n_px, sum_px, frame_weighted, px_weighted,
+        |  CAST(sum_px AS DOUBLE) / CAST(w * h * 3 * nf2 AS DOUBLE) AS mean_px
+        |FROM d JOIN agg ON d.doc_id = agg.doc_id
+        |ORDER BY media_id""".stripMargin,
 
     "q_mm_bmp_resize" ->
       """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents),
