@@ -57,7 +57,9 @@ object Bench {
     "q_quality_classifier",
     "q_journey_ngrams",
     "q_negative_sample",
-    "q_asof_native")
+    "q_asof_native",
+    "q_set_ops_all",
+    "q_stream_session_window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
