@@ -847,7 +847,13 @@ object QueriesData {
     // output is exactly the 30 (base, copy) star pairs at cosine 1.0 —
     // the quadratic-blowup defense is what this entry exercises.
     "q_sim_cosine_dedup_capped" -> ((s, dir) => {
-      val emb = TestTables.embeddings(s, dir).filter(col("vec_id") % 10 === 0)
+      // vec_id < 1e9 pins the fixture to ScaleUp replica 0 (a no-op at
+      // plain SFs): replicated tables carry IDENTICAL embeddings under
+      // shifted ids, which would overflow EVERY bucket with exact
+      // twins and void the "only the planted bucket exceeds the cap"
+      // premise this oracle's exactness rests on.
+      val emb = TestTables.embeddings(s, dir)
+        .filter(col("vec_id") % 10 === 0 && col("vec_id") < 1000000000L)
         .select(col("vec_id"), col("embedding"))
       val copies = emb.filter(col("vec_id") === 0)
         .select(explode(sequence(lit(1), lit(30))).as("i"), col("embedding"))
@@ -2155,7 +2161,7 @@ object QueriesData {
     // exhaustive scan; all other pairs are ≤ 0.46 and filtered.
     "q_sim_cosine_dedup_capped" ->
       """WITH s AS (SELECT vec_id AS doc, CAST(embedding AS DOUBLE[]) AS v
-        |           FROM embeddings WHERE vec_id % 10 = 0),
+        |           FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 1000000000),
         |cp AS (SELECT 20000000 + i AS doc,
         |         CAST(list_transform(e.embedding, x -> x * CAST(power(CAST(2.0 AS DOUBLE), CAST(i AS DOUBLE)) AS FLOAT)) AS DOUBLE[]) AS v
         |       FROM (SELECT unnest(range(1, 31)) AS i) ids,
