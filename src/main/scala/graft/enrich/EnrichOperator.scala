@@ -41,7 +41,15 @@ object EnrichOperator {
       parallelism: Int = 0,
       maxAttempts: Int = 2,
       backoffMs: Long = 0L,
-      ratePerSec: Double = 0.0)
+      ratePerSec: Double = 0.0,
+      // E-family circuit breaker: after this many CONSECUTIVE
+      // exhausted-retry failures in a partition, stop calling the
+      // service and mark the partition's remaining rows "skipped" —
+      // a dying endpoint fails in seconds instead of burning the full
+      // row count x maxAttempts x backoff. 0 disables. Success resets
+      // the streak. Skipped rows are replayable: they fail the
+      // Checkpoint.resume anti-join exactly like errors.
+      breakerThreshold: Int = 0)
 
   /** Resolve the effective partition count for an enrichment stage. */
   def resolveParallelism(df: DataFrame, cfg: Config): Int =
@@ -66,9 +74,9 @@ object EnrichOperator {
   }
 
   /** Enrich `df` by calling `client(payloadCol)` once per row. Appends
-    * `status` ("ok"/"error"), `response` (body or null) and `message`
-    * (error or null). Row order within partitions is preserved; the
-    * repartition is the only shuffle.
+    * `status` ("ok"/"error"/"skipped"), `response` (body or null) and
+    * `message` (error/skip reason or null). Row order within
+    * partitions is preserved; the repartition is the only shuffle.
     */
   def enrich(df: DataFrame, payloadCol: String, makeClient: () => ServiceClient,
              cfg: Config = Config(), metrics: Option[Metrics] = None): DataFrame = {
@@ -85,7 +93,12 @@ object EnrichOperator {
       val minIntervalNs =
         if (perPartitionRate > 0) (1e9 / perPartitionRate).toLong else 0L
       var nextAllowedNs = 0L
+      var failStreak = 0
       rows.map { row =>
+        if (cfg.breakerThreshold > 0 && failStreak >= cfg.breakerThreshold) {
+          Row.fromSeq(row.toSeq ++ Seq("skipped", null,
+            s"circuit open after $failStreak consecutive failures"))
+        } else {
         if (minIntervalNs > 0) {
           val now = System.nanoTime()
           if (now < nextAllowedNs) Thread.sleep((nextAllowedNs - now) / 1000000L + 1)
@@ -106,10 +119,11 @@ object EnrichOperator {
           }
         }
         val extra = result match {
-          case Right(body) => Seq("ok", body, null)
-          case Left(err)   => Seq("error", null, err)
+          case Right(body) => failStreak = 0; Seq("ok", body, null)
+          case Left(err)   => failStreak += 1; Seq("error", null, err)
         }
         Row.fromSeq(row.toSeq ++ extra)
+        }
       }
     }(enc)
   }

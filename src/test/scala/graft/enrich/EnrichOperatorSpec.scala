@@ -101,4 +101,51 @@ class EnrichOperatorSpec extends AnyFunSuite {
     val v = LlmFanout.noDiagnosisVisits(claims, "visit_id", "icd10").as[Long].collect().toSet
     assert(v == Set(1L))
   }
+
+  test("circuit breaker trips after the streak and stops calling the service") {
+    val alwaysFail = () => new ServiceClient {
+      override def call(payload: String): Either[String, String] = Left("endpoint down")
+    }
+    val df = (1L to 40L).toDF("k").withColumn("__p", $"k".cast("string"))
+    val m = EnrichOperator.Metrics(df, "breaker")
+    val out = EnrichOperator.enrich(df, "__p", alwaysFail,
+      EnrichOperator.Config(parallelism = 1, maxAttempts = 2, breakerThreshold = 3), Some(m))
+      .groupBy("status").count().as[(String, Long)].collect().toMap
+    assert(out("error") == 3 && out("skipped") == 37, out.toString)
+    // Only the 3 tripping rows hit the wire (x maxAttempts retries).
+    assert(m.calls.value == 6, s"calls = ${m.calls.value}")
+    val msg = EnrichOperator.enrich(df, "__p", alwaysFail,
+      EnrichOperator.Config(parallelism = 1, maxAttempts = 1, breakerThreshold = 1))
+      .filter($"status" === "skipped").select("message").as[String].head()
+    assert(msg.contains("circuit open"))
+  }
+
+  test("a success resets the breaker streak") {
+    // Client alternates fail/ok by an internal counter: failures can
+    // never run consecutively, so threshold 2 must never trip in any
+    // row order.
+    val flaky = () => new ServiceClient {
+      private var n = 0
+      override def call(payload: String): Either[String, String] = {
+        n += 1
+        if (n % 2 == 1) Left("odd call fails") else Right("{}")
+      }
+    }
+    val out = EnrichOperator.enrich((1L to 30L).toDF("k").withColumn("__p", $"k".cast("string")),
+      "__p", flaky,
+      EnrichOperator.Config(parallelism = 1, maxAttempts = 1, breakerThreshold = 2))
+      .groupBy("status").count().as[(String, Long)].collect().toMap
+    assert(!out.contains("skipped"), out.toString)
+    assert(out("error") == 15 && out("ok") == 15)
+  }
+
+  test("breaker disabled by default: every row is attempted") {
+    val alwaysFail = () => new ServiceClient {
+      override def call(payload: String): Either[String, String] = Left("down")
+    }
+    val out = EnrichOperator.enrich((1L to 20L).toDF("k").withColumn("__p", $"k".cast("string")),
+      "__p", alwaysFail, EnrichOperator.Config(parallelism = 2, maxAttempts = 1))
+      .groupBy("status").count().as[(String, Long)].collect().toMap
+    assert(out("error") == 20 && !out.contains("skipped"))
+  }
 }
