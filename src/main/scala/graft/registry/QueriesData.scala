@@ -43,6 +43,19 @@ object QueriesData {
       ('a' to 'z').filter(_ != 'q').map(c => s"##$c")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tokenize→pack pipeline: subword piece counts (the real cost
+    // measure a sequence packer needs) feed the hash-bucketed packer —
+    // tokenization and batch construction in ONE plan.
+    "q_pipeline_tokenize" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val pieces = TestTables.documents(s, dir)
+        .select(col("doc_id"), SubwordTokenize.of(ws, subwordVocab).as("pieces"))
+      graft.datapipe.Sampling.packSequences(pieces, col("doc_id"), size(col("pieces")),
+          budget = 256L, buckets = 8, salt = "tokpack")
+        .withColumnRenamed("key", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // End-to-end curriculum pipeline: classifier gate → global score
     // ranks → decile tiers → per-tier epoch schedule (top deciles ×2,
     // middle ×1, bottom hash-halved) — the serving-set construction a
@@ -1453,6 +1466,46 @@ object QueriesData {
       Classifier.scoreDocsSql(Classifier.syntheticWeights(64), salt = "cls0", threshold = 0L),
     "q_bpe_learn" -> Bpe.oracleSql(10, mergeTable = true),
     "q_bpe_apply" -> Bpe.oracleSql(10, mergeTable = false),
+
+    "q_pipeline_tokenize" -> {
+      val vocabValues = subwordVocab.map(p => s"('$p')").mkString(",")
+      s"""WITH RECURSIVE vocab(piece) AS (SELECT * FROM (VALUES $vocabValues) v),
+         |words AS (
+         |  SELECT DISTINCT w FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+         |  WHERE w <> ''),
+         |steps AS (
+         |  SELECT w, 1 AS pos, CAST([] AS VARCHAR[]) AS pieces, false AS fail FROM words
+         |  UNION ALL
+         |  SELECT s.w,
+         |    CASE WHEN m.stem IS NULL THEN length(s.w) + 1 ELSE s.pos + length(m.stem) END,
+         |    CASE WHEN m.stem IS NULL THEN ['[UNK]'] ELSE array_append(s.pieces, m.piece) END,
+         |    (m.stem IS NULL)
+         |  FROM steps s
+         |  LEFT JOIN LATERAL (
+         |    SELECT piece, stem FROM (
+         |      SELECT v.piece, CASE WHEN s.pos = 1 THEN v.piece ELSE substr(v.piece, 3) END AS stem
+         |      FROM vocab v WHERE ((s.pos = 1) = (v.piece NOT LIKE '##%'))) vv
+         |    WHERE substr(s.w, s.pos, length(vv.stem)) = vv.stem
+         |    ORDER BY length(vv.stem) DESC, vv.piece LIMIT 1) m ON true
+         |  WHERE s.pos <= length(s.w) AND NOT s.fail),
+         |toks AS (SELECT w, pieces FROM steps WHERE pos > length(w)),
+         |counts AS (
+         |  SELECT dw.doc_id, CAST(sum(len(t.pieces)) AS BIGINT) AS n_tokens
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) dw
+         |  JOIN toks t ON dw.w = t.w
+         |  WHERE dw.w <> '' GROUP BY dw.doc_id),
+         |b AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(('0x' || substr(md5('tokpack' || '|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS bucket
+         |  FROM counts),
+         |c AS (
+         |  SELECT doc_id, bucket, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM b)
+         |SELECT doc_id, bucket, CAST(floor((cum - n_tokens) / 256) AS BIGINT) AS bin, n_tokens
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
 
     "q_text_subword" -> {
       val vocabValues = subwordVocab.map(p => s"('$p')").mkString(",")
