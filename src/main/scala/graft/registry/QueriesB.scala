@@ -290,6 +290,21 @@ object QueriesB {
     // parquet/CSV/Excel. Schema is declared on read-back (JSON infers
     // strings otherwise); doubles survive JSON text via Spark's
     // round-trip float formatting.
+    // B3's read side: CSV round-trip with header + declared schema.
+    // c_comment carries commas and quotes, so the writer's RFC-4180
+    // quoting and the reader's unescaping are both load-bearing —
+    // naive split-on-comma fails the hash.
+    "q_b03_csv_roundtrip" -> ((s, dir) => {
+      val path = graft.util.TempDirs.scratch("graft_csv") + "/cust"
+      // Synthesized comment column carries commas AND double quotes.
+      val slice = TestTables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          concat(col("c_name"), lit(", \"tier "), col("c_mktsegment"), lit("\", ok")).as("c_comment"))
+      graft.sink.Sinks.archiveCsv(slice, path)
+      s.read.schema(slice.schema).option("header", "true").csv(path)
+        .orderBy(col("c_custkey"))
+    }),
+
     "q_b02_json_roundtrip" -> ((s, dir) => {
       val path = graft.util.TempDirs.scratch("graft_json") + "/cust"
       val slice = TestTables.customer(s, dir)
@@ -546,6 +561,11 @@ object QueriesB {
 
     "q_b30_head" ->
       """SELECT o_orderkey, o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 10""".stripMargin,
+
+    "q_b03_csv_roundtrip" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |  c_name || ', "tier ' || c_mktsegment || '", ok' AS c_comment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_b02_json_roundtrip" ->
       """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
