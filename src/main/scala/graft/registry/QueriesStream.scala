@@ -60,6 +60,20 @@ object QueriesStream {
           Seq("c_name", "c_mktsegment"))
         .orderBy(col("event_id"))),
 
+    // Hopping (sliding) windows: 10-minute windows every 5 minutes —
+    // each event lands in exactly two windows. The oracle derives the
+    // same membership arithmetically (the two aligned starts covering
+    // each timestamp), not via Spark's window() — an independent
+    // formulation of the overlap semantics.
+    "q_stream_hopping_agg" -> ((s, dir) =>
+      TestTables.events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("tv"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n_events"), col("tv").cast("double").as("total_value"))
+        .orderBy(col("window_start"), col("event_type"))),
+
     // Native session windows (Spark's own session_window operator, the
     // merging-window aggregation): 30-minute gap per user. The oracle
     // derives the same sessions by the INDEPENDENT lag/cumsum
@@ -159,6 +173,18 @@ object QueriesStream {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_stream_hopping_agg" ->
+      """WITH e AS (
+        |  SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |m AS (
+        |  SELECT event_type, value,
+        |    ((ts_us // 300000000) - k.k) * 300000000 AS start_us
+        |  FROM e, (SELECT unnest([0, 1]) AS k) k)
+        |SELECT make_timestamp(start_us) AS window_start, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM m GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
     "q_stream_session_window" ->
       """WITH e AS (
         |  SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
