@@ -169,6 +169,23 @@ object QueriesAnalysis {
     // corpus collapses to a (type, value, count) histogram in one
     // shuffle; medians interpolate on exact binary fractions of longs,
     // so DuckDB's quantile_cont reproduces them bit-for-bit.
+    // Dwell time per state: how long users sit in each event type
+    // before their next event (the time-in-state companion to the
+    // transition matrix) — one user-keyed window, integer microseconds.
+    "q_dwell_time" -> ((s, dir) => {
+      import graft.tables.TestTables
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      TestTables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+        .withColumn("dwell_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+        .filter(col("dwell_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("dwell_us")).as("total_dwell_us"),
+          max(col("dwell_us")).as("max_dwell_us"))
+        .orderBy(col("event_type"))
+    }),
+
     // Fixed-width histogram of a measure (EDA companion to the column
     // profiler): integer-quantized cents → 5-unit bins by double-floor
     // (both engines make the identical IEEE choice), per-bin count and
@@ -399,6 +416,20 @@ object QueriesAnalysis {
         |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin,
+
+    "q_dwell_time" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |d AS (
+        |  SELECT event_type,
+        |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us AS dwell_us
+        |  FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(dwell_us) AS BIGINT) AS total_dwell_us,
+        |  max(dwell_us) AS max_dwell_us
+        |FROM d WHERE dwell_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_histogram" ->
       """WITH q AS (SELECT CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
