@@ -169,6 +169,28 @@ object QueriesAnalysis {
     // corpus collapses to a (type, value, count) histogram in one
     // shuffle; medians interpolate on exact binary fractions of longs,
     // so DuckDB's quantile_cont reproduces them bit-for-bit.
+    // RFM segmentation: per-user recency/frequency/monetary tiers over
+    // purchase events, all integer (cents, fixed cuts) — the classic
+    // customer-analytics rollup as one aggregation + CASE ladder.
+    "q_rfm_segments" -> ((s, dir) => {
+      import graft.tables.TestTables
+      val cut = 1705406400000000L // 2024-01-16T12:00:00Z reference point
+      val base = TestTables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(max(col("ts_us")).as("last_us"), count(lit(1)).as("freq"),
+          sum(floor(col("value") * 100).cast("long")).as("cents"))
+      base.select(col("user_id"), col("last_us"), col("freq"), col("cents"),
+          when(col("last_us") >= cut, 3).when(col("last_us") >= cut - 86400000000L, 2)
+            .otherwise(1).as("r_tier"),
+          when(col("freq") >= 20, 3).when(col("freq") >= 10, 2).otherwise(1).as("f_tier"),
+          when(col("cents") >= 100000L, 3).when(col("cents") >= 50000L, 2)
+            .otherwise(1).as("m_tier"))
+        .withColumn("segment",
+          concat(col("r_tier"), lit("-"), col("f_tier"), lit("-"), col("m_tier")))
+        .orderBy(col("user_id"))
+    }),
+
     // Dwell time per state: how long users sit in each event type
     // before their next event (the time-in-state companion to the
     // transition matrix) — one user-keyed window, integer microseconds.
@@ -416,6 +438,27 @@ object QueriesAnalysis {
         |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin,
+
+    "q_rfm_segments" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |a AS (
+        |  SELECT user_id, max(ts_us) AS last_us, CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM p GROUP BY user_id),
+        |t AS (
+        |  SELECT *,
+        |    CASE WHEN last_us >= 1705406400000000 THEN 3
+        |         WHEN last_us >= 1705406400000000 - 86400000000 THEN 2 ELSE 1 END AS r_tier,
+        |    CASE WHEN freq >= 20 THEN 3 WHEN freq >= 10 THEN 2 ELSE 1 END AS f_tier,
+        |    CASE WHEN cents >= 100000 THEN 3 WHEN cents >= 50000 THEN 2 ELSE 1 END AS m_tier
+        |  FROM a)
+        |SELECT user_id, last_us, freq, cents,
+        |  CAST(r_tier AS INT) AS r_tier, CAST(f_tier AS INT) AS f_tier, CAST(m_tier AS INT) AS m_tier,
+        |  r_tier || '-' || f_tier || '-' || m_tier AS segment
+        |FROM t ORDER BY user_id""".stripMargin,
 
     "q_dwell_time" ->
       """WITH e AS (
