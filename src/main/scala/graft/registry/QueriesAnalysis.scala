@@ -169,6 +169,22 @@ object QueriesAnalysis {
     // corpus collapses to a (type, value, count) histogram in one
     // shuffle; medians interpolate on exact binary fractions of longs,
     // so DuckDB's quantile_cont reproduces them bit-for-bit.
+    // Contribution analysis (percent-of-total): revenue share per
+    // return flag in exact basis points — group sums over integer
+    // cents, share by integer division against a broadcast total.
+    "q_share_of_total" -> ((s, dir) => {
+      import graft.tables.TestTables
+      val cents = TestTables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val g = cents.groupBy(col("l_returnflag")).agg(sum(col("cents")).as("flag_cents"))
+      val t = cents.agg(sum(col("cents")).as("__total"))
+      g.crossJoin(broadcast(t))
+        .select(col("l_returnflag"), col("flag_cents"),
+          expr("(flag_cents * 10000) div __total").as("share_bp"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // RFM segmentation: per-user recency/frequency/monetary tiers over
     // purchase events, all integer (cents, fixed cuts) — the classic
     // customer-analytics rollup as one aggregation + CASE ladder.
@@ -438,6 +454,16 @@ object QueriesAnalysis {
         |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin,
+
+    "q_share_of_total" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |g AS (SELECT l_returnflag, CAST(sum(cents) AS BIGINT) AS flag_cents FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM c)
+        |SELECT l_returnflag, flag_cents,
+        |  (flag_cents * 10000) // (SELECT total FROM t) AS share_bp
+        |FROM g ORDER BY l_returnflag""".stripMargin,
 
     "q_rfm_segments" ->
       """WITH p AS (
