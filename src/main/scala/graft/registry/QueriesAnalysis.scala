@@ -169,6 +169,75 @@ object QueriesAnalysis {
     // corpus collapses to a (type, value, count) histogram in one
     // shuffle; medians interpolate on exact binary fractions of longs,
     // so DuckDB's quantile_cont reproduces them bit-for-bit.
+    // ABC/Pareto classification: parts ranked by revenue, cumulative
+    // share cut at 80/95 basis-point thresholds — integer cross-
+    // multiplication (cum*10000 vs total*8000) so class boundaries are
+    // exact; rank ties broken by key.
+    "q_abc_pareto" -> ((s, dir) => {
+      import graft.tables.TestTables
+      import org.apache.spark.sql.expressions.Window
+      val g = TestTables.lineitem(s, dir)
+        .select(col("l_partkey"), floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .groupBy(col("l_partkey")).agg(sum(col("cents")).as("rev"))
+      val t = g.agg(sum(col("rev")).as("__total"))
+      val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cum", sum(col("rev")).over(w))
+        .crossJoin(broadcast(t))
+        .withColumn("abc_class",
+          when(col("cum") * 10000L <= col("__total") * 8000L, "A")
+            .when(col("cum") * 10000L <= col("__total") * 9500L, "B")
+            .otherwise("C"))
+        .select(col("l_partkey"), col("rev"), col("cum"), col("abc_class"))
+        .orderBy(col("l_partkey"))
+    }),
+
+    // Fulfillment latency: days from order date to each line's ship
+    // date, aggregated per order priority — the order-to-ship SLA view.
+    "q_ship_latency" -> ((s, dir) => {
+      import graft.tables.TestTables
+      val o = TestTables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = TestTables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lat_days"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("lat_days")).as("total_days"),
+          min(col("lat_days")).as("min_days"), max(col("lat_days")).as("max_days"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // New-vs-returning daily split: each event classed by whether its
+    // user's FIRST-ever event falls on the same day — the growth
+    // dashboard's acquisition/retention cut, one user-keyed min window.
+    "q_new_vs_returning" -> ((s, dir) => {
+      import graft.tables.TestTables
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+      TestTables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id"), col("ts_us"))
+        .withColumn("__first", min(col("ts_us")).over(w))
+        .groupBy(col("day"))
+        .agg(countDistinct(when(to_date(timestamp_micros(col("__first"))) === col("day"),
+            col("user_id"))).as("new_users"),
+          countDistinct(when(to_date(timestamp_micros(col("__first"))) =!= col("day"),
+            col("user_id"))).as("returning_users"))
+        .orderBy(col("day"))
+    }),
+
+    // Week-over-week deltas of the daily event count: lag window over
+    // the dense daily series — the trend line of every ops dashboard.
+    "q_wow_delta" -> ((s, dir) => {
+      import graft.tables.TestTables
+      import org.apache.spark.sql.expressions.Window
+      val daily = TestTables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("day"))
+      daily.withColumn("prev_n", lag(col("n"), 1).over(w))
+        .withColumn("delta", col("n") - col("prev_n"))
+        .orderBy(col("day"))
+    }),
+
     // Contribution analysis (percent-of-total): revenue share per
     // return flag in exact basis points — group sums over integer
     // cents, share by integer division against a broadcast total.
@@ -454,6 +523,50 @@ object QueriesAnalysis {
         |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin,
+
+    "q_abc_pareto" ->
+      """WITH g AS (
+        |  SELECT l_partkey, CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(rev) AS BIGINT) AS total FROM g),
+        |c AS (
+        |  SELECT l_partkey, rev,
+        |    CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM g)
+        |SELECT l_partkey, rev, cum,
+        |  CASE WHEN cum * 10000 <= (SELECT total FROM t) * 8000 THEN 'A'
+        |       WHEN cum * 10000 <= (SELECT total FROM t) * 9500 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM c ORDER BY l_partkey""".stripMargin,
+
+    "q_ship_latency" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS total_days,
+        |  CAST(min(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS min_days,
+        |  CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS max_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_new_vs_returning" ->
+      """WITH e AS (
+        |  SELECT CAST(ts AS DATE) AS day, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |  FROM events),
+        |f AS (SELECT *, min(ts_us) OVER (PARTITION BY user_id) AS first_us FROM e)
+        |SELECT day,
+        |  CAST(count(DISTINCT CASE WHEN CAST(make_timestamp(first_us) AS DATE) = day
+        |    THEN user_id END) AS BIGINT) AS new_users,
+        |  CAST(count(DISTINCT CASE WHEN CAST(make_timestamp(first_us) AS DATE) <> day
+        |    THEN user_id END) AS BIGINT) AS returning_users
+        |FROM f GROUP BY day ORDER BY day""".stripMargin,
+
+    "q_wow_delta" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT day, n, lag(n) OVER (ORDER BY day) AS prev_n,
+        |  n - lag(n) OVER (ORDER BY day) AS delta
+        |FROM d ORDER BY day""".stripMargin,
 
     "q_share_of_total" ->
       """WITH c AS (
