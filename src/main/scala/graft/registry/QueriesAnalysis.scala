@@ -169,6 +169,32 @@ object QueriesAnalysis {
     // corpus collapses to a (type, value, count) histogram in one
     // shuffle; medians interpolate on exact binary fractions of longs,
     // so DuckDB's quantile_cont reproduces them bit-for-bit.
+    // Market-basket pair mining: parts co-purchased in one order,
+    // support-pruned, ranked by the exact integer lift rational
+    // (support·n_orders vs cnt_a·cnt_b — no IEEE division decides the
+    // ranking; cross-multiplied ORDER BY). Pair fan-out is bounded by
+    // basket size squared, never corpus-sized.
+    "q_basket_pairs" -> ((s, dir) => {
+      import graft.tables.TestTables
+      val items = TestTables.lineitem(s, dir)
+        .select(col("l_orderkey").as("ord"), col("l_partkey").as("part")).distinct()
+      val n = TestTables.orders(s, dir).agg(count(lit(1)).as("__n"))
+      val cnt = items.groupBy(col("part")).agg(count(lit(1)).as("cnt"))
+      val pairs = items.as("a").join(items.as("b"),
+          col("a.ord") === col("b.ord") && col("a.part") < col("b.part"))
+        .groupBy(col("a.part").as("part_a"), col("b.part").as("part_b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 3)
+      pairs
+        .join(cnt.select(col("part").as("part_a"), col("cnt").as("cnt_a")), Seq("part_a"))
+        .join(cnt.select(col("part").as("part_b"), col("cnt").as("cnt_b")), Seq("part_b"))
+        .crossJoin(broadcast(n))
+        .select(col("part_a"), col("part_b"), col("support"), col("cnt_a"), col("cnt_b"),
+          (col("support") * col("__n")).as("lift_num"),
+          (col("cnt_a") * col("cnt_b")).as("lift_den"))
+        .orderBy(col("part_a"), col("part_b"))
+    }),
+
     // ABC/Pareto classification: parts ranked by revenue, cumulative
     // share cut at 80/95 basis-point thresholds — integer cross-
     // multiplication (cum*10000 vs total*8000) so class boundaries are
@@ -523,6 +549,20 @@ object QueriesAnalysis {
         |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin,
+
+    "q_basket_pairs" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ord, l_partkey AS part FROM lineitem),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+        |cnt AS (SELECT part, CAST(count(*) AS BIGINT) AS cnt FROM items GROUP BY 1),
+        |p AS (
+        |  SELECT a.part AS part_a, b.part AS part_b, CAST(count(*) AS BIGINT) AS support
+        |  FROM items a JOIN items b ON a.ord = b.ord AND a.part < b.part
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT part_a, part_b, support, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+        |  support * (SELECT n FROM nn) AS lift_num,
+        |  ca.cnt * cb.cnt AS lift_den
+        |FROM p JOIN cnt ca ON ca.part = part_a JOIN cnt cb ON cb.part = part_b
+        |ORDER BY part_a, part_b""".stripMargin,
 
     "q_abc_pareto" ->
       """WITH g AS (
