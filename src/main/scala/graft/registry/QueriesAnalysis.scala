@@ -205,11 +205,11 @@ object QueriesAnalysis {
       val g = TestTables.lineitem(s, dir)
         .select(col("l_partkey"), floor(col("l_extendedprice") * 100).cast("long").as("cents"))
         .groupBy(col("l_partkey")).agg(sum(col("cents")).as("rev"))
-      val t = g.agg(sum(col("rev")).as("__total"))
+      val total1 = g.agg(sum(col("rev")).as("__total"))
       val w = Window.orderBy(col("rev").desc, col("l_partkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       g.withColumn("cum", sum(col("rev")).over(w))
-        .crossJoin(broadcast(t))
+        .crossJoin(broadcast(total1))
         .withColumn("abc_class",
           when(col("cum") * 10000L <= col("__total") * 8000L, "A")
             .when(col("cum") * 10000L <= col("__total") * 9500L, "B")
@@ -273,8 +273,8 @@ object QueriesAnalysis {
         .select(col("l_returnflag"),
           floor(col("l_extendedprice") * 100).cast("long").as("cents"))
       val g = cents.groupBy(col("l_returnflag")).agg(sum(col("cents")).as("flag_cents"))
-      val t = cents.agg(sum(col("cents")).as("__total"))
-      g.crossJoin(broadcast(t))
+      val total1 = cents.agg(sum(col("cents")).as("__total"))
+      g.crossJoin(broadcast(total1))
         .select(col("l_returnflag"), col("flag_cents"),
           expr("(flag_cents * 10000) div __total").as("share_bp"))
         .orderBy(col("l_returnflag"))

@@ -73,8 +73,9 @@ class PlanShapeSpec extends AnyFunSuite {
     // id lists); anything data-scaling must route through
     // Joins.broadcastIfSmall.
     import scala.jdk.CollectionConverters._
-    // clinicUnits is a 5-element literal Seq (business-unit tags).
-    val allowed = Set("hi", "n", "r", "nation", "region", "ids", "clinicUnits")
+    // clinicUnits is a 5-element literal Seq (business-unit tags);
+    // `n` and `total1` are 1-row aggregates (counts / totals).
+    val allowed = Set("hi", "n", "total1", "r", "nation", "region", "ids", "clinicUnits")
     val roots = Seq("src/main/scala/graft/relational", "src/main/scala/graft/registry",
       "src/main/scala/graft/SparkEntry.scala", "src/main/scala/graft/pipeline")
     val bc = """broadcast\((\w+)""".r
