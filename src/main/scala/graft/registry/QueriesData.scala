@@ -280,6 +280,28 @@ object QueriesData {
         .orderBy(col("node"))
     }),
 
+    // K-hop reachability on the same synthetic link graph as PageRank:
+    // distinct nodes reachable within 3 hops per source (self included
+    // only when a cycle returns). Three frontier equi-joins with
+    // per-stage distincts — never a transitive-closure blowup; the
+    // oracle unrolls the identical three joins.
+    "q_graph_khop" -> ((s, dir) => {
+      val docs = TestTables.documents(s, dir).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val e1 = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), col("__n"),
+          explode(sequence(lit(1), (lit(1) + col("doc_id") % 3).cast("int"))).as("k"))
+        .select(col("src"), ((col("src") * 31 + col("k") * 97) % col("__n")).as("dst"))
+        .distinct()
+      val e2 = e1.as("a").join(e1.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst")).distinct()
+      val e3 = e2.as("a").join(e1.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst")).distinct()
+      e1.unionByName(e2).unionByName(e3).distinct()
+        .groupBy(col("src")).agg(count(lit(1)).as("n_reachable"))
+        .orderBy(col("src"))
+    }),
+
     // Markdown -> text extraction: a deterministic markdown wrapper
     // around each document (headers/bold/italics/quote/list/link/
     // fence/hr), stripped by the ordered regex chain. The oracle is
@@ -1553,6 +1575,18 @@ object QueriesData {
          |SELECT doc_id, ${graft.datapipe.Markdown.toTextSql("md")} AS clean
          |FROM m ORDER BY doc_id""".stripMargin
     },
+
+    "q_graph_khop" ->
+      """WITH nn AS (SELECT count(*) AS c FROM documents),
+        |e1 AS (
+        |  SELECT DISTINCT doc_id AS src, (doc_id * 31 + 97 * k.k) % (SELECT c FROM nn) AS dst
+        |  FROM documents, (SELECT unnest([1, 2, 3]) AS k) k
+        |  WHERE k.k <= 1 + doc_id % 3),
+        |e2 AS (SELECT DISTINCT a.src, b.dst FROM e1 a JOIN e1 b ON a.dst = b.src),
+        |e3 AS (SELECT DISTINCT a.src, b.dst FROM e2 a JOIN e1 b ON a.dst = b.src),
+        |r AS (SELECT src, dst FROM e1 UNION SELECT src, dst FROM e2 UNION SELECT src, dst FROM e3)
+        |SELECT src, CAST(count(*) AS BIGINT) AS n_reachable
+        |FROM r GROUP BY src ORDER BY src""".stripMargin,
 
     "q_graph_triangles" ->
       """WITH nn AS (SELECT count(*) AS c FROM documents),
