@@ -251,6 +251,24 @@ object QueriesAnalysis {
         .orderBy(col("day"))
     }),
 
+    // Trailing 7-day revenue per ship day via a RANGE frame over epoch
+    // days — gap-correct (missing days genuinely shrink the window,
+    // which a ROWS frame would get wrong). Integer cents.
+    "q_trailing_7d" -> ((s, dir) => {
+      import graft.tables.TestTables
+      import org.apache.spark.sql.expressions.Window
+      val daily = TestTables.lineitem(s, dir)
+        .groupBy(to_date(col("l_shipdate")).as("day"))
+        .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
+        .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01")).cast("long"))
+      val w = Window.orderBy(col("epoch_day")).rangeBetween(-6, 0)
+      daily
+        .withColumn("trail7_cents", sum(col("cents")).over(w))
+        .withColumn("trail7_days", count(lit(1)).over(w))
+        .select(col("day"), col("cents"), col("trail7_cents"), col("trail7_days"))
+        .orderBy(col("day"))
+    }),
+
     // Week-over-week deltas of the daily event count: lag window over
     // the dense daily series — the trend line of every ops dashboard.
     "q_wow_delta" -> ((s, dir) => {
@@ -599,6 +617,17 @@ object QueriesAnalysis {
         |  CAST(count(DISTINCT CASE WHEN CAST(make_timestamp(first_us) AS DATE) <> day
         |    THEN user_id END) AS BIGINT) AS returning_users
         |FROM f GROUP BY day ORDER BY day""".stripMargin,
+
+    "q_trailing_7d" ->
+      """WITH d AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |e AS (SELECT day, cents, date_diff('day', DATE '1970-01-01', day) AS epoch_day FROM d)
+        |SELECT day, cents,
+        |  CAST(sum(cents) OVER (ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail7_cents,
+        |  CAST(count(*) OVER (ORDER BY epoch_day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail7_days
+        |FROM e ORDER BY day""".stripMargin,
 
     "q_wow_delta" ->
       """WITH d AS (
