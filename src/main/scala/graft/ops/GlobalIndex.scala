@@ -35,4 +35,41 @@ object GlobalIndex {
     val indexed = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
     sorted.sparkSession.createDataFrame(indexed, schema)
   }
+
+  /** Running (prefix) sum over a TOTAL order — the scalable form of
+    * `sum(x) OVER (ORDER BY …)`, whose global window is the same
+    * single-partition funnel as global row_number. Same recipe:
+    * range-repartition + sort + materialize once, then TWO bounded
+    * passes — per-partition totals (one row per partition to the
+    * driver, broadcast back as offsets) and an offset-shifted local
+    * prefix scan. The summed column must be LongType (the engine's
+    * exact-integer verdict rule) and the order total for determinism.
+    */
+  def withRunningTotal(df: DataFrame, orderCols: Seq[Column], valueCol: String,
+                      outCol: String = "running_total",
+                      numPartitions: Int = 0): DataFrame = {
+    val ranged =
+      if (numPartitions > 0) df.repartitionByRange(numPartitions, orderCols: _*)
+      else df.repartitionByRange(orderCols: _*)
+    val sorted = graft.util.Materialize.once(
+      ranged.sortWithinPartitions(orderCols: _*))
+    val valIdx = sorted.schema.fieldIndex(valueCol)
+    require(sorted.schema(valIdx).dataType == LongType,
+      s"withRunningTotal requires LongType $valueCol")
+    val partSums = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; it.foreach(r => s = Math.addExact(s, r.getLong(valIdx)))
+      Iterator((pid, s))
+    }.collect().toMap
+    val offsets = (0 until sorted.rdd.getNumPartitions)
+      .scanLeft(0L)((acc, pid) => Math.addExact(acc, partSums.getOrElse(pid, 0L)))
+    val schema = sorted.schema.add(outCol, LongType, nullable = false)
+    val withTotals = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = offsets(pid)
+      it.map { r =>
+        run = Math.addExact(run, r.getLong(valIdx))
+        Row.fromSeq(r.toSeq :+ run)
+      }
+    }
+    sorted.sparkSession.createDataFrame(withTotals, schema)
+  }
 }

@@ -198,17 +198,19 @@ object QueriesAnalysis {
     // ABC/Pareto classification: parts ranked by revenue, cumulative
     // share cut at 80/95 basis-point thresholds — integer cross-
     // multiplication (cum*10000 vs total*8000) so class boundaries are
-    // exact; rank ties broken by key.
+    // exact; rank ties broken by key. The cumulative sum runs through
+    // GlobalIndex.withRunningTotal (range-partitioned prefix scan), NOT
+    // a global `sum OVER (ORDER BY)` window — the part dimension
+    // scales with the data, and a global window funnels it through
+    // one task.
     "q_abc_pareto" -> ((s, dir) => {
       import graft.tables.TestTables
-      import org.apache.spark.sql.expressions.Window
       val g = TestTables.lineitem(s, dir)
         .select(col("l_partkey"), floor(col("l_extendedprice") * 100).cast("long").as("cents"))
         .groupBy(col("l_partkey")).agg(sum(col("cents")).as("rev"))
       val total1 = g.agg(sum(col("rev")).as("__total"))
-      val w = Window.orderBy(col("rev").desc, col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      g.withColumn("cum", sum(col("rev")).over(w))
+      graft.ops.GlobalIndex.withRunningTotal(g,
+          Seq(col("rev").desc, col("l_partkey")), "rev", outCol = "cum")
         .crossJoin(broadcast(total1))
         .withColumn("abc_class",
           when(col("cum") * 10000L <= col("__total") * 8000L, "A")

@@ -27,6 +27,22 @@ class GlobalIndexSpec extends AnyFunSuite with Matchers {
     out.foreach { case (k, i) => assert(k == i) }
   }
 
+  test("running total equals the global-window prefix sum, across partitions") {
+    val df = spark.range(0, 500).select(
+      (col("id") * 37 % 500).as("k"), (col("id") % 7 + 1).as("v"))
+    val got = GlobalIndex.withRunningTotal(df, Seq(col("k")), "v", numPartitions = 8)
+      .select("k", "running_total").as[(Long, Long)].collect().sortBy(_._1)
+    val expect = df.orderBy("k").select("v").as[Long].collect().scanLeft(0L)(_ + _).tail
+    got.map(_._2).toSeq shouldBe expect.toSeq
+  }
+
+  test("running total rejects non-long value columns") {
+    val df = Seq((1L, 0.5)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      GlobalIndex.withRunningTotal(df, Seq(col("k")), "v")
+    }
+  }
+
   test("all original columns survive") {
     val df = Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("k", "v")
     val out = GlobalIndex.withGlobalIndex(df, Seq(col("k")))
