@@ -263,6 +263,8 @@ object QueriesAnalysis {
         .groupBy(to_date(col("l_shipdate")).as("day"))
         .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("cents"))
         .withColumn("epoch_day", datediff(col("day"), lit("1970-01-01")).cast("long"))
+      // Unpartitioned window is safe here: the series is one row per
+      // CALENDAR DAY — bounded cardinality at any data scale.
       val w = Window.orderBy(col("epoch_day")).rangeBetween(-6, 0)
       daily
         .withColumn("trail7_cents", sum(col("cents")).over(w))
@@ -278,6 +280,7 @@ object QueriesAnalysis {
       import org.apache.spark.sql.expressions.Window
       val daily = TestTables.events(s, dir)
         .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+      // Bounded like q_trailing_7d: one row per calendar day.
       val w = Window.orderBy(col("day"))
       daily.withColumn("prev_n", lag(col("n"), 1).over(w))
         .withColumn("delta", col("n") - col("prev_n"))
