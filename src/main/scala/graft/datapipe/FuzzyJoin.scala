@@ -73,7 +73,11 @@ object FuzzyJoin {
     l.join(r, Seq("__v"))
       .select(col(leftKey), col(leftText), col(rightKey), col(rightText))
       .distinct()
-      .withColumn("dist", levenshtein(col(leftText), col(rightText)))
-      .filter(col("dist") <= maxDist)
+      // Thresholded levenshtein: the kernel abandons a row the moment
+      // the running minimum exceeds maxDist (returns -1) — on a
+      // candidate set this is most comparisons; values ≤ maxDist are
+      // exact, so results are unchanged.
+      .withColumn("dist", levenshtein(col(leftText), col(rightText), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 }
