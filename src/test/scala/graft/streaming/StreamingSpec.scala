@@ -46,6 +46,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, s"stream/batch mismatch: ${streamed.size} vs ${batch.size} windows")
   }
 
+  test("hopping windows: streamed overlapping aggregation equals batch") {
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window($"ts", "10 minutes", "5 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("s"), $"event_type", $"n")
+    val q = agg(EventsStream.withWatermark(streamSource()))
+      .writeStream.format("memory").queryName("hop_agg")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val streamed = key(spark.table("hop_agg"))
+    val batch = key(agg(graft.tables.TestTables.events(spark, "/root/testdata/sf0.001")))
+    assert(streamed == batch, s"stream/batch mismatch: ${streamed.size} vs ${batch.size}")
+  }
+
   test("native session_window: streamed merging windows equal the batch aggregation") {
     def agg(df: org.apache.spark.sql.DataFrame) = df
       .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
