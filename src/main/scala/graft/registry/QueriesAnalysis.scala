@@ -169,6 +169,24 @@ object QueriesAnalysis {
     // corpus collapses to a (type, value, count) histogram in one
     // shuffle; medians interpolate on exact binary fractions of longs,
     // so DuckDB's quantile_cont reproduces them bit-for-bit.
+    // Contingency table (lang × source) with exact expected-count
+    // rationals — the chi-square independence test's inputs without
+    // the IEEE division: observed count plus e = row·col/n carried as
+    // (e_num, e_den) integers. One aggregation + two bounded margins.
+    "q_contingency" -> ((s, dir) => {
+      import graft.tables.TestTables
+      val d = TestTables.documents(s, dir).select(col("lang"), col("source"))
+      val o = d.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("observed"))
+      val rows = d.groupBy(col("lang")).agg(count(lit(1)).as("row_total"))
+      val cols = d.groupBy(col("source")).agg(count(lit(1)).as("col_total"))
+      val n = d.agg(count(lit(1)).as("__n"))
+      o.join(rows, Seq("lang")).join(cols, Seq("source")).crossJoin(broadcast(n))
+        .select(col("lang"), col("source"), col("observed"),
+          col("row_total"), col("col_total"),
+          (col("row_total") * col("col_total")).as("e_num"), col("__n").as("e_den"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // Market-basket pair mining: parts co-purchased in one order,
     // support-pruned, ranked by the exact integer lift rational
     // (support·n_orders vs cnt_a·cnt_b — no IEEE division decides the
@@ -572,6 +590,18 @@ object QueriesAnalysis {
         |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin,
+
+    "q_contingency" ->
+      """WITH o AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS observed
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, CAST(count(*) AS BIGINT) AS row_total FROM documents GROUP BY 1),
+        |c AS (SELECT source, CAST(count(*) AS BIGINT) AS col_total FROM documents GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        |SELECT o.lang, o.source, observed, row_total, col_total,
+        |  row_total * col_total AS e_num, (SELECT n FROM nn) AS e_den
+        |FROM o JOIN r ON o.lang = r.lang JOIN c ON o.source = c.source
+        |ORDER BY o.lang, o.source""".stripMargin,
 
     "q_basket_pairs" ->
       """WITH items AS (SELECT DISTINCT l_orderkey AS ord, l_partkey AS part FROM lineitem),
