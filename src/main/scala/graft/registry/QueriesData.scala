@@ -280,6 +280,32 @@ object QueriesData {
         .orderBy(col("node"))
     }),
 
+    // Domain-centroid similarity matrix: per-group mean-direction
+    // vectors summed as QUANTIZED integers (floor(x·2^20) per
+    // component — no IEEE accumulation order anywhere), pairwise dot
+    // and norms as exact longs; cosine derived once per pair from the
+    // integer pieces. The corpus-level "how close are my sources'
+    // embedding distributions" diagnostic.
+    "q_centroid_similarity" -> ((s, dir) => {
+      val comp = TestTables.embeddings(s, dir)
+        .select((col("vec_id") % 4).as("grp"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("grp"), col("dim"))
+        .agg(sum(floor(col("x").cast("double") * lit(1048576.0)).cast("long")).as("q"))
+      val norms = comp.groupBy(col("grp")).agg(sum(col("q") * col("q")).as("norm_q"))
+      val dots = comp.as("a").join(comp.as("b"),
+          col("a.dim") === col("b.dim") && col("a.grp") < col("b.grp"))
+        .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+        .agg(sum(col("a.q") * col("b.q")).as("dot_q"))
+      dots
+        .join(norms.select(col("grp").as("grp_a"), col("norm_q").as("norm_a")), Seq("grp_a"))
+        .join(norms.select(col("grp").as("grp_b"), col("norm_q").as("norm_b")), Seq("grp_b"))
+        .withColumn("cosine", col("dot_q").cast("double") /
+          (sqrt(col("norm_a").cast("double")) * sqrt(col("norm_b").cast("double"))))
+        .select(col("grp_a"), col("grp_b"), col("dot_q"), col("norm_a"), col("norm_b"), col("cosine"))
+        .orderBy(col("grp_a"), col("grp_b"))
+    }),
+
     // K-hop reachability on the same synthetic link graph as PageRank:
     // distinct nodes reachable within 3 hops per source (self included
     // only when a cycle returns). Three frontier equi-joins with
@@ -1575,6 +1601,22 @@ object QueriesData {
          |SELECT doc_id, ${graft.datapipe.Markdown.toTextSql("md")} AS clean
          |FROM m ORDER BY doc_id""".stripMargin
     },
+
+    "q_centroid_similarity" ->
+      """WITH comp AS (
+        |  SELECT vec_id % 4 AS grp, r.j AS dim,
+        |    CAST(sum(CAST(floor(CAST(embedding[r.j + 1] AS DOUBLE) * 1048576.0) AS BIGINT)) AS BIGINT) AS q
+        |  FROM embeddings, (SELECT unnest(range(0, 64)) AS j) r
+        |  GROUP BY 1, 2),
+        |norms AS (SELECT grp, CAST(sum(q * q) AS BIGINT) AS norm_q FROM comp GROUP BY 1),
+        |dots AS (
+        |  SELECT a.grp AS grp_a, b.grp AS grp_b, CAST(sum(a.q * b.q) AS BIGINT) AS dot_q
+        |  FROM comp a JOIN comp b ON a.dim = b.dim AND a.grp < b.grp
+        |  GROUP BY 1, 2)
+        |SELECT grp_a, grp_b, dot_q, na.norm_q AS norm_a, nb.norm_q AS norm_b,
+        |  CAST(dot_q AS DOUBLE) / (sqrt(CAST(na.norm_q AS DOUBLE)) * sqrt(CAST(nb.norm_q AS DOUBLE))) AS cosine
+        |FROM dots JOIN norms na ON na.grp = grp_a JOIN norms nb ON nb.grp = grp_b
+        |ORDER BY grp_a, grp_b""".stripMargin,
 
     "q_graph_khop" ->
       """WITH nn AS (SELECT count(*) AS c FROM documents),
