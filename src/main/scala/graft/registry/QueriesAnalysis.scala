@@ -169,6 +169,24 @@ object QueriesAnalysis {
     // corpus collapses to a (type, value, count) histogram in one
     // shuffle; medians interpolate on exact binary fractions of longs,
     // so DuckDB's quantile_cont reproduces them bit-for-bit.
+    // Volume-spike alerting: a day fires when its event count exceeds
+    // 1.5× the mean of the 6 prior days — cross-multiplied to the
+    // exact integer test 4·n > prior_sum, only full windows eligible.
+    // Day-keyed self-join on a calendar-bounded series.
+    "q_spike_detect" -> ((s, dir) => {
+      import graft.tables.TestTables
+      val d = TestTables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+      val prior = d.select(col("day").as("pday"), col("n").as("pn"))
+      d.join(prior,
+          datediff(col("day"), col("pday")) >= 1 && datediff(col("day"), col("pday")) <= 6)
+        .groupBy(col("day"), col("n"))
+        .agg(count(lit(1)).as("n_prior_days"), sum(col("pn")).as("prior_sum"))
+        .filter(col("n_prior_days") === 6)
+        .withColumn("spike", col("n") * 4L > col("prior_sum"))
+        .orderBy(col("day"))
+    }),
+
     // Contingency table (lang × source) with exact expected-count
     // rationals — the chi-square independence test's inputs without
     // the IEEE division: observed count plus e = row·col/n carried as
@@ -590,6 +608,19 @@ object QueriesAnalysis {
         |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin,
+
+    "q_spike_detect" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT a.day, a.n, CAST(count(*) AS BIGINT) AS n_prior_days,
+        |  CAST(sum(b.n) AS BIGINT) AS prior_sum,
+        |  (a.n * 4 > CAST(sum(b.n) AS BIGINT)) AS spike
+        |FROM d a JOIN d b
+        |  ON date_diff('day', b.day, a.day) BETWEEN 1 AND 6
+        |GROUP BY a.day, a.n
+        |HAVING count(*) = 6
+        |ORDER BY a.day""".stripMargin,
 
     "q_contingency" ->
       """WITH o AS (
