@@ -133,6 +133,20 @@ object QueriesB {
         .orderBy(col("l_orderkey"))),
 
     // B19: set difference — ids dropped by dedup (duplicated services).
+    // Null-safe equi-join (<=>): NULL keys MATCH each other — the
+    // pandas merge-on-nullable-key semantics SQL equality silently
+    // drops. Synthesized nulls on both sides make the corner real.
+    "q_nullsafe_join" -> ((s, dir) => {
+      val l = TestTables.customer(s, dir)
+        .select(col("c_custkey"), nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+      val r = TestTables.customer(s, dir)
+        .select(nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+        .groupBy(col("seg")).agg(count(lit(1)).as("n_in_seg"))
+      l.join(r, l("seg") <=> r("seg"), "left")
+        .select(col("c_custkey"), l("seg").as("seg"), col("n_in_seg"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // MULTISET set ops (intersectAll / exceptAll): lineitem carries
     // planted duplicate rows by design, so bag semantics — min(m,n)
     // copies intersect, max(m−n, 0) survive the difference — are
@@ -503,6 +517,14 @@ object QueriesB {
       """SELECT l_orderkey,
         |  max(CASE WHEN nullif(l_returnflag, 'N') IS NULL THEN 1 ELSE 0 END) AS has_null_dx
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q_nullsafe_join" ->
+      """WITH l AS (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg FROM customer),
+        |r AS (SELECT nullif(c_mktsegment, 'BUILDING') AS seg, CAST(count(*) AS BIGINT) AS n_in_seg
+        |      FROM customer GROUP BY 1)
+        |SELECT l.c_custkey, l.seg, r.n_in_seg
+        |FROM l LEFT JOIN r ON l.seg IS NOT DISTINCT FROM r.seg
+        |ORDER BY l.c_custkey""".stripMargin,
 
     "q_set_ops_all" ->
       """WITH a AS (SELECT l_partkey, l_suppkey FROM lineitem WHERE l_orderkey % 2 = 0),
