@@ -280,6 +280,25 @@ object QueriesData {
         .orderBy(col("node"))
     }),
 
+    // Degree profile of the link graph: per-node out/in degrees and
+    // the corpus-level degree histogram in one output (node rows +
+    // histogram rows tagged by kind) — the first diagnostic run on any
+    // crawl graph.
+    "q_graph_degrees" -> ((s, dir) => {
+      val docs = TestTables.documents(s, dir).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), col("__n"),
+          explode(sequence(lit(1), (lit(1) + col("doc_id") % 3).cast("int"))).as("k"))
+        .select(col("src"), ((col("src") * 31 + col("k") * 97) % col("__n")).as("dst"))
+      val outD = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      val inD = edges.groupBy(col("dst").as("node")).agg(count(lit(1)).as("deg"))
+      outD.withColumn("kind", lit("out"))
+        .unionByName(inD.withColumn("kind", lit("in")))
+        .groupBy(col("kind"), col("deg")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("kind"), col("deg"))
+    }),
+
     // Domain-centroid similarity matrix: per-group mean-direction
     // vectors summed as QUANTIZED integers (floor(x·2^20) per
     // component — no IEEE accumulation order anywhere), pairwise dot
@@ -1601,6 +1620,19 @@ object QueriesData {
          |SELECT doc_id, ${graft.datapipe.Markdown.toTextSql("md")} AS clean
          |FROM m ORDER BY doc_id""".stripMargin
     },
+
+    "q_graph_degrees" ->
+      """WITH nn AS (SELECT count(*) AS c FROM documents),
+        |edges AS (
+        |  SELECT doc_id AS src, (doc_id * 31 + 97 * k.k) % (SELECT c FROM nn) AS dst
+        |  FROM documents, (SELECT unnest([1, 2, 3]) AS k) k
+        |  WHERE k.k <= 1 + doc_id % 3),
+        |d AS (
+        |  SELECT 'out' AS kind, src AS node, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'in', dst, CAST(count(*) AS BIGINT) FROM edges GROUP BY 2)
+        |SELECT kind, deg, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM d GROUP BY kind, deg ORDER BY kind, deg""".stripMargin,
 
     "q_centroid_similarity" ->
       """WITH comp AS (

@@ -60,6 +60,17 @@ object QueriesStream {
           Seq("c_name", "c_mktsegment"))
         .orderBy(col("event_id"))),
 
+    // Session-length distribution: events per 30-min-gap session,
+    // bucketed — the product-analytics histogram behind "how long are
+    // visits". Replays the native session grouping then one count-of-
+    // counts aggregation.
+    "q_session_lengths" -> ((s, dir) =>
+      TestTables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("len")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("len"))),
+
     // Hopping (sliding) windows: 10-minute windows every 5 minutes —
     // each event lands in exactly two windows. The oracle derives the
     // same membership arithmetically (the two aligned starts covering
@@ -173,6 +184,21 @@ object QueriesStream {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_session_lengths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |marked AS (
+        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |                   OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sess AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked),
+        |lens AS (SELECT CAST(count(*) AS BIGINT) AS len FROM sess GROUP BY user_id, sid)
+        |SELECT len, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM lens GROUP BY len ORDER BY len""".stripMargin,
+
     "q_stream_hopping_agg" ->
       """WITH e AS (
         |  SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
