@@ -280,6 +280,16 @@ object QueriesData {
         .orderBy(col("node"))
     }),
 
+    // Classifier evaluation: the language-ID confusion matrix against
+    // the labeled lang column — per (actual, predicted) counts, the
+    // precision/recall raw material as exact integers.
+    "q_langid_confusion" -> ((s, dir) =>
+      TestTables.documents(s, dir)
+        .select(col("lang").as("actual"),
+          TextAnalysis.langId(col("text")).as("predicted"))
+        .groupBy(col("actual"), col("predicted")).agg(count(lit(1)).as("n"))
+        .orderBy(col("actual"), col("predicted"))),
+
     // Degree profile of the link graph: per-node out/in degrees and
     // the corpus-level degree histogram in one output (node rows +
     // histogram rows tagged by kind) — the first diagnostic run on any
@@ -1744,6 +1754,19 @@ object QueriesData {
          |  CASE WHEN __best <= 0 THEN 'und' $cases ELSE 'und' END AS lang_detected
          |FROM (SELECT doc_id, lang, text, $best AS __best FROM documents) t
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_langid_confusion" -> {
+      val hits = TextAnalysis.langMarkers.map { case (lang, ms) => lang -> langHitsSql(ms) }
+      val best = "greatest(" + hits.map(h => s"(${h._2})").mkString(", ") + ")"
+      val cases = hits.map { case (lang, h) => s"WHEN ($h) = __best THEN '$lang'" }.mkString(" ")
+      s"""WITH p AS (
+         |  SELECT lang AS actual,
+         |    CASE WHEN __best <= 0 THEN 'und' $cases ELSE 'und' END AS predicted
+         |  FROM (SELECT lang, text, $best AS __best FROM documents) t)
+         |SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+         |FROM p GROUP BY actual, predicted
+         |ORDER BY actual, predicted""".stripMargin
     },
 
     "q_text_repetition" ->
