@@ -169,6 +169,31 @@ object QueriesAnalysis {
     // corpus collapses to a (type, value, count) histogram in one
     // shuffle; medians interpolate on exact binary fractions of longs,
     // so DuckDB's quantile_cont reproduces them bit-for-bit.
+    // Referential-integrity audit: orphan counts for the fact→dim
+    // edges of the star (lineitem→orders/part/supplier, orders→
+    // customer, events→customer), one anti-join per edge, unioned into
+    // the audit report a warehouse runs after every load.
+    "q_ri_audit" -> ((s, dir) => {
+      import graft.tables.TestTables
+      def edge(name: String, fact: DataFrame, fk: String, dim: DataFrame, pk: String) = {
+        val orphans = fact.select(col(fk).as("k"))
+          .join(dim.select(col(pk).as("k")), Seq("k"), "left_anti")
+        orphans.agg(count(lit(1)).as("n_orphans"),
+            countDistinct(col("k")).as("n_orphan_keys"))
+          .select(lit(name).as("edge"), col("n_orphans"), col("n_orphan_keys"))
+      }
+      val li = TestTables.lineitem(s, dir); val o = TestTables.orders(s, dir)
+      Seq(
+        edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+        edge("lineitem->part", li, "l_partkey", TestTables.part(s, dir), "p_partkey"),
+        edge("lineitem->supplier", li, "l_suppkey", TestTables.supplier(s, dir), "s_suppkey"),
+        edge("orders->customer", o, "o_custkey", TestTables.customer(s, dir), "c_custkey"),
+        edge("events->customer", TestTables.events(s, dir), "user_id",
+          TestTables.customer(s, dir), "c_custkey"))
+        .reduce(_ unionByName _)
+        .orderBy(col("edge"))
+    }),
+
     // Volume-spike alerting: a day fires when its event count exceeds
     // 1.5× the mean of the 6 prior days — cross-multiplied to the
     // exact integer test 4·n > prior_sum, only full windows eligible.
@@ -608,6 +633,30 @@ object QueriesAnalysis {
         |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin,
+
+    "q_ri_audit" ->
+      """WITH e AS (
+        |  SELECT 'lineitem->orders' AS edge, l_orderkey AS k FROM lineitem
+        |    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)
+        |  UNION ALL
+        |  SELECT 'lineitem->part', l_partkey FROM lineitem
+        |    WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL)
+        |  UNION ALL
+        |  SELECT 'lineitem->supplier', l_suppkey FROM lineitem
+        |    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey IS NOT NULL)
+        |  UNION ALL
+        |  SELECT 'orders->customer', o_custkey FROM orders
+        |    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+        |  UNION ALL
+        |  SELECT 'events->customer', user_id FROM events
+        |    WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)),
+        |edges AS (SELECT unnest(['lineitem->orders', 'lineitem->part', 'lineitem->supplier',
+        |                         'orders->customer', 'events->customer']) AS edge)
+        |SELECT edges.edge,
+        |  CAST(coalesce(count(e.k), 0) AS BIGINT) AS n_orphans,
+        |  CAST(coalesce(count(DISTINCT e.k), 0) AS BIGINT) AS n_orphan_keys
+        |FROM edges LEFT JOIN e ON edges.edge = e.edge
+        |GROUP BY edges.edge ORDER BY edges.edge""".stripMargin,
 
     "q_spike_detect" ->
       """WITH d AS (
