@@ -169,6 +169,22 @@ object QueriesAnalysis {
     // corpus collapses to a (type, value, count) histogram in one
     // shuffle; medians interpolate on exact binary fractions of longs,
     // so DuckDB's quantile_cont reproduces them bit-for-bit.
+    // Weighted mean as an exact rational: quantity-weighted average
+    // unit price per return flag, shipped as (num, den) integer pieces
+    // — the aggregation a finance rollup must not let IEEE order touch.
+    "q_weighted_mean" -> ((s, dir) => {
+      import graft.tables.TestTables
+      TestTables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          floor(col("l_quantity")).cast("long").as("qty"),
+          floor(col("l_extendedprice") * 100).cast("long").as("price_cents"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("qty") * col("price_cents")).as("wsum_num"),
+          sum(col("qty")).as("wsum_den"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Referential-integrity audit: orphan counts for the fact→dim
     // edges of the star (lineitem→orders/part/supplier, orders→
     // customer, events→customer), one anti-join per edge, unioned into
@@ -633,6 +649,13 @@ object QueriesAnalysis {
         |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
         |FROM seq WHERE next_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY event_type, next_type""".stripMargin,
+
+    "q_weighted_mean" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT) * CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS wsum_num,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS wsum_den,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_ri_audit" ->
       """WITH e AS (
