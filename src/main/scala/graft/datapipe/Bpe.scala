@@ -105,8 +105,9 @@ object Bpe {
          |  FROM p$i GROUP BY pair ORDER BY sum(freq) DESC, pair LIMIT 1),
          |s$i AS MATERIALIZED (
          |  SELECT word, freq,
-         |    replace(sym, ' ' || replace((SELECT pair FROM m$i), ' ', '  ') || ' ',
-         |            ' ' || (SELECT merged FROM m$i) || ' ') AS sym
+         |    replace(sym,
+         |      coalesce(' ' || replace((SELECT pair FROM m$i), ' ', '  ') || ' ', chr(1)),
+         |      coalesce(' ' || (SELECT merged FROM m$i) || ' ', chr(1))) AS sym
          |  FROM s${i - 1})""".stripMargin
     val out =
       if (mergeTable)

@@ -119,8 +119,16 @@ object Sampling {
     val wq = counts.withColumn("__wq", floor(sqrt(col("__n")) * lit(1e6)).cast("long"))
     // Σwq over a bounded-cardinality table: the unpartitioned window is
     // safe here and keeps the whole quota derivation in one small stage.
+    // The product wq·total overflows Long at the engine's advertised
+    // scale (wq ≈ 1e12 for a 1e12-row domain, so total ≥ ~9.2e6 wraps
+    // negative and the quota silently zeroes the domain). Route the
+    // product through DECIMAL(38,0) — exact to 1e38, far past
+    // max(wq)·max(total) — and let IntegralDivide bring it back to
+    // Long. Same floor-division result wherever Long arithmetic was
+    // already correct.
     val quotas = wq.withColumn("__sumwq", sum(col("__wq")).over(Window.partitionBy()))
-      .select(col("__d"), expr(s"(__wq * ${total}L) div __sumwq").as("__quota"))
+      .select(col("__d"),
+        expr(s"(CAST(__wq AS DECIMAL(38,0)) * ${total}L) div __sumwq").as("__quota"))
     df.join(broadcast(quotas), domain === col("__d"))
       .withColumn("__rn",
         row_number().over(Window.partitionBy(col("__d")).orderBy(hashHex(key, salt), key)))

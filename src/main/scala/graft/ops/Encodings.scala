@@ -18,11 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object Encodings {
 
-  /** (encoded df with `codeCol` attached, vocab table (value, code)). */
+  /** (encoded df with `codeCol` attached, vocab table (value, code)).
+    *
+    * NULL categories are excluded from the vocab: a NULL value can
+    * never equi-join back to its code anyway (it surfaces with a null
+    * code like any unseen value), and keeping it would make the code
+    * numbering depend on the engine's null-sort convention (Spark asc
+    * is nulls-first, most SQL row_number defaults nulls-last — an
+    * off-by-one on every real category's code).
+    */
   def dictionaryEncode(df: DataFrame, valueCol: String,
                        codeCol: String): (DataFrame, DataFrame) = {
     val vocab = GlobalIndex.withGlobalIndex(
-      df.select(col(valueCol)).distinct(), Seq(col(valueCol)), outCol = codeCol)
+      df.select(col(valueCol)).filter(col(valueCol).isNotNull).distinct(),
+      Seq(col(valueCol)), outCol = codeCol)
     val encoded = df.join(vocab, Seq(valueCol), "left")
     (encoded, vocab)
   }

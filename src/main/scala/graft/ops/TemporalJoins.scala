@@ -49,19 +49,31 @@ object TemporalJoins {
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"asOf direction must be backward|forward|nearest, got $direction")
     val l = left.withColumn("__side", lit(1))
-    val r = right.select(
-      col(key), col(tsCol), lit(0).as("__side"),
-      struct((payload.map(col) :+ col(tsCol).as("__rts")): _*).as("__payload"))
+    // Null-key/null-ts right rows can never be a match under SQL join
+    // semantics (NULL matches nothing, and "closest in time" is
+    // undefined for a missing time), so drop them before the union —
+    // same contract as the native AsOfJoinExec. Left rows keep their
+    // nulls and surface with a null asof_* payload.
+    val r = right
+      .filter(col(key).isNotNull && col(tsCol).isNotNull)
+      .select(
+        col(key), col(tsCol), lit(0).as("__side"),
+        struct((payload.map(col) :+ col(tsCol).as("__rts")): _*).as("__payload"))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     def sweep(ts: Column) = last(col("__payload"), ignoreNulls = true).over(
       Window.partitionBy(col(key)).orderBy(ts, col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    // Both sweeps must put null-ts LEFT rows before every right row so
+    // the running last() has seen no payload when it reaches them:
+    // asc defaults to nulls-first, but desc defaults to nulls-LAST —
+    // without desc_nulls_first a null-ts left row would sort after all
+    // right rows in the forward sweep and steal the earliest payload.
     val picked = direction match {
       case "backward" => unioned.withColumn("__pick", sweep(col(tsCol).asc))
-      case "forward" => unioned.withColumn("__pick", sweep(col(tsCol).desc))
+      case "forward" => unioned.withColumn("__pick", sweep(col(tsCol).desc_nulls_first))
       case "nearest" => unioned
         .withColumn("__b", sweep(col(tsCol).asc))
-        .withColumn("__f", sweep(col(tsCol).desc))
+        .withColumn("__f", sweep(col(tsCol).desc_nulls_first))
         .withColumn("__pick",
           when(col("__f").isNull, col("__b"))
             .when(col("__b").isNull, col("__f"))

@@ -208,16 +208,24 @@ object QueriesAnalysis {
 
     // Referential-integrity audit: orphan counts for the fact→dim
     // edges of the star (lineitem→orders/part/supplier, orders→
-    // customer, events→customer), one anti-join per edge, unioned into
-    // the audit report a warehouse runs after every load.
+    // customer, events→customer), one left join per edge, unioned into
+    // the audit report a warehouse runs after every load. A NULL
+    // foreign key is NOT an orphan (it matches nothing by SQL
+    // semantics, and "missing" is a different defect class than
+    // "dangling") — it is counted separately as n_null_fks, so the
+    // engine and any anti-join/NOT IN reformulation cannot diverge on
+    // nullable fk columns.
     "q_ri_audit" -> ((s, dir) => {
       import graft.tables.TestTables
       def edge(name: String, fact: DataFrame, fk: String, dim: DataFrame, pk: String) = {
-        val orphans = fact.select(col(fk).as("k"))
-          .join(dim.select(col(pk).as("k")), Seq("k"), "left_anti")
-        orphans.agg(count(lit(1)).as("n_orphans"),
-            countDistinct(col("k")).as("n_orphan_keys"))
-          .select(lit(name).as("edge"), col("n_orphans"), col("n_orphan_keys"))
+        val miss = col("k").isNotNull && col("__hit").isNull
+        fact.select(col(fk).as("k"))
+          .join(dim.select(col(pk).as("k"), lit(1).as("__hit")), Seq("k"), "left")
+          .agg(count(when(miss, 1)).as("n_orphans"),
+            countDistinct(when(miss, col("k"))).as("n_orphan_keys"),
+            count(when(col("k").isNull, 1)).as("n_null_fks"))
+          .select(lit(name).as("edge"), col("n_orphans"),
+            col("n_orphan_keys"), col("n_null_fks"))
       }
       val li = TestTables.lineitem(s, dir); val o = TestTables.orders(s, dir)
       Seq(
@@ -691,28 +699,34 @@ object QueriesAnalysis {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_ri_audit" ->
-      """WITH e AS (
-        |  SELECT 'lineitem->orders' AS edge, l_orderkey AS k FROM lineitem
-        |    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)
-        |  UNION ALL
-        |  SELECT 'lineitem->part', l_partkey FROM lineitem
-        |    WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL)
-        |  UNION ALL
-        |  SELECT 'lineitem->supplier', l_suppkey FROM lineitem
-        |    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey IS NOT NULL)
-        |  UNION ALL
-        |  SELECT 'orders->customer', o_custkey FROM orders
-        |    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
-        |  UNION ALL
-        |  SELECT 'events->customer', user_id FROM events
-        |    WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)),
-        |edges AS (SELECT unnest(['lineitem->orders', 'lineitem->part', 'lineitem->supplier',
-        |                         'orders->customer', 'events->customer']) AS edge)
-        |SELECT edges.edge,
-        |  CAST(coalesce(count(e.k), 0) AS BIGINT) AS n_orphans,
-        |  CAST(coalesce(count(DISTINCT e.k), 0) AS BIGINT) AS n_orphan_keys
-        |FROM edges LEFT JOIN e ON edges.edge = e.edge
-        |GROUP BY edges.edge ORDER BY edges.edge""".stripMargin,
+      """WITH
+        |e1 AS (SELECT 'lineitem->orders' AS edge,
+        |  CAST(count(CASE WHEN f.l_orderkey IS NOT NULL AND d.o_orderkey IS NULL THEN 1 END) AS BIGINT) AS n_orphans,
+        |  CAST(count(DISTINCT CASE WHEN f.l_orderkey IS NOT NULL AND d.o_orderkey IS NULL THEN f.l_orderkey END) AS BIGINT) AS n_orphan_keys,
+        |  CAST(count(CASE WHEN f.l_orderkey IS NULL THEN 1 END) AS BIGINT) AS n_null_fks
+        |  FROM lineitem f LEFT JOIN orders d ON f.l_orderkey = d.o_orderkey),
+        |e2 AS (SELECT 'lineitem->part' AS edge,
+        |  CAST(count(CASE WHEN f.l_partkey IS NOT NULL AND d.p_partkey IS NULL THEN 1 END) AS BIGINT),
+        |  CAST(count(DISTINCT CASE WHEN f.l_partkey IS NOT NULL AND d.p_partkey IS NULL THEN f.l_partkey END) AS BIGINT),
+        |  CAST(count(CASE WHEN f.l_partkey IS NULL THEN 1 END) AS BIGINT)
+        |  FROM lineitem f LEFT JOIN part d ON f.l_partkey = d.p_partkey),
+        |e3 AS (SELECT 'lineitem->supplier' AS edge,
+        |  CAST(count(CASE WHEN f.l_suppkey IS NOT NULL AND d.s_suppkey IS NULL THEN 1 END) AS BIGINT),
+        |  CAST(count(DISTINCT CASE WHEN f.l_suppkey IS NOT NULL AND d.s_suppkey IS NULL THEN f.l_suppkey END) AS BIGINT),
+        |  CAST(count(CASE WHEN f.l_suppkey IS NULL THEN 1 END) AS BIGINT)
+        |  FROM lineitem f LEFT JOIN supplier d ON f.l_suppkey = d.s_suppkey),
+        |e4 AS (SELECT 'orders->customer' AS edge,
+        |  CAST(count(CASE WHEN f.o_custkey IS NOT NULL AND d.c_custkey IS NULL THEN 1 END) AS BIGINT),
+        |  CAST(count(DISTINCT CASE WHEN f.o_custkey IS NOT NULL AND d.c_custkey IS NULL THEN f.o_custkey END) AS BIGINT),
+        |  CAST(count(CASE WHEN f.o_custkey IS NULL THEN 1 END) AS BIGINT)
+        |  FROM orders f LEFT JOIN customer d ON f.o_custkey = d.c_custkey),
+        |e5 AS (SELECT 'events->customer' AS edge,
+        |  CAST(count(CASE WHEN f.user_id IS NOT NULL AND d.c_custkey IS NULL THEN 1 END) AS BIGINT),
+        |  CAST(count(DISTINCT CASE WHEN f.user_id IS NOT NULL AND d.c_custkey IS NULL THEN f.user_id END) AS BIGINT),
+        |  CAST(count(CASE WHEN f.user_id IS NULL THEN 1 END) AS BIGINT)
+        |  FROM events f LEFT JOIN customer d ON f.user_id = d.c_custkey)
+        |SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
+        |UNION ALL SELECT * FROM e4 UNION ALL SELECT * FROM e5 ORDER BY edge""".stripMargin,
 
     "q_spike_detect" ->
       """WITH d AS (
@@ -899,7 +913,7 @@ object QueriesAnalysis {
     "q_dict_encode" ->
       """WITH vocab AS (
         |  SELECT c_mktsegment, row_number() OVER (ORDER BY c_mktsegment) - 1 AS seg_code
-        |  FROM (SELECT DISTINCT c_mktsegment FROM customer))
+        |  FROM (SELECT DISTINCT c_mktsegment FROM customer WHERE c_mktsegment IS NOT NULL))
         |SELECT c.c_custkey, c.c_mktsegment, v.seg_code
         |FROM customer c LEFT JOIN vocab v USING (c_mktsegment)
         |ORDER BY c.c_custkey""".stripMargin,

@@ -102,6 +102,17 @@ class SamplingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("temperatureMixture survives quotas whose wq*total product overflows Long") {
+    // wq ≈ 1e6·sqrt(n); with total = 1e15 the product wq·total passes
+    // 9.2e18 (Long.MaxValue) for every domain here. Pre-fix the wrap
+    // made quotas negative and silently emptied the mixture; the
+    // DECIMAL(38,0) product must keep every row (quota >> n).
+    val out = Sampling.temperatureMixture(docs, col("lang"), col("doc_id"),
+      total = 1_000_000_000_000_000L)
+    assert(out.count() == docs.count(),
+      "oversized total must keep the whole corpus, not overflow to zero")
+  }
+
   test("withEpochs repeats every row floor(e) times plus a stable fractional extra") {
     val out = Sampling.withEpochs(docs.select($"doc_id"), $"doc_id", epochs = 2.3)
     val perDoc = out.groupBy("doc_id").count().as[(Long, Long)].collect().toMap

@@ -53,6 +53,36 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(out("only_f").contains(500L) && out("only_b").contains(600L))
   }
 
+  test("null left timestamps yield null payloads in every direction") {
+    val left = Seq((1L, Some(10L), "ok"), (1L, None, "null_ts"))
+      .toDF("k", "ts_us", "tag")
+    val right = Seq((1L, 5L, 100L), (1L, 20L, 200L)).toDF("k", "ts_us", "payload")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val out = TemporalJoins.asOfDirected(left, right, "k", "ts_us", Seq("payload"), dir)
+        .select($"tag", $"asof_payload").as[(String, Option[Long])].collect().toMap
+      assert(out("null_ts").isEmpty, s"null-ts left row must not match in $dir")
+      assert(out("ok").nonEmpty, s"real left row still matches in $dir")
+    }
+  }
+
+  test("null-key and null-ts right rows never match any left row") {
+    val left = Seq((1L, Some(10L), "a"), (2L, None: Option[Long], "b"))
+      .toDF("k", "ts_us", "tag")
+      .select($"k", $"ts_us", $"tag")
+    val right = Seq(
+      (Some(1L), Some(1L), 100L),       // real candidate for "a"
+      (Some(1L), None: Option[Long], 666L), // null-ts right: invisible
+      (None: Option[Long], Some(1L), 777L)) // null-key right: invisible
+      .toDF("k", "ts_us", "payload")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val out = TemporalJoins.asOfDirected(left, right, "k", "ts_us", Seq("payload"), dir)
+        .select($"tag", $"asof_payload").as[(String, Option[Long])].collect().toMap
+      assert(!out.values.flatten.exists(v => v == 666L || v == 777L),
+        s"null-keyed/null-ts right rows leaked a payload in $dir")
+      assert(out("b").isEmpty, s"null-ts left with null-key rights stays null in $dir")
+    }
+  }
+
   test("asOf output keeps exactly the left rows") {
     val left = Seq((1L, 10L), (1L, 10L), (9L, 1L)).toDF("k", "ts_us")
     val right = Seq((1L, 3L, 7L)).toDF("k", "ts_us", "payload")
