@@ -127,7 +127,16 @@ object Bench {
       "\"" + k + "\":" + e.map(m => "\"" + m + "\"").getOrElse("null")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"passes":$passes,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"passes":$passes,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the full JSON to a file: the driver's BENCH_r{N}
+    // capture tail-truncates long stdout, which has cost whole rounds
+    // their per-query spread evidence. SPARK_GRAFT_BENCH_OUT overrides
+    // the default repo-root bench_out.json.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()
     // A crashed query must fail the bench loudly, not bench as ~0 s.
     if (results.exists(_._4.nonEmpty)) sys.exit(1)

@@ -26,7 +26,10 @@ object ScaleUp {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // No legacy-parquet flags here: if the driver regenerates events
+      // with an encoding the vanilla reader rejects, this tool should
+      // FAIL LOUDLY, not mask it (the round-5 regression class). The
+      // schema-adaptive path lives in TestTables, not in dev tools.
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
