@@ -444,6 +444,23 @@ object QueriesData {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // The portable md5 twin of the shingled variant: the SAME planted
+    // last-word-truncated fixture through the SAME banded machinery,
+    // with the hash family swapped to md5 prefixes so DuckDB can
+    // recompute every signature, band key, candidate pair, and
+    // shingle-set Jaccard in SQL — the full-oracle evidence for
+    // shingle mode (the xxhash64 entry above stays the benched
+    // production path).
+    "q_dedup_minhash_shingled_md5" -> ((s, dir) => {
+      val docs = sampledDocs(s, dir).select(col("doc_id"), col("text"))
+      val ws = split(col("text"), "\\s+")
+      val truncated = docs.select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        array_join(slice(ws, lit(1), size(ws) - 1), " ").as("text"))
+      Dedup.minhashPairs(docs.unionByName(truncated), "doc_id", "text",
+          minJaccard = 0.5, shingle = 3, portable = true)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Flagship training-data prep: language gate -> quality gate ->
     // exact dedup -> MinHash near-dup removal, fully oracle-checked.
     "q_pipeline_corpus" -> ((s, dir) =>
@@ -1082,10 +1099,25 @@ object QueriesData {
     * doc_id, text): 16 min-hash aggregates, 4 band keys, band
     * self-join, true-Jaccard verification into CTE `verified` —
     * generated so the hash indices stay in lockstep with
-    * Dedup.minhashBands.
+    * Dedup.minhashBands. `shingle >= 2` switches the hashing unit (and
+    * the verification sets) from words to word n-gram shingles,
+    * mirroring Dedup.units.
     */
   private def minhashMd5Ctes(src: String, minJaccard: Double, maxBucket: Option[Int] = None,
-                             starPairs: Boolean = false): String = {
+                             starPairs: Boolean = false, shingle: Int = 0): String = {
+    // Word mode keeps its historical inline token SQL; shingle mode
+    // unnests the shingle list (already empty-word-free: shingles are
+    // built from the filtered word list).
+    val unitRows =
+      if (shingle >= 2)
+        s"""SELECT DISTINCT doc_id AS doc, w
+           |  FROM $src, unnest(${shinglesSql(wordsSql, shingle)}) AS t(w)""".stripMargin
+      else
+        s"""SELECT DISTINCT doc_id AS doc, w
+           |  FROM $src, unnest(string_split_regex(lower(text), '\\s+')) AS t(w) WHERE w <> ''""".stripMargin
+    val unitSet =
+      if (shingle >= 2) s"list_distinct(${shinglesSql(wordsSql, shingle)})"
+      else "list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))"
     val minAggs = (0 until 16)
       .map(i => s"min(substr(md5('$i' || '|' || w), 1, 15)) AS h$i").mkString(",\n  ")
     val bandRows = (0 until 4).map { b =>
@@ -1125,8 +1157,7 @@ object QueriesData {
           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc),""".stripMargin
     }
     s"""tok AS (
-       |  SELECT DISTINCT doc_id AS doc, w
-       |  FROM $src, unnest(string_split_regex(lower(text), '\\s+')) AS t(w) WHERE w <> ''),
+       |  $unitRows),
        |sigs AS (SELECT doc,
        |  $minAggs
        |  FROM tok GROUP BY doc),
@@ -1134,8 +1165,7 @@ object QueriesData {
        |  $bandRows),
        |$candSrc
        |ws AS (
-       |  SELECT doc_id AS doc,
-       |    list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+       |  SELECT doc_id AS doc, $unitSet AS w
        |  FROM $src),
        |verified AS (
        |  SELECT doc_a, doc_b,
@@ -1210,6 +1240,23 @@ object QueriesData {
   private def minhashMd5CappedOracle: String =
     s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
        |${minhashMd5Ctes("docs", 0.5, maxBucket = Some(20), starPairs = true)}
+       |SELECT doc_a, doc_b, jaccard FROM verified ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Shingle-mode oracle: the planted last-word-truncated twins, then
+    * the md5 chain with 3-gram shingle units. The twin text transcribes
+    * the Spark fixture exactly: split on whitespace (no lowering, no
+    * empty-filter), drop the last element, rejoin with single spaces.
+    */
+  private def minhashShingledMd5Oracle: String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+       |docs AS (
+       |  SELECT doc_id, text FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 10000000,
+       |    array_to_string(list_slice(string_split_regex(text, '\\s+'), 1,
+       |      len(string_split_regex(text, '\\s+')) - 1), ' ')
+       |  FROM base),
+       |${minhashMd5Ctes("docs", 0.5, shingle = 3)}
        |SELECT doc_a, doc_b, jaccard FROM verified ORDER BY doc_a, doc_b""".stripMargin
 
   private val qualitySql: String =
@@ -1338,6 +1385,7 @@ object QueriesData {
     },
     "q_dedup_minhash_md5" -> minhashMd5Oracle,
     "q_dedup_minhash_md5_capped" -> minhashMd5CappedOracle,
+    "q_dedup_minhash_shingled_md5" -> minhashShingledMd5Oracle,
     "q_dedup_incremental" -> incrementalDedupOracle,
     "q_pipeline_corpus" -> corpusCleanOracle,
     "q_pipeline_corpus_cc" -> corpusCleanOracle(ccSurvivor = true),
