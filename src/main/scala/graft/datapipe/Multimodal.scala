@@ -9,16 +9,17 @@ import org.apache.spark.sql.types._
   * frame-sample implemented as batch-shaped executor-side operators.
   *
   * All three modalities carry REAL codecs: audio (RIFF/WAVE PCM16),
-  * image (24bpp BMP), and video (uncompressed 24bpp AVI — RIFF
-  * container, raw DIB frames). Each is a pure container format
-  * needing no library, and each roundtrip is oracle-checked against a
-  * closed-form sample/pixel definition recomputed in SQL. The only
-  * remaining fake is `decodeFeatures`, kept as the clearly-marked
-  * boundary demo for COMPRESSED formats whose decoders are external
-  * libraries (JPEG/H.264/MP3); everything around it — schema,
+  * image (24bpp BMP and RLE8-COMPRESSED 8bpp BMP), and video
+  * (uncompressed 24bpp AVI — RIFF container, raw DIB frames). Each
+  * uses only its public spec — no codec library — and each roundtrip
+  * is oracle-checked against a closed-form sample/pixel definition
+  * recomputed in SQL; the RLE8 path is a genuine compressed format
+  * (token-stream decode, not a fixed pixel grid). `decodeFeatures`
+  * remains as the clearly-marked boundary PATTERN for formats whose
+  * decoders are external libraries (JPEG/H.264/MP3): schema,
   * partitioning, batch shape (process `batchSize` records per
-  * iterator chunk, the mapInPandas/Arrow-batch shape), metadata
-  * algebra — is real and tested.
+  * iterator chunk, the mapInPandas/Arrow-batch shape), and metadata
+  * algebra are the real plumbing a library-backed decoder drops into.
   */
 object Multimodal {
 
@@ -403,6 +404,211 @@ object Multimodal {
           val n = rgb.length
           val mean = if (n == 0) 0.0 else (sr + sg + sb).toDouble / n.toDouble
           Row(r.getLong(idIdx), w, h, (w.toLong * h), sr, sg, sb, wsum, mean)
+        }
+      }
+    }(enc)
+  }
+
+  // ---------------------------------------------------------------
+  // REAL COMPRESSED codec: 8bpp run-length-encoded BMP (BI_RLE8) — the
+  // one compressed raster format whose full spec is small enough to
+  // own without an external library (it is part of the same public
+  // BITMAPINFOHEADER spec the 24bpp path already parses; the
+  // compression field this codec sets to 1 is the field decodeBmp24
+  // requires to be 0). The stream is a token walk, not a pixel grid:
+  //   (n>0, v)        encoded run: n copies of palette index v
+  //   (0, 0)          end of line (rows are bottom-up, like BI_RGB)
+  //   (0, 1)          end of bitmap
+  //   (0, 2, dx, dy)  delta: skip right dx and UP dy rows (skipped
+  //                   pixels are undefined per spec; this decoder
+  //                   leaves them 0)
+  //   (0, n>=3, ...)  absolute: n literal indexes, padded to a 2-byte
+  //                   boundary
+  // The encoder emits runs >= 3 as encoded tokens, literal stretches
+  // >= 3 as absolute blocks, and shorter leftovers as unit runs, so a
+  // roundtrip exercises every token type except delta (delta is
+  // decoder-only, covered in ScalaTest). q_mm_rle_roundtrip closes the
+  // compressed-codec boundary the earlier rounds stubbed: encode →
+  // decode → features, against an oracle that recomputes the features
+  // from the closed-form pixel definition in SQL.
+  // ---------------------------------------------------------------
+
+  /** Encode a top-down row-major 8-bit index raster as an RLE8 BMP
+    * with a grayscale identity palette (index i → (i,i,i)).
+    */
+  def encodeBmpRle8(width: Int, height: Int, px: Array[Byte]): Array[Byte] = {
+    require(px.length == width * height, "px must be width*height bytes")
+    val stream = new scala.collection.mutable.ArrayBuffer[Byte](px.length / 2 + 16)
+    var y = height - 1
+    while (y >= 0) { // bottom-up row order
+      val base = y * width
+      var x = 0
+      while (x < width) {
+        var runEnd = x + 1
+        while (runEnd < width && px(base + runEnd) == px(base + x) && runEnd - x < 255) runEnd += 1
+        if (runEnd - x >= 3) {
+          stream += (runEnd - x).toByte += px(base + x)
+          x = runEnd
+        } else {
+          // Literal stretch: extend while upcoming runs stay short.
+          var litEnd = runEnd
+          var probe = runEnd
+          while (probe < width && litEnd - x < 255) {
+            var pe = probe + 1
+            while (pe < width && px(base + pe) == px(base + probe) && pe - probe < 255) pe += 1
+            // Stop at a real run, and never let the block pass the
+            // 255-byte absolute-mode cap (the outer loop re-enters for
+            // the remainder).
+            if (pe - probe >= 3 || litEnd - x + (pe - probe) > 255) probe = width
+            else { litEnd = pe; probe = pe }
+          }
+          val n = litEnd - x
+          if (n >= 3) {
+            stream += 0.toByte += n.toByte
+            var i = x; while (i < litEnd) { stream += px(base + i); i += 1 }
+            if ((n & 1) == 1) stream += 0.toByte // absolute blocks are 2-byte aligned
+          } else {
+            var i = x
+            while (i < litEnd) { stream += 1.toByte += px(base + i); i += 1 }
+          }
+          x = litEnd
+        }
+      }
+      if (y > 0) { stream += 0.toByte += 0.toByte }      // end of line
+      else { stream += 0.toByte += 1.toByte }            // end of bitmap
+      y -= 1
+    }
+    val dataOffset = 54 + 256 * 4
+    val buf = java.nio.ByteBuffer.allocate(dataOffset + stream.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(dataOffset + stream.length)
+      .putShort(0).putShort(0).putInt(dataOffset)
+    buf.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(8)            // planes, 8 bits/pixel
+      .putInt(1).putInt(stream.length)    // BI_RLE8, compressed size
+      .putInt(2835).putInt(2835).putInt(256).putInt(0)
+    var c = 0
+    while (c < 256) { // BGRA grayscale identity palette
+      buf.put(c.toByte).put(c.toByte).put(c.toByte).put(0.toByte); c += 1
+    }
+    stream.foreach(buf.put)
+    buf.array()
+  }
+
+  /** Decode an RLE8 BMP to (width, height, top-down row-major 8-bit
+    * indexes). Handles all four token types; pixels a delta skips are
+    * left 0 (spec leaves them undefined).
+    */
+  def decodeBmpRle8(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(buf.get() == 'B'.toByte && buf.get() == 'M'.toByte, "not a BMP file")
+    buf.getInt; buf.getShort; buf.getShort
+    val dataOffset = buf.getInt
+    require(buf.getInt >= 40, "BITMAPINFOHEADER required")
+    val width = buf.getInt
+    val height = buf.getInt
+    require(height > 0, "RLE8 BMPs are bottom-up only")
+    require(buf.getShort == 1, "bad plane count")
+    require(buf.getShort == 8, "RLE8 is 8bpp")
+    require(buf.getInt == 1, "not BI_RLE8 compression")
+    val px = new Array[Byte](width * height)
+    var pos = dataOffset
+    var x = 0
+    var y = 0 // bottom row first
+    def put(v: Byte): Unit = {
+      if (x < width && y < height) px((height - 1 - y) * width + x) = v
+      x += 1
+    }
+    var done = false
+    while (!done && pos + 1 < bytes.length) {
+      val b1 = bytes(pos) & 0xFF; val b2 = bytes(pos + 1) & 0xFF
+      pos += 2
+      if (b1 > 0) {
+        var i = 0; while (i < b1) { put(b2.toByte); i += 1 }
+      } else b2 match {
+        case 0 => x = 0; y += 1
+        case 1 => done = true
+        case 2 =>
+          require(pos + 1 < bytes.length, "truncated delta")
+          x += bytes(pos) & 0xFF; y += bytes(pos + 1) & 0xFF; pos += 2
+        case n =>
+          require(pos + n <= bytes.length, "truncated absolute block")
+          var i = 0; while (i < n) { put(bytes(pos + i)); i += 1 }
+          pos += n + (n & 1) // skip the alignment pad byte
+      }
+    }
+    require(done, "missing end-of-bitmap marker")
+    (width, height, px)
+  }
+
+  /** Deterministic RLE-friendly grayscale fixture: w = 8 + id%9,
+    * h = 8 + id%7; every third row (y%3==2) is per-pixel noise
+    * ((id + y + 13x) mod 256 — forces absolute-mode blocks), the
+    * rest are runs of four ((id*31 + 7y + x div 4) mod 256 — forces
+    * encoded runs). The closed form is what the oracle replays.
+    */
+  def synthRleBmp(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType), StructField("content", BinaryType)))
+    val enc = Encoders.row(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (8 + id % 9).toInt
+        val h = (8 + id % 7).toInt
+        val px = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = if (y % 3 == 2) (id + y + 13L * x) % 256
+                    else (id * 31 + 7L * y + x / 4) % 256
+            px(y * w + x) = v.toByte
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, encodeBmpRle8(w, h, px))
+      }
+    }(enc)
+  }
+
+  /** Decode + feature extraction over RLE8 content, batch-shaped like
+    * the other decoders: dimensions, pixel count, integer pixel sum,
+    * the index-weighted sum (any run-boundary, row-order, or
+    * absolute-pad bug scrambles it), the compressed byte size, and
+    * the mean.
+    */
+  def decodeRleFeatures(media: DataFrame, batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_px", LongType),
+      StructField("sum_px", LongType),
+      StructField("px_weighted", LongType),
+      StructField("n_bytes", LongType),
+      StructField("mean_px", DoubleType)))
+    val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](contentIdx)
+          val (w, h, px) = decodeBmpRle8(bytes)
+          var sum = 0L; var wsum = 0L
+          var i = 0
+          while (i < px.length) {
+            val v = px(i) & 0xFF
+            sum += v
+            wsum += v.toLong * (i % 251)
+            i += 1
+          }
+          val n = px.length
+          val mean = if (n == 0) 0.0 else sum.toDouble / n.toDouble
+          Row(r.getLong(idIdx), w, h, n.toLong, sum, wsum, bytes.length.toLong, mean)
         }
       }
     }(enc)

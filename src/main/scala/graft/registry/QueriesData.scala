@@ -1014,12 +1014,11 @@ object QueriesData {
         .orderBy(col("media_id"))
     }),
 
-    // Multimodal decode stub: batch-shaped byte features (rows-only;
     // REAL audio roundtrip: synthesize closed-form PCM16 clips, encode
     // to actual RIFF/WAVE bytes, decode them back and extract features.
     // The oracle computes the same features straight from the sample
     // formula in SQL — a header/chunk/byte bug in the codec fails the
-    // hash compare. (Image/video decode stays stubbed: q_mm_decode.)
+    // hash compare.
     "q_mm_wav_roundtrip" -> ((s, dir) => {
       val media = Multimodal.synthWav(
         TestTables.documents(s, dir).select(col("doc_id")), "doc_id")
@@ -1062,11 +1061,20 @@ object QueriesData {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
-    // feature values asserted in ScalaTest).
-    "q_mm_decode" -> ((s, dir) => {
-      val media = Multimodal.asMedia(sampledDocs(s, dir), "doc_id", "text", "n_chars")
-      Multimodal.decodeFeatures(media)
-        .select(col("media_id"), col("n_bytes"), col("mean_byte"), col("byte_checksum"))
+    // REAL COMPRESSED-format roundtrip — closes the boundary the
+    // earlier rounds stubbed: synthesize closed-form grayscale
+    // patterns built to force BOTH RLE8 token families (constant runs
+    // and per-pixel-noise rows), encode to actual BI_RLE8 BMP bytes,
+    // decode the token stream back and extract features. The oracle
+    // recomputes the features from the pixel formula in SQL — a
+    // run-boundary, absolute-pad, EOL, or row-order bug in either
+    // codec direction fails the hash compare.
+    "q_mm_rle_roundtrip" -> ((s, dir) => {
+      val media = Multimodal.synthRleBmp(
+        sampledDocs(s, dir).select(col("doc_id")), "doc_id")
+      Multimodal.decodeRleFeatures(media)
+        .select(col("media_id"), col("width"), col("height"), col("n_px"),
+          col("sum_px"), col("px_weighted"), col("mean_px"))
         .orderBy(col("media_id"))
     }),
   )
@@ -1855,6 +1863,24 @@ object QueriesData {
         |SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |  CAST(w * h AS BIGINT) AS n_px, sum_r, sum_g, sum_b, px_weighted,
         |  CAST(sum_all AS DOUBLE) / CAST(w * h * 3 AS DOUBLE) AS mean_px
+        |FROM agg ORDER BY media_id""".stripMargin,
+
+    "q_mm_rle_roundtrip" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |           FROM documents WHERE doc_id % 10 = 0),
+        |px AS (SELECT doc_id, w, h, i, i // w AS y, i % w AS x
+        |       FROM (SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM d)),
+        |v AS (SELECT doc_id, w, h, i,
+        |        CASE WHEN y % 3 = 2 THEN (doc_id + y + 13 * x) % 256
+        |             ELSE (doc_id * 31 + 7 * y + x // 4) % 256 END AS v
+        |      FROM px),
+        |agg AS (SELECT doc_id, w, h,
+        |          CAST(sum(v) AS BIGINT) AS sum_px,
+        |          CAST(sum(v * (i % 251)) AS BIGINT) AS px_weighted
+        |        FROM v GROUP BY doc_id, w, h)
+        |SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_px, sum_px, px_weighted,
+        |  CAST(sum_px AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_px
         |FROM agg ORDER BY media_id""".stripMargin,
 
     "q_mm_avi_roundtrip" ->
