@@ -34,18 +34,29 @@ object GraphRank {
     * in-links converge to the teleport mass; dangling SOURCES simply
     * emit nothing (their mass evaporates rather than redistributing —
     * documented, mirrored by the oracle). Returns (node, r).
+    *
+    * `checkpointEvery` bounds the unbroken lineage: every k
+    * iterations the score table materializes once
+    * ([[graft.util.Materialize.once]]), so at 50+ iterations the plan
+    * depth stays constant (Catalyst never re-optimizes a 50-join
+    * chain) and a task failure recomputes at most k iterations, not
+    * the whole history. k = 10 keeps the benched 10-iteration oracle
+    * on a single unbroken lineage — identical plan to previous
+    * rounds — while capping anything deeper.
     */
   def pageRank(nodes: DataFrame, nodeCol: String,
                edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int, scale: Long = 1000000000000L): DataFrame = {
+               iters: Int, scale: Long = 1000000000000L,
+               checkpointEvery: Int = 10): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     require(scale >= 1000000L && scale <= 10000000000000L,
       s"scale must keep r*85 inside a long with headroom, got $scale")
+    require(checkpointEvery >= 1, "checkpointEvery must be positive")
     val n = nodes.agg(count(lit(1)).as("__n"))
     val deg = edges.groupBy(col(srcCol).as("node")).agg(count(lit(1)).as("__deg"))
     val base = nodes.select(col(nodeCol).as("node")).crossJoin(broadcast(n))
     var scores = base.select(col("node"), expr(s"$scale div __n").as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = scores
         .join(edges.select(col(srcCol).as("node"), col(dstCol).as("__dst")), Seq("node"))
         .join(deg, Seq("node"))
@@ -54,6 +65,8 @@ object GraphRank {
       scores = base.join(sums, Seq("node"), "left")
         .select(col("node"),
           (expr(s"(15 * $scale) div (100 * __n)") + coalesce(col("__s"), lit(0L))).as("r"))
+      if (i % checkpointEvery == 0 && i < iters)
+        scores = graft.util.Materialize.once(scores)
     }
     scores
   }

@@ -44,4 +44,58 @@ class GraphRankSpec extends AnyFunSuite {
       .orderBy("node").as[(Long, Long)].collect().toSeq
     assert(a == b)
   }
+
+  test("checkpoint cadence leaves scores bit-identical and bounds deep-iteration plans") {
+    val nodes = (0L until 32L).toSeq
+    val edges = nodes.flatMap(i => (1L to 1L + i % 3).map(k => (i, (i * 31 + 97 * k) % 32)))
+    val plain = GraphRank.pageRank(nodes.toDF("v"), "v", edges.toDF("s", "d"), "s", "d",
+        iters = 12, checkpointEvery = 100)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val chk = GraphRank.pageRank(nodes.toDF("v"), "v", edges.toDF("s", "d"), "s", "d",
+        iters = 12, checkpointEvery = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(plain == chk, "materialization must not change a single grid unit")
+    // The checkpointed frame's plan is rooted at the LAST segment, not
+    // the full 12-iteration lineage: its optimized plan must contain a
+    // checkpoint scan and stay shallow.
+    val planned = GraphRank.pageRank(nodes.toDF("v"), "v", edges.toDF("s", "d"), "s", "d",
+      iters = 12, checkpointEvery = 3)
+    val planStr = planned.queryExecution.optimizedPlan.toString
+    assert(planStr.contains("LogicalRDD") || planStr.contains("ExistingRDD"),
+      s"deep iteration must be rooted at a materialized segment:\n$planStr")
+  }
+
+  test("bucketed-by-src edges make the per-iteration edge join and degree agg exchange-free") {
+    // The README claim locked as a test: persist edges bucketed on the
+    // source key and each PageRank iteration plans NO exchange on the
+    // edge side (the 100 TB side) — only the score/aggregation
+    // exchanges remain. Evidence: one iteration over bucketed edges
+    // plans strictly fewer shuffles than the same iteration over plain
+    // parquet edges, and the bucketed run reads the bucketed layout.
+    val base = graft.util.TempDirs.scratch("graft_pr_bkt")
+    val nodes = (0L until 64L).toDF("v")
+    val edges = (0L until 64L).flatMap(i => (1L to 1L + i % 3).map(k => (i, (i * 31 + 97 * k) % 64)))
+      .toDF("s", "d")
+    graft.sink.Bucketing.writeBucketed(edges, "pr_edges_bkt", base + "/e", Seq("s"), 8)
+    edges.write.mode("overwrite").parquet(base + "/plain")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def exchanges(e: org.apache.spark.sql.DataFrame): (Int, Seq[(Long, Long)]) = {
+        val out = GraphRank.pageRank(nodes, "v", e, "s", "d", iters = 1)
+        val rows = out.orderBy("node").as[(Long, Long)].collect().toSeq
+        val finalPlan = out.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        (finalPlan.toString.sliding("Exchange hashpartitioning".length)
+          .count(_ == "Exchange hashpartitioning"), rows)
+      }
+      val (nBkt, rBkt) = exchanges(graft.sink.Bucketing.table(spark, "pr_edges_bkt"))
+      val (nPlain, rPlain) = exchanges(spark.read.parquet(base + "/plain"))
+      assert(rBkt == rPlain, "layout must not change scores")
+      assert(nBkt < nPlain,
+        s"bucketed edges must remove the edge-side shuffles: bucketed=$nBkt plain=$nPlain")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
