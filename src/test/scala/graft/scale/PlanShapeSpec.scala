@@ -210,6 +210,49 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project"), s"projection fell out of codegen:\n$plan")
   }
 
+  test("headline plan budgets: exchange and scan counts stay at their pinned values") {
+    // Per-query ceilings for the most expensive headline queries,
+    // pinned to the plans as-built (round 7). A future change that
+    // introduces an extra shuffle or an extra base-table scan into one
+    // of these fails HERE, in `sbt test`, instead of surfacing as a
+    // bench regression a round later. Counts are taken on the planned
+    // (pre-AQE) physical plan: deterministic, no execution needed.
+    // If a deliberate plan improvement LOWERS a count, re-pin the
+    // budget downward — the assertion is two-sided so the pins can't
+    // silently go stale.
+    val budgets: Map[String, (Int, Int)] = Map( // name -> (exchanges, parquet scans)
+      "q_pipeline_predictions" -> (3, 1),
+      "q_resubmission_full" -> (7, 13),
+      "q_pipeline_resubmission" -> (0, 0), // built on materialized inputs
+      "q_pipeline_eligibility" -> (6, 0),
+      "q_eligibility_extract" -> (0, 5),   // star join: broadcasts only
+      "q_set_ops_all" -> (2, 4),
+      "q_graph_pagerank" -> (30, 62),      // 3 exchanges x 10 iterations
+      "q_bm25_topk" -> (4, 5),
+      "q_hybrid_rrf" -> (5, 7),
+      "q_asof_native" -> (3, 2),
+      "q_dedup_exact" -> (1, 1),
+      "q_corpus_top_terms" -> (1, 1))
+    def counts(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val s = df.queryExecution.executedPlan.toString
+      ("Exchange hashpartitioning".r.findAllIn(s).length,
+        "Scan parquet".r.findAllIn(s).length)
+    }
+    for ((name, (maxEx, maxScan)) <- budgets.toSeq.sortBy(_._1)) {
+      val (ex, scan) = counts(graft.SparkEntry.queries(name)(spark, dir))
+      assert(ex == maxEx && scan == maxScan,
+        s"$name plan shape moved: exchanges=$ex (pinned $maxEx), scans=$scan (pinned $maxScan)")
+    }
+    // Canary: the counter must DETECT a regression — the same query
+    // with one gratuitous repartition wedged in must break its budget
+    // (if this ever passes, the counting harness has gone vacuous).
+    import org.apache.spark.sql.functions.col
+    val canary = graft.SparkEntry.queries("q_dedup_exact")(spark, dir)
+      .repartition(50, col("fp"))
+    assert(counts(canary)._1 > budgets("q_dedup_exact")._1,
+      "intentional extra shuffle was not counted — budget harness is vacuous")
+  }
+
   test("salted aggregation introduces no extra full-table exchange beyond the two phases") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
