@@ -78,6 +78,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.SubwordTokenize].getName, graft.functions.SubwordTokenize.fnName),
       checked(graft.functions.SubwordTokenize.fnName, "words, vocab, unk", 3)(
         exprs => graft.functions.SubwordTokenize(exprs(0), exprs(1), exprs(2)))))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.BitmapDistinct.aggName),
+      new ExpressionInfo(classOf[graft.functions.BitmapAgg].getName, graft.functions.BitmapDistinct.aggName),
+      checked(graft.functions.BitmapDistinct.aggName, "bucket, m", 2)(
+        exprs => graft.functions.BitmapAgg(exprs(0), exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.BitmapDistinct.cardName),
+      new ExpressionInfo(classOf[graft.functions.BitmapCardinality].getName, graft.functions.BitmapDistinct.cardName),
+      checked(graft.functions.BitmapDistinct.cardName, "bm", 1)(
+        exprs => graft.functions.BitmapCardinality(exprs(0)))))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.BitmapDistinct.andName),
+      new ExpressionInfo(classOf[graft.functions.BitmapAndCardinality].getName, graft.functions.BitmapDistinct.andName),
+      checked(graft.functions.BitmapDistinct.andName, "a, b", 2)(
+        exprs => graft.functions.BitmapAndCardinality(exprs(0), exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.BitmapDistinct.orName),
+      new ExpressionInfo(classOf[graft.functions.BitmapOrCardinality].getName, graft.functions.BitmapDistinct.orName),
+      checked(graft.functions.BitmapDistinct.orName, "a, b", 2)(
+        exprs => graft.functions.BitmapOrCardinality(exprs(0), exprs(1)))))
     // Spark's own runtime-filter expressions, surfaced as callable
     // functions so ops/Joins.bloomPrunedJoin can build/probe the
     // sketch explicitly (the planner's InjectRuntimeFilter only fires

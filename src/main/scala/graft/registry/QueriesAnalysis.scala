@@ -239,6 +239,43 @@ object QueriesAnalysis {
         .orderBy(col("edge"))
     }),
 
+    // Distinct-bucket bitmap sketch: per-segment distinct-user
+    // cardinality in fixed m/8-byte state (linear-counting bitmap,
+    // bitmap_agg TypedImperativeAggregate) — only 8 KB sketches
+    // shuffle, never the distinct user set. Portable md5 buckets, so
+    // the oracle recomputes every bitmap cardinality exactly.
+    "q_bitmap_distinct" -> ((s, dir) => {
+      import graft.functions.BitmapDistinct
+      import graft.tables.TestTables
+      TestTables.events(s, dir).filter(col("user_id").isNotNull)
+        .select(col("event_type"), BitmapDistinct.bucketOf(col("user_id"), 65536).as("bkt"))
+        .groupBy(col("event_type"))
+        .agg(BitmapDistinct.cardinality(BitmapDistinct.agg(col("bkt"), 65536))
+          .as("n_user_buckets"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Segment-overlap matrix over the SAME sketches: every event-type
+    // pair's exact intersection/union bucket cardinality via bitwise
+    // AND/OR of the per-segment bitmaps — the audience-overlap
+    // question answered from the sketch table alone, no re-scan and
+    // no per-pair shuffle of raw user ids.
+    "q_bitmap_overlap" -> ((s, dir) => {
+      import graft.functions.BitmapDistinct
+      import graft.tables.TestTables
+      val bm = TestTables.events(s, dir).filter(col("user_id").isNotNull)
+        .select(col("event_type"), BitmapDistinct.bucketOf(col("user_id"), 65536).as("bkt"))
+        .groupBy(col("event_type"))
+        .agg(BitmapDistinct.agg(col("bkt"), 65536).as("bm"))
+      val a = bm.select(col("event_type").as("type_a"), col("bm").as("bm_a"))
+      val b = bm.select(col("event_type").as("type_b"), col("bm").as("bm_b"))
+      a.join(b, col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          BitmapDistinct.andCardinality(col("bm_a"), col("bm_b")).as("n_common"),
+          BitmapDistinct.orCardinality(col("bm_a"), col("bm_b")).as("n_union"))
+        .orderBy(col("type_a"), col("type_b"))
+    }),
+
     // Volume-spike alerting: a day fires when its event count exceeds
     // 1.5× the mean of the 6 prior days — cross-multiplied to the
     // exact integer test 4·n > prior_sum, only full windows eligible.
@@ -727,6 +764,34 @@ object QueriesAnalysis {
         |  FROM events f LEFT JOIN customer d ON f.user_id = d.c_custkey)
         |SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
         |UNION ALL SELECT * FROM e4 UNION ALL SELECT * FROM e5 ORDER BY edge""".stripMargin,
+
+    "q_bitmap_distinct" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT CAST(('0x' || substr(md5('bm|' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 65536) AS BIGINT) AS n_user_buckets
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_bitmap_overlap" ->
+      """WITH b AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(('0x' || substr(md5('bm|' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 65536 AS bkt
+        |  FROM events WHERE user_id IS NOT NULL),
+        |card AS (SELECT event_type, count(*) AS n FROM b GROUP BY 1),
+        |co AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b, count(*) AS n_common
+        |  FROM b x JOIN b y ON x.bkt = y.bkt AND x.event_type < y.event_type
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, c.event_type AS type_b
+        |  FROM card a JOIN card c ON a.event_type < c.event_type)
+        |SELECT p.type_a, p.type_b,
+        |  CAST(coalesce(co.n_common, 0) AS BIGINT) AS n_common,
+        |  CAST(ca.n + cb.n - coalesce(co.n_common, 0) AS BIGINT) AS n_union
+        |FROM pairs p
+        |LEFT JOIN co ON co.type_a = p.type_a AND co.type_b = p.type_b
+        |JOIN card ca ON ca.event_type = p.type_a
+        |JOIN card cb ON cb.event_type = p.type_b
+        |ORDER BY p.type_a, p.type_b""".stripMargin,
 
     "q_spike_detect" ->
       """WITH d AS (
