@@ -98,6 +98,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.BitmapOrCardinality].getName, graft.functions.BitmapDistinct.orName),
       checked(graft.functions.BitmapDistinct.orName, "a, b", 2)(
         exprs => graft.functions.BitmapOrCardinality(exprs(0), exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.CountMin.aggName),
+      new ExpressionInfo(classOf[graft.functions.CountMinAgg].getName, graft.functions.CountMin.aggName),
+      checked(graft.functions.CountMin.aggName, "value, w, d", 3)(
+        exprs => graft.functions.CountMinAgg(exprs(0), exprs(1), exprs(2)))))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.CountMin.estName),
+      new ExpressionInfo(classOf[graft.functions.CountMinEstimate].getName, graft.functions.CountMin.estName),
+      checked(graft.functions.CountMin.estName, "sketch, value", 2)(
+        exprs => graft.functions.CountMinEstimate(exprs(0), exprs(1)))))
     // Spark's own runtime-filter expressions, surfaced as callable
     // functions so ops/Joins.bloomPrunedJoin can build/probe the
     // sketch explicitly (the planner's InjectRuntimeFilter only fires

@@ -276,6 +276,24 @@ object QueriesAnalysis {
         .orderBy(col("type_a"), col("type_b"))
     }),
 
+    // Count-min point-frequency estimates: one 4×1024 counter grid
+    // over ALL events (only the 32 KB grid ever shuffles), probed
+    // post-hoc for every 97th user's event count — the lookup a top-k
+    // summary can't answer. Estimates are min-over-rows, exactly
+    // replayed by the oracle's per-row bucket counts.
+    "q_countmin_freq" -> ((s, dir) => {
+      import graft.functions.CountMin
+      import graft.tables.TestTables
+      val ev = TestTables.events(s, dir).filter(col("user_id").isNotNull)
+      val sketch = ev.agg(CountMin.agg(col("user_id").cast("string"), 1024, 4).as("sk"))
+      val probes = ev.filter(col("user_id") % 3 === 1)
+        .select(col("user_id")).distinct()
+      probes.crossJoin(broadcast(sketch))
+        .select(col("user_id"),
+          CountMin.estimate(col("sk"), col("user_id").cast("string")).as("est_count"))
+        .orderBy(col("user_id"))
+    }),
+
     // Volume-spike alerting: a day fires when its event count exceeds
     // 1.5× the mean of the 6 prior days — cross-multiplied to the
     // exact integer test 4·n > prior_sum, only full windows eligible.
@@ -764,6 +782,21 @@ object QueriesAnalysis {
         |  FROM events f LEFT JOIN customer d ON f.user_id = d.c_custkey)
         |SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
         |UNION ALL SELECT * FROM e4 UNION ALL SELECT * FROM e5 ORDER BY edge""".stripMargin,
+
+    "q_countmin_freq" -> {
+      def bkt(i: Int, v: String) =
+        s"CAST(('0x' || substr(md5('cm$i|' || $v), 1, 8)) AS BIGINT) % 1024"
+      s"""WITH b AS (
+         |  SELECT user_id,
+         |    ${(0 until 4).map(i => s"${bkt(i, "CAST(user_id AS VARCHAR)")} AS b$i").mkString(",\n    ")}
+         |  FROM events WHERE user_id IS NOT NULL),
+         |${(0 until 4).map(i => s"r$i AS (SELECT b$i, count(*) AS n$i FROM b GROUP BY 1)").mkString(",\n")},
+         |probes AS (SELECT DISTINCT user_id, b0, b1, b2, b3 FROM b WHERE user_id % 3 = 1)
+         |SELECT p.user_id, CAST(least(r0.n0, r1.n1, r2.n2, r3.n3) AS BIGINT) AS est_count
+         |FROM probes p
+         |JOIN r0 USING (b0) JOIN r1 USING (b1) JOIN r2 USING (b2) JOIN r3 USING (b3)
+         |ORDER BY p.user_id""".stripMargin
+    },
 
     "q_bitmap_distinct" ->
       """SELECT event_type,

@@ -1,0 +1,59 @@
+package graft.functions
+
+import graft.SharedSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CountMinSpec extends AnyFunSuite {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  private val W = 256
+  private val D = 4
+
+  test("estimates never undercount and match the min-over-rows ground truth exactly") {
+    // Zipf-ish counts: value v appears (v % 17) + 1 times.
+    val rows = (0L until 300L).flatMap(v => Seq.fill((v % 17).toInt + 1)(v.toString))
+    val df = rows.toDF("v").repartition(13)
+    val sketch = df.agg(CountMin.agg($"v", W, D).as("sk"))
+    val est = df.distinct().crossJoin(sketch)
+      .select($"v", CountMin.estimate($"sk", $"v").as("e"))
+      .as[(String, Long)].collect().toMap
+    // Ground truth: replay the grid on the driver with the same buckets.
+    val trueCounts = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val grid = Array.fill(D, W)(0L)
+    for (v <- rows; i <- 0 until D) grid(i)(CountMin.bucket(v, i, W)) += 1
+    for ((v, n) <- trueCounts) {
+      val expected = (0 until D).map(i => grid(i)(CountMin.bucket(v, i, W))).min
+      assert(est(v) == expected, s"$v: engine ${est(v)} vs replay $expected")
+      assert(est(v) >= n, s"$v: estimate ${est(v)} under true count $n")
+    }
+  }
+
+  test("an unseen probe with empty buckets estimates zero; nulls are skipped") {
+    val df = Seq(Some("a"), Some("a"), None).toDF("v")
+    val sk = df.agg(CountMin.agg($"v", W, D).as("sk"))
+    val out = sk.select(
+        CountMin.estimate($"sk", lit("a")).as("ea"),
+        CountMin.estimate($"sk", lit("definitely-absent-xyzzy")).as("eu"))
+      .as[(Long, Long)].head()
+    assert(out._1 == 2L)
+    assert(out._2 <= 2L, "unseen probe bounded by collisions only")
+  }
+
+  test("a non-sketch binary is rejected readably") {
+    val bad = Seq(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)).toDF("sk")
+    intercept[Exception] {
+      bad.select(CountMin.estimate($"sk", lit("x"))).collect()
+    }
+  }
+
+  test("plan shape: only grids shuffle (partial ObjectHashAggregate stages)") {
+    val df = spark.range(0, 2000).repartition(8).select(col("id").cast("string").as("v"))
+    val plan = df.groupBy(col("v").substr(1, 1).as("g"))
+      .agg(CountMin.agg($"v", W, D).as("sk"))
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+}
