@@ -47,4 +47,44 @@ object TimeSeries {
       acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
   }
+
+  /** Exponentially-weighted moving sum with half-life ONE STEP,
+    * truncated at `k` terms — the trend feature behind "recent
+    * activity, recency-discounted": out = Σ_{j=0..k-1}
+    * floor(value_{t−j} · scale / 2^j), over each entity's ordered
+    * series.
+    *
+    * Every term is a long lag, a power-of-two division, and a floor —
+    * no IEEE accumulation anywhere, so any engine (and any
+    * partitioning) produces the identical feature and a value-level
+    * oracle can hash it. The alpha=1/2 restriction is the same
+    * trade the integer PageRank makes: the one decay whose weights
+    * are exact in ANY binary arithmetic. Truncation error after k
+    * terms is < 2·max(value)·scale/2^k — pick k ≈ 20 for full long
+    * precision.
+    *
+    * Plan shape: all `k` lags share ONE window (same partition and
+    * order ⇒ one exchange + one sort); the output is a single
+    * projection over the lag columns — no self-joins, no per-step
+    * shuffles. Missing steps are the caller's contract: run [[locf]]
+    * (or gap-fill with zeros) first if the series has holes, since a
+    * ROW lag is only a TIME lag on a dense series.
+    */
+  def ewmaScaled(df: DataFrame, entityCol: String, orderCol: String,
+                 valueCol: String, k: Int, scale: Long = 1000000L): DataFrame = {
+    require(k >= 1 && k <= 62, s"k must be in [1, 62], got $k")
+    require(scale >= 1L, s"scale must be positive, got $scale")
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(orderCol))
+    val terms = (0 until k).map { j =>
+      // shiftright, NOT `/`: Spark routes long/long through double
+      // (the floor-of-a-near-integer-quotient trap); an arithmetic
+      // right shift IS floor division by 2^j, exactly, in pure longs.
+      // Values are non-negative by contract (counts/amounts). Missing
+      // lags (series head) contribute 0 like an all-zero prehistory.
+      coalesce(
+        shiftright(lag(col(valueCol), j).over(w).cast("long") * lit(scale), j),
+        lit(0L))
+    }
+    df.withColumn("ewma_scaled", terms.reduce(_ + _))
+  }
 }

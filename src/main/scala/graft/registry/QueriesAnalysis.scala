@@ -276,6 +276,25 @@ object QueriesAnalysis {
         .orderBy(col("type_a"), col("type_b"))
     }),
 
+    // Exact-integer EWMA trend feature: per-event-type daily counts,
+    // gap-filled dense with zeros, then the half-life-one-step
+    // exponentially-weighted sum truncated at 12 terms — every term a
+    // lag·scale >> j, so the feature is bit-identical across engines
+    // and partitionings. One window (all 12 lags share it).
+    "q_ts_ewma" -> ((s, dir) => {
+      import graft.ops.TimeSeries
+      import graft.tables.TestTables
+      val d = TestTables.events(s, dir)
+        .select(col("event_type"), col("ts").cast("date").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      val dense = TimeSeries.dateSpine(d, "event_type", "day")
+        .join(d, Seq("event_type", "day"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+      TimeSeries.ewmaScaled(dense, "event_type", "day", "n", k = 12)
+        .select(col("event_type"), col("day"), col("n"), col("ewma_scaled"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Count-min point-frequency estimates: one 4×1024 counter grid
     // over ALL events (only the 32 KB grid ever shuffles), probed
     // post-hoc for every 97th user's event count — the lookup a top-k
@@ -782,6 +801,25 @@ object QueriesAnalysis {
         |  FROM events f LEFT JOIN customer d ON f.user_id = d.c_custkey)
         |SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
         |UNION ALL SELECT * FROM e4 UNION ALL SELECT * FROM e5 ORDER BY edge""".stripMargin,
+
+    "q_ts_ewma" -> {
+      val terms = (0 until 12).map(j =>
+        s"coalesce((lag(n, $j) OVER w * 1000000) >> $j, 0)").mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |spine AS (
+         |  SELECT event_type, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM (SELECT event_type, min(day) AS lo, max(day) AS hi FROM d GROUP BY 1)),
+         |dense AS (
+         |  SELECT s.event_type, s.day, coalesce(d.n, 0) AS n
+         |  FROM spine s LEFT JOIN d ON d.event_type = s.event_type AND d.day = s.day)
+         |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+         |  CAST($terms AS BIGINT) AS ewma_scaled
+         |FROM dense
+         |WINDOW w AS (PARTITION BY event_type ORDER BY day)
+         |ORDER BY event_type, day""".stripMargin
+    },
 
     "q_countmin_freq" -> {
       def bkt(i: Int, v: String) =

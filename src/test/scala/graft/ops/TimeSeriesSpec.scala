@@ -33,6 +33,37 @@ class TimeSeriesSpec extends AnyFunSuite {
       ("2024-01-03", 10.0), ("2024-01-04", 40.0)))
   }
 
+  test("ewmaScaled matches the closed form exactly and is partitioning-invariant") {
+    val rows = (0 until 30).map(i => (i % 2).toLong -> ((i * 7 + 3) % 11).toLong)
+      .zipWithIndex.map { case ((e, v), i) => (e, i.toLong, v) }
+    val df = rows.toDF("ent", "t", "v")
+    val got = TimeSeries.ewmaScaled(df, "ent", "t", "v", k = 8)
+      .select($"ent", $"t", $"ewma_scaled").as[(Long, Long, Long)].collect()
+      .map { case (e, t, s) => ((e, t), s) }.toMap
+    // Closed form on the driver: sum of lag*scale >> j over this
+    // entity's own ordered history.
+    val byEnt = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    for (((e, t), s) <- got) {
+      val hist = byEnt(e).takeWhile(_._2 <= t).map(_._3).reverse
+      val expect = hist.take(8).zipWithIndex.map { case (v, j) => (v * 1000000L) >> j }.sum
+      assert(s == expect, s"($e,$t): $s vs $expect")
+    }
+    // Partitioning-invariant: identical under a different layout.
+    val b = df.repartition(7).orderBy($"v")
+    val got2 = TimeSeries.ewmaScaled(b, "ent", "t", "v", k = 8)
+      .select($"ent", $"t", $"ewma_scaled").as[(Long, Long, Long)].collect()
+      .map { case (e, t, s) => ((e, t), s) }.toMap
+    assert(got == got2)
+  }
+
+  test("ewmaScaled shares one window across all lags (single exchange, single sort)") {
+    val df = (0 until 100).map(i => ((i % 3).toLong, i.toLong, (i % 7).toLong))
+      .toDF("ent", "t", "v")
+    val plan = TimeSeries.ewmaScaled(df, "ent", "t", "v", k = 12)
+      .queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(plan).length == 1, s"12 lags must share one Window:\n$plan")
+  }
+
   test("a leading gap before the first observation stays NULL") {
     // entity 3 has null value on its first day — nothing to carry.
     val f = facts.unionByName(Seq((3L, "2024-05-01", null.asInstanceOf[java.lang.Double]),
