@@ -25,7 +25,10 @@ object QueriesData {
     * turns the rows-only entries into planted-answer checks.
     */
   private def twinQueries(emb: DataFrame): DataFrame =
-    emb.filter(col("vec_id") % 50 === 0)
+    // Pinned to replica 0 (vacuous at driver SFs): a planted query
+    // fixture must not grow with ScaleUp replicas — see the verify
+    // skill's ScaleUp-twin gotcha and the q_bm25_topk rationale.
+    emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000000000L)
       .select((col("vec_id") + lit(10000000L)).as("vec_id"),
         transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
 
@@ -2219,7 +2222,7 @@ object QueriesData {
          |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
          |              (SELECT COALESCE(sum(tf), 0) FROM tf) AS l_total),
          |q AS (SELECT doc_id AS q_id, list_distinct(list_slice($wordsSql, 1, 8)) AS qts
-         |      FROM documents WHERE doc_id % 50 = 13),
+         |      FROM documents WHERE doc_id % 50 = 13 AND doc_id < 1000000000),
          |qt AS (SELECT q_id, unnest(qts) AS term FROM q),
          |cand AS (SELECT qt.q_id, tf.doc, tf.tf, dfreq.df, dl.dl
          |         FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
@@ -2247,7 +2250,7 @@ object QueriesData {
          |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
          |              (SELECT COALESCE(sum(tf), 0) FROM tf) AS l_total),
          |q AS (SELECT doc_id AS q_id, list_distinct(list_slice($wordsSql, 1, 8)) AS qts
-         |      FROM documents WHERE doc_id % 50 = 13),
+         |      FROM documents WHERE doc_id % 50 = 13 AND doc_id < 1000000000),
          |qt AS (SELECT q_id, unnest(qts) AS term FROM q),
          |cand AS (SELECT qt.q_id, tf.doc, tf.tf, dfreq.df, dl.dl
          |         FROM qt JOIN tf USING (term) JOIN dfreq USING (term)
@@ -2262,7 +2265,7 @@ object QueriesData {
          |lr AS (SELECT q_id, doc, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc) AS INT) AS rank FROM sc),
          |lex AS (SELECT q_id, doc, rank FROM lr WHERE rank <= 10),
          |vq AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-         |       FROM embeddings WHERE vec_id % 50 = 13),
+         |       FROM embeddings WHERE vec_id % 50 = 13 AND vec_id < 1000000000),
          |vc AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
          |vs AS (SELECT q_id, n_id,
          |    list_dot_product(qv, nv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS cosine
@@ -2303,7 +2306,7 @@ object QueriesData {
     "q_sim_bruteforce" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 1000000000),
         |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
         |scored AS (
         |  SELECT q_id, n_id,
@@ -2324,7 +2327,7 @@ object QueriesData {
       """WITH q AS (
         |  SELECT vec_id + 10000000 AS q_id,
         |         CAST(list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS DOUBLE[]) AS qv
-        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 1000000000),
         |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
         |scored AS (
         |  SELECT q_id, n_id,
@@ -2344,7 +2347,7 @@ object QueriesData {
       """WITH q AS (
         |  SELECT vec_id + 10000000 AS q_id,
         |         CAST(list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS DOUBLE[]) AS qv
-        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 1000000000),
         |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
         |scored AS (
         |  SELECT q_id, n_id,
@@ -2359,7 +2362,7 @@ object QueriesData {
       """WITH q AS (
         |  SELECT vec_id + 10000000 AS q_id,
         |         CAST(list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS DOUBLE[]) AS qv
-        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 1000000000),
         |c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
         |scored AS (
         |  SELECT q_id, n_id,
@@ -2381,7 +2384,7 @@ object QueriesData {
       """WITH q AS (
         |  SELECT vec_id + 10000000 AS q_id,
         |         CAST(list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS DOUBLE[]) AS qv
-        |  FROM embeddings WHERE vec_id % 50 = 0),
+        |  FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 1000000000),
         |qz AS (SELECT vec_id AS n_id,
         |         CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
         |         CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx,
