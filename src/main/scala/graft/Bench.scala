@@ -59,7 +59,15 @@ object Bench {
     "q_negative_sample",
     "q_asof_native",
     "q_set_ops_all",
-    "q_stream_session_window")
+    "q_stream_session_window",
+    // Round-7 additions: the compressed codec, the shingled-minhash
+    // md5 twin (the oracled sibling of the benched xxhash64 path),
+    // the two sketch families, and the integer EWMA feature.
+    "q_mm_rle_roundtrip",
+    "q_dedup_minhash_shingled_md5",
+    "q_bitmap_overlap",
+    "q_countmin_freq",
+    "q_ts_ewma")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
