@@ -452,15 +452,19 @@ object QueriesData {
     // with the hash family swapped to md5 prefixes so DuckDB can
     // recompute every signature, band key, candidate pair, and
     // shingle-set Jaccard in SQL — the full-oracle evidence for
-    // shingle mode (the xxhash64 entry above stays the benched
-    // production path).
+    // shingle mode (the xxhash64 entry above stays a production
+    // path). Capped at 24 like every benched pair enumerator: replica
+    // copies share most shingle band keys (the per-copy text suffix
+    // only perturbs trailing shingles), so an uncapped bucket join
+    // goes quadratic in copy density — the star fallback is exactly
+    // the contract for that, and the oracle replays it.
     "q_dedup_minhash_shingled_md5" -> ((s, dir) => {
       val docs = sampledDocs(s, dir).select(col("doc_id"), col("text"))
       val ws = split(col("text"), "\\s+")
       val truncated = docs.select((col("doc_id") + lit(10000000L)).as("doc_id"),
         array_join(slice(ws, lit(1), size(ws) - 1), " ").as("text"))
       Dedup.minhashPairs(docs.unionByName(truncated), "doc_id", "text",
-          minJaccard = 0.5, shingle = 3, portable = true)
+          minJaccard = 0.5, shingle = 3, portable = true, maxBucket = 24)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -1277,7 +1281,7 @@ object QueriesData {
        |    array_to_string(list_slice(string_split_regex(text, '\\s+'), 1,
        |      len(string_split_regex(text, '\\s+')) - 1), ' ')
        |  FROM base),
-       |${minhashMd5Ctes("docs", 0.5, shingle = 3)}
+       |${minhashMd5Ctes("docs", 0.5, maxBucket = Some(24), starPairs = true, shingle = 3)}
        |SELECT doc_a, doc_b, jaccard FROM verified ORDER BY doc_a, doc_b""".stripMargin
 
   private val qualitySql: String =
