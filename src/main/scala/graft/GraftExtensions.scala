@@ -84,6 +84,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       checked(graft.functions.BitmapDistinct.aggName, "bucket, m", 2)(
         exprs => graft.functions.BitmapAgg(exprs(0), exprs(1)))))
     ext.injectFunction((
+      FunctionIdentifier(graft.functions.BitmapDistinct.orAggName),
+      new ExpressionInfo(classOf[graft.functions.BitmapOrAgg].getName, graft.functions.BitmapDistinct.orAggName),
+      checked(graft.functions.BitmapDistinct.orAggName, "bm", 1)(
+        exprs => graft.functions.BitmapOrAgg(exprs(0)))))
+    ext.injectFunction((
       FunctionIdentifier(graft.functions.BitmapDistinct.cardName),
       new ExpressionInfo(classOf[graft.functions.BitmapCardinality].getName, graft.functions.BitmapDistinct.cardName),
       checked(graft.functions.BitmapDistinct.cardName, "bm", 1)(

@@ -92,6 +92,57 @@ case class BitmapAgg(
     copy(left = l, right = r)
 }
 
+/** `bitmap_or_agg(bm)` — OR-merge of PRE-BUILT bitmap sketches: the
+  * rollup aggregate that turns a stored sketch table (per day, per
+  * segment) into coarser cardinalities without touching raw data —
+  * the whole point of persisting sketches. m is inferred from the
+  * first sketch seen; mismatched widths fail loudly.
+  */
+@ExpressionDescription(
+  usage = "bitmap_or_agg(bm) - bitwise OR of bitmap_agg sketches.")
+case class BitmapOrAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects binary, got ${child.dataType.sql}")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] = Array.empty[Long]
+
+  private def orInto(b: Array[Long], o: Array[Long]): Array[Long] =
+    if (o.isEmpty) b
+    else if (b.isEmpty) o.clone()
+    else {
+      require(b.length == o.length,
+        s"sketches disagree on m: ${b.length * 64} vs ${o.length * 64} bits")
+      var i = 0
+      while (i < b.length) { b(i) |= o(i); i += 1 }
+      b
+    }
+
+  override def update(b: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) b
+    else orInto(b, BitmapDistinct.fromBytes(v.asInstanceOf[Array[Byte]]))
+  }
+
+  override def merge(b: Array[Long], o: Array[Long]): Array[Long] = orInto(b, o)
+  override def eval(b: Array[Long]): Any = BitmapDistinct.toBytes(b)
+  override def serialize(b: Array[Long]): Array[Byte] = BitmapDistinct.toBytes(b)
+  override def deserialize(bytes: Array[Byte]): Array[Long] = BitmapDistinct.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(n: Int): BitmapOrAgg = copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): BitmapOrAgg = copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): BitmapOrAgg = copy(child = c)
+}
+
 /** `bitmap_cardinality(bm)` — number of set bits. Scalar over sketch
   * rows (one per group), not corpus rows: CodegenFallback is fine off
   * the hot path.
@@ -142,6 +193,7 @@ case class BitmapOrCardinality(left: Expression, right: Expression)
 
 object BitmapDistinct {
   val aggName = "bitmap_agg"
+  val orAggName = "bitmap_or_agg"
   val cardName = "bitmap_cardinality"
   val andName = "bitmap_and_cardinality"
   val orName = "bitmap_or_cardinality"
@@ -157,6 +209,7 @@ object BitmapDistinct {
 
   /** Column-API entry points; require GraftExtensions on the session. */
   def agg(bucket: Column, m: Int): Column = call_function(aggName, bucket, lit(m))
+  def orAgg(bm: Column): Column = call_function(orAggName, bm)
   def cardinality(bm: Column): Column = call_function(cardName, bm)
   def andCardinality(a: Column, b: Column): Column = call_function(andName, a, b)
   def orCardinality(a: Column, b: Column): Column = call_function(orName, a, b)

@@ -255,6 +255,26 @@ object QueriesAnalysis {
         .orderBy(col("event_type"))
     }),
 
+    // Two-level sketch rollup: per-(event_type, day) bitmaps OR-merged
+    // per event_type — the persisted-sketch-table workflow (daily
+    // sketches roll up to any coarser period without re-scanning raw
+    // events). Cardinality must equal the flat q_bitmap_distinct
+    // number: merge associativity, end-to-end oracle-checked.
+    "q_bitmap_rollup" -> ((s, dir) => {
+      import graft.functions.BitmapDistinct
+      import graft.tables.TestTables
+      val daily = TestTables.events(s, dir).filter(col("user_id").isNotNull)
+        .select(col("event_type"), col("ts").cast("date").as("day"),
+          BitmapDistinct.bucketOf(col("user_id"), 65536).as("bkt"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(BitmapDistinct.agg(col("bkt"), 65536).as("bm"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          BitmapDistinct.cardinality(BitmapDistinct.orAgg(col("bm")))
+            .as("n_user_buckets"))
+        .orderBy(col("event_type"))
+    }),
+
     // Segment-overlap matrix over the SAME sketches: every event-type
     // pair's exact intersection/union bucket cardinality via bitwise
     // AND/OR of the per-segment bitmaps — the audience-overlap
@@ -838,6 +858,13 @@ object QueriesAnalysis {
 
     "q_bitmap_distinct" ->
       """SELECT event_type,
+        |  CAST(count(DISTINCT CAST(('0x' || substr(md5('bm|' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 65536) AS BIGINT) AS n_user_buckets
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_bitmap_rollup" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
         |  CAST(count(DISTINCT CAST(('0x' || substr(md5('bm|' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 65536) AS BIGINT) AS n_user_buckets
         |FROM events WHERE user_id IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,

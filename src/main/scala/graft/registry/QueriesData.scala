@@ -453,18 +453,19 @@ object QueriesData {
     // recompute every signature, band key, candidate pair, and
     // shingle-set Jaccard in SQL — the full-oracle evidence for
     // shingle mode (the xxhash64 entry above stays a production
-    // path). Capped at 24 like every benched pair enumerator: replica
+    // path). Capped at 10 like every benched pair enumerator: replica
     // copies share most shingle band keys (the per-copy text suffix
-    // only perturbs trailing shingles), so an uncapped bucket join
-    // goes quadratic in copy density — the star fallback is exactly
-    // the contract for that, and the oracle replays it.
+    // only perturbs trailing shingles), giving ~20-member buckets at
+    // 10 copies — the cap must sit BELOW that density for the star
+    // fallback to engage (24 sat just above it and the verification
+    // join stayed quadratic); the oracle replays the same star rule.
     "q_dedup_minhash_shingled_md5" -> ((s, dir) => {
       val docs = sampledDocs(s, dir).select(col("doc_id"), col("text"))
       val ws = split(col("text"), "\\s+")
       val truncated = docs.select((col("doc_id") + lit(10000000L)).as("doc_id"),
         array_join(slice(ws, lit(1), size(ws) - 1), " ").as("text"))
       Dedup.minhashPairs(docs.unionByName(truncated), "doc_id", "text",
-          minJaccard = 0.5, shingle = 3, portable = true, maxBucket = 24)
+          minJaccard = 0.5, shingle = 3, portable = true, maxBucket = 10)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -1281,7 +1282,7 @@ object QueriesData {
        |    array_to_string(list_slice(string_split_regex(text, '\\s+'), 1,
        |      len(string_split_regex(text, '\\s+')) - 1), ' ')
        |  FROM base),
-       |${minhashMd5Ctes("docs", 0.5, maxBucket = Some(24), starPairs = true, shingle = 3)}
+       |${minhashMd5Ctes("docs", 0.5, maxBucket = Some(10), starPairs = true, shingle = 3)}
        |SELECT doc_a, doc_b, jaccard FROM verified ORDER BY doc_a, doc_b""".stripMargin
 
   private val qualitySql: String =

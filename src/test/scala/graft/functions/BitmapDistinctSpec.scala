@@ -82,6 +82,33 @@ class BitmapDistinctSpec extends AnyFunSuite {
       s"only merged sketches shuffle:\n$plan")
   }
 
+  test("bitmap_or_agg rollup of daily sketches equals the flat single-level sketch") {
+    val df = spark.range(0, 3000).repartition(11)
+      .select((col("id") % 4).as("g"), (col("id") % 30).as("day"), (col("id") % 450).as("v"))
+      .select($"g", $"day", BitmapDistinct.bucketOf($"v", M).as("bkt"))
+    val flat = df.groupBy($"g")
+      .agg(BitmapDistinct.cardinality(BitmapDistinct.agg($"bkt", M)).as("k"))
+      .as[(Long, Long)].collect().toMap
+    val rolled = df.groupBy($"g", $"day")
+      .agg(BitmapDistinct.agg($"bkt", M).as("bm"))
+      .groupBy($"g")
+      .agg(BitmapDistinct.cardinality(BitmapDistinct.orAgg($"bm")).as("k"))
+      .as[(Long, Long)].collect().toMap
+    assert(flat == rolled, s"two-level merge must be lossless: $flat vs $rolled")
+  }
+
+  test("bitmap_or_agg rejects mixed-width sketches and ignores empty input") {
+    val a = Seq(1L).toDF("bkt").agg(BitmapDistinct.agg($"bkt", 64).as("bm"))
+    val b = Seq(1L).toDF("bkt").agg(BitmapDistinct.agg($"bkt", 128).as("bm"))
+    intercept[Exception] {
+      a.union(b).agg(BitmapDistinct.orAgg($"bm")).collect()
+    }
+    val empty = spark.emptyDataset[Array[Byte]].toDF("bm")
+    val out = empty.agg(BitmapDistinct.cardinality(BitmapDistinct.orAgg($"bm")))
+      .as[Long].head()
+    assert(out == 0L, "empty rollup is the empty bitmap")
+  }
+
   test("linear-count estimate is monotone and sane on a half-full sketch") {
     val k = Seq(32L).toDF("k")
     val est = k.select(BitmapDistinct.linearCountEstimate($"k", 64).as("e"))
