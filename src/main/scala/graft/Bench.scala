@@ -43,6 +43,11 @@ object Bench {
     "q_mm_avi_roundtrip",
     "q_text_dup_spans",
     "q_sem_dedup",
+    // ...and its star-capped twin: the 10× replica's verbatim
+    // embedding twins put every cell at 10× density — the uncapped
+    // entry above shows the quadratic verification term (~1.3× its
+    // linear bound there), this one shows the cap answering it.
+    "q_sem_dedup_capped",
     "q_text_html_extract",
     "q_graph_pagerank",
     "q_cohort_retention",
