@@ -109,6 +109,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       checked(graft.functions.CountMin.aggName, "value, w, d", 3)(
         exprs => graft.functions.CountMinAgg(exprs(0), exprs(1), exprs(2)))))
     ext.injectFunction((
+      FunctionIdentifier(graft.functions.CountMin.mergeName),
+      new ExpressionInfo(classOf[graft.functions.CountMinMergeAgg].getName, graft.functions.CountMin.mergeName),
+      checked(graft.functions.CountMin.mergeName, "sketch", 1)(
+        exprs => graft.functions.CountMinMergeAgg(exprs(0)))))
+    ext.injectFunction((
       FunctionIdentifier(graft.functions.CountMin.estName),
       new ExpressionInfo(classOf[graft.functions.CountMinEstimate].getName, graft.functions.CountMin.estName),
       checked(graft.functions.CountMin.estName, "sketch, value", 2)(

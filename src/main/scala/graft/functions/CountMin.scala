@@ -101,6 +101,58 @@ case class CountMinAgg(
     copy(first = f, second = s, third = t)
 }
 
+/** `cm_merge_agg(sketch)` — element-wise sum of PRE-BUILT count-min
+  * grids: the rollup aggregate for a persisted sketch table (per-day
+  * grids sum to any coarser period, and the summed grid's estimates
+  * are exactly the estimates of a flat single-pass grid — CM is
+  * linear). Dimensions are taken from the first sketch; mismatched
+  * (d, w) fail loudly.
+  */
+@ExpressionDescription(
+  usage = "cm_merge_agg(sketch) - element-wise sum of cm_agg grids.")
+case class CountMinMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects binary, got ${child.dataType.sql}")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] = Array.empty[Long]
+
+  private def addInto(b: Array[Long], o: Array[Long]): Array[Long] =
+    if (o.isEmpty) b
+    else if (b.isEmpty) o.clone()
+    else {
+      require(b.length == o.length && b(0) == o(0) && b(1) == o(1),
+        s"cm sketches disagree on (d, w): (${b(0)}, ${b(1)}) vs (${o(0)}, ${o(1)})")
+      var i = 2 // counters only — the (d, w) header must not be summed
+      while (i < b.length) { b(i) = Math.addExact(b(i), o(i)); i += 1 }
+      b
+    }
+
+  override def update(b: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) b
+    else addInto(b, BitmapDistinct.fromBytes(v.asInstanceOf[Array[Byte]]))
+  }
+
+  override def merge(b: Array[Long], o: Array[Long]): Array[Long] = addInto(b, o)
+  override def eval(b: Array[Long]): Any = BitmapDistinct.toBytes(b)
+  override def serialize(b: Array[Long]): Array[Byte] = BitmapDistinct.toBytes(b)
+  override def deserialize(bytes: Array[Byte]): Array[Long] = BitmapDistinct.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(n: Int): CountMinMergeAgg = copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): CountMinMergeAgg = copy(inputAggBufferOffset = n)
+  override protected def withNewChildInternal(c: Expression): CountMinMergeAgg = copy(child = c)
+}
+
 /** `cm_estimate(sketch, value)` — min-over-rows point estimate for a
   * probe value. Scalar over (probe × sketch) rows, far off the
   * corpus-scan hot path: CodegenFallback.
@@ -134,6 +186,7 @@ case class CountMinEstimate(left: Expression, right: Expression)
 
 object CountMin {
   val aggName = "cm_agg"
+  val mergeName = "cm_merge_agg"
   val estName = "cm_estimate"
 
   // One digest per thread, reset per call — getInstance per row would
@@ -159,5 +212,6 @@ object CountMin {
 
   /** Column-API entry points; require GraftExtensions on the session. */
   def agg(value: Column, w: Int, d: Int): Column = call_function(aggName, value, lit(w), lit(d))
+  def mergeAgg(sketch: Column): Column = call_function(mergeName, sketch)
   def estimate(sketch: Column, value: Column): Column = call_function(estName, sketch, value)
 }

@@ -333,6 +333,29 @@ object QueriesAnalysis {
         .orderBy(col("user_id"))
     }),
 
+    // Two-level count-min rollup: per-day grids element-wise summed to
+    // one grid per corpus (CM is linear, so the rolled-up estimates
+    // exactly equal the flat single-pass grid's) — the persisted
+    // sketch-table workflow for frequencies, mirroring q_bitmap_rollup
+    // for cardinalities. Oracle: the same flat bucket-count replay as
+    // q_countmin_freq, which the rollup must reproduce exactly.
+    "q_countmin_rollup" -> ((s, dir) => {
+      import graft.functions.CountMin
+      import graft.tables.TestTables
+      val ev = TestTables.events(s, dir).filter(col("user_id").isNotNull)
+      val daily = ev
+        .select(col("ts").cast("date").as("day"), col("user_id"))
+        .groupBy(col("day"))
+        .agg(CountMin.agg(col("user_id").cast("string"), 1024, 4).as("sk"))
+      val merged = daily.agg(CountMin.mergeAgg(col("sk")).as("sk"))
+      val probes = ev.filter(col("user_id") % 3 === 1)
+        .select(col("user_id")).distinct()
+      probes.crossJoin(broadcast(merged))
+        .select(col("user_id"),
+          CountMin.estimate(col("sk"), col("user_id").cast("string")).as("est_count"))
+        .orderBy(col("user_id"))
+    }),
+
     // Volume-spike alerting: a day fires when its event count exceeds
     // 1.5× the mean of the 6 prior days — cross-multiplied to the
     // exact integer test 4·n > prior_sum, only full windows eligible.
@@ -839,6 +862,21 @@ object QueriesAnalysis {
          |FROM dense
          |WINDOW w AS (PARTITION BY event_type ORDER BY day)
          |ORDER BY event_type, day""".stripMargin
+    },
+
+    "q_countmin_rollup" -> {
+      def bkt(i: Int, v: String) =
+        s"CAST(('0x' || substr(md5('cm$i|' || $v), 1, 8)) AS BIGINT) % 1024"
+      s"""WITH b AS (
+         |  SELECT user_id,
+         |    ${(0 until 4).map(i => s"${bkt(i, "CAST(user_id AS VARCHAR)")} AS b$i").mkString(",\n    ")}
+         |  FROM events WHERE user_id IS NOT NULL),
+         |${(0 until 4).map(i => s"r$i AS (SELECT b$i, count(*) AS n$i FROM b GROUP BY 1)").mkString(",\n")},
+         |probes AS (SELECT DISTINCT user_id, b0, b1, b2, b3 FROM b WHERE user_id % 3 = 1)
+         |SELECT p.user_id, CAST(least(r0.n0, r1.n1, r2.n2, r3.n3) AS BIGINT) AS est_count
+         |FROM probes p
+         |JOIN r0 USING (b0) JOIN r1 USING (b1) JOIN r2 USING (b2) JOIN r3 USING (b3)
+         |ORDER BY p.user_id""".stripMargin
     },
 
     "q_countmin_freq" -> {

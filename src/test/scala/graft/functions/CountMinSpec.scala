@@ -41,6 +41,27 @@ class CountMinSpec extends AnyFunSuite {
     assert(out._2 <= 2L, "unseen probe bounded by collisions only")
   }
 
+  test("cm_merge_agg rollup of per-day grids estimates identically to the flat grid") {
+    val rows = (0L until 600L).map(i => (i % 20, (i % 37).toString))
+    val df = rows.toDF("day", "v").repartition(9)
+    val flat = df.agg(CountMin.agg($"v", W, D).as("sk"))
+    val rolled = df.groupBy($"day").agg(CountMin.agg($"v", W, D).as("sk"))
+      .agg(CountMin.mergeAgg($"sk").as("sk"))
+    val probes = (0 until 37).map(_.toString)
+    def est(sk: org.apache.spark.sql.DataFrame) = probes.map { p =>
+      p -> sk.select(CountMin.estimate($"sk", lit(p))).as[Long].head()
+    }.toMap
+    assert(est(flat) == est(rolled), "CM linearity: rollup must equal flat")
+  }
+
+  test("cm_merge_agg rejects grids with different dimensions") {
+    val a = Seq("x").toDF("v").agg(CountMin.agg($"v", W, D).as("sk"))
+    val b = Seq("x").toDF("v").agg(CountMin.agg($"v", W, 2).as("sk"))
+    intercept[Exception] {
+      a.union(b).agg(CountMin.mergeAgg($"sk")).collect()
+    }
+  }
+
   test("a non-sketch binary is rejected readably") {
     val bad = Seq(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)).toDF("sk")
     intercept[Exception] {
