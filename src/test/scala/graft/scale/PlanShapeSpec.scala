@@ -74,9 +74,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // Joins.broadcastIfSmall.
     import scala.jdk.CollectionConverters._
     // clinicUnits is a 5-element literal Seq (business-unit tags);
-    // `n`, `total1`, and `sketch` are 1-row aggregates (counts /
-    // totals / a single 32 KB count-min grid).
-    val allowed = Set("hi", "n", "total1", "r", "nation", "region", "ids", "clinicUnits", "sketch")
+    // `n`, `total1`, `sketch`, and `merged` are 1-row aggregates
+    // (counts / totals / a single 32 KB count-min grid).
+    val allowed = Set("hi", "n", "total1", "r", "nation", "region", "ids", "clinicUnits",
+      "sketch", "merged")
     val roots = Seq("src/main/scala/graft/relational", "src/main/scala/graft/registry",
       "src/main/scala/graft/SparkEntry.scala", "src/main/scala/graft/pipeline")
     val bc = """broadcast\((\w+)""".r
