@@ -35,14 +35,18 @@ object GraphRank {
     * emit nothing (their mass evaporates rather than redistributing —
     * documented, mirrored by the oracle). Returns (node, r).
     *
-    * `checkpointEvery` bounds the unbroken lineage: every k
-    * iterations the score table materializes once
-    * ([[graft.util.Materialize.once]]), so at 50+ iterations the plan
-    * depth stays constant (Catalyst never re-optimizes a 50-join
-    * chain) and a task failure recomputes at most k iterations, not
-    * the whole history. k = 10 keeps the benched 10-iteration oracle
-    * on a single unbroken lineage — identical plan to previous
-    * rounds — while capping anything deeper.
+    * `checkpointEvery` bounds the PLAN DEPTH: every k iterations the
+    * score table materializes once ([[graft.util.Materialize.once]],
+    * a localCheckpoint), so at 50+ iterations Catalyst never
+    * re-optimizes a 50-join chain. Note this is a plan-depth cut
+    * only — localCheckpoint truncates lineage into executor-local
+    * non-replicated blocks, so it does NOT bound recomputation under
+    * executor LOSS (a lost executor's blocks are unrecoverable and
+    * the job fails); use a reliable `checkpoint()` to durable storage
+    * if recompute-bounded fault tolerance is required. k = 10 keeps
+    * the benched 10-iteration oracle on a single unbroken lineage —
+    * identical plan to previous rounds — while capping anything
+    * deeper.
     */
   def pageRank(nodes: DataFrame, nodeCol: String,
                edges: DataFrame, srcCol: String, dstCol: String,

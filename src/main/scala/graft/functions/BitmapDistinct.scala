@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.BinaryLike
-import org.apache.spark.sql.functions.{call_function, conv, lit, md5, concat_ws, substring}
+import org.apache.spark.sql.functions.{call_function, concat, conv, lit, md5, substring}
 import org.apache.spark.sql.types._
 
 /** Fixed-size distinct-bucket bitmaps — the mergeable distinct sketch
@@ -200,11 +200,14 @@ object BitmapDistinct {
 
   /** Portable bucket id of a value: first 8 md5 hex chars (the
     * engine-wide hash discipline, cf. Sampling.hashHex) parsed as a
-    * long, mod m. DuckDB twin:
-    * `CAST(('0x' || substr(md5('<salt>|' || CAST(v AS VARCHAR)), 1, 8)) AS BIGINT) % m`.
+    * long, mod m. NULL-preserving: a NULL value yields a NULL bucket
+    * (concat null-propagates), matching the DuckDB twin
+    * `CAST(('0x' || substr(md5('<salt>|' || CAST(v AS VARCHAR)), 1, 8)) AS BIGINT) % m`
+    * where `'bm|' || NULL` is NULL — not a phantom bucket for the
+    * literal salt alone.
     */
   def bucketOf(value: Column, m: Int, salt: String = "bm"): Column =
-    conv(substring(md5(concat_ws("|", lit(salt), value.cast("string"))), 1, 8), 16, 10)
+    conv(substring(md5(concat(lit(salt + "|"), value.cast("string"))), 1, 8), 16, 10)
       .cast("long") % m
 
   /** Column-API entry points; require GraftExtensions on the session. */

@@ -168,6 +168,10 @@ case class CountMinEstimate(left: Expression, right: Expression)
       s"$prettyName expects (binary sketch, string value), got (${left.dataType.sql}, ${right.dataType.sql})")
   override protected def nullSafeEval(sk: Any, v: Any): Any = {
     val grid = BitmapDistinct.fromBytes(sk.asInstanceOf[Array[Byte]])
+    // A cm_merge_agg over zero rows yields an empty byte array; treat
+    // it as the zero sketch (estimate 0) so empty rollups behave like
+    // the bitmap family's empty-or cardinality-0, not a runtime error.
+    if (grid.isEmpty) return 0L
     require(grid.length >= 2, "not a cm_agg sketch")
     val d = grid(0).toInt; val w = grid(1).toInt
     require(grid.length == 2 + d * w, s"corrupt cm sketch: d=$d w=$w len=${grid.length}")

@@ -317,9 +317,9 @@ object QueriesAnalysis {
 
     // Count-min point-frequency estimates: one 4×1024 counter grid
     // over ALL events (only the 32 KB grid ever shuffles), probed
-    // post-hoc for every 97th user's event count — the lookup a top-k
-    // summary can't answer. Estimates are min-over-rows, exactly
-    // replayed by the oracle's per-row bucket counts.
+    // post-hoc for each user with user_id % 3 = 1 — the lookup a
+    // top-k summary can't answer. Estimates are min-over-rows,
+    // exactly replayed by the oracle's per-row bucket counts.
     "q_countmin_freq" -> ((s, dir) => {
       import graft.functions.CountMin
       import graft.tables.TestTables

@@ -109,6 +109,19 @@ class BitmapDistinctSpec extends AnyFunSuite {
     assert(out == 0L, "empty rollup is the empty bitmap")
   }
 
+  test("bucketOf is null-preserving: a NULL value gets a NULL bucket, not the salt's") {
+    val df = Seq(Some("a"), None).toDF("v")
+    val out = df.select(BitmapDistinct.bucketOf($"v", M).as("bkt"))
+      .as[Option[Long]].collect().toSet
+    assert(out.exists(_.isDefined) && out.contains(None),
+      s"NULL must not hash to the bare-salt bucket: $out")
+    // And the aggregate path skips it: cardinality counts only "a".
+    val k = df.select(BitmapDistinct.bucketOf($"v", M).as("bkt"))
+      .agg(BitmapDistinct.cardinality(BitmapDistinct.agg($"bkt", M)))
+      .as[Long].head()
+    assert(k == 1L, "a forgotten IS NOT NULL filter must not inflate the count")
+  }
+
   test("linear-count estimate is monotone and sane on a half-full sketch") {
     val k = Seq(32L).toDF("k")
     val est = k.select(BitmapDistinct.linearCountEstimate($"k", 64).as("e"))

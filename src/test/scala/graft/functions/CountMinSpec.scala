@@ -69,6 +69,14 @@ class CountMinSpec extends AnyFunSuite {
     }
   }
 
+  test("cm_estimate over a zero-row cm_merge_agg rollup yields zero, like the bitmap family") {
+    val none = spark.emptyDataset[Array[Byte]].toDF("sk")
+    val out = none.agg(CountMin.mergeAgg($"sk").as("sk"))
+      .select(CountMin.estimate($"sk", lit("anything")))
+      .as[Long].head()
+    assert(out == 0L, "empty rollup is the zero sketch, not a runtime error")
+  }
+
   test("plan shape: only grids shuffle (partial ObjectHashAggregate stages)") {
     val df = spark.range(0, 2000).repartition(8).select(col("id").cast("string").as("v"))
     val plan = df.groupBy(col("v").substr(1, 1).as("g"))
