@@ -30,9 +30,16 @@ object SemDedup {
     * so the cap can under-merge but never emits a false pair. The
     * self-join runs on the slim (doc, cell) projection; vectors join
     * back only for verification.
+    *
+    * The DEFAULT is star-capped (`maxCell = 256`: worst-cell pair
+    * term ≤ 256²/2 ≈ 33k, linear beyond) — on a duplicate-heavy
+    * corpus the uncapped within-cell term is quadratic, the one
+    * scale-killer class this engine bans by default. Pass
+    * `maxCell = Int.MaxValue` explicitly to opt into the exhaustive
+    * worst-case form.
     */
   def pairs(corpus: DataFrame, idCol: String, vecCol: String, centroids: DataFrame,
-            minCosine: Double, maxCell: Int = Int.MaxValue): DataFrame = {
+            minCosine: Double, maxCell: Int = 256): DataFrame = {
     val vecs = corpus.select(col(idCol).as("doc"), Similarity.asDouble(col(vecCol)).as("vec"))
     // Materialized: feeds the sizing aggregate and both join sides —
     // otherwise the broadcast-argmin assignment runs three times.
@@ -74,7 +81,7 @@ object SemDedup {
     */
   def dedupReport(corpus: DataFrame, idCol: String, vecCol: String,
                   k: Int, iters: Int = 2, minCosine: Double = 0.9,
-                  maxCell: Int = Int.MaxValue): DataFrame = {
+                  maxCell: Int = 256): DataFrame = {
     val centroids = Ivf.train(corpus, idCol, vecCol, k, iters)
     val p = pairs(corpus, idCol, vecCol, centroids, minCosine, maxCell)
     val dropped = p.groupBy(col("doc_b")).agg(min(col("doc_a")).as("survivor"))

@@ -41,6 +41,20 @@ class SemDedupSpec extends AnyFunSuite {
     assert(capped.filter($"doc_a" =!= 0L).count() == 0L)
   }
 
+  test("DEFAULT call is star-capped: a hot cell beyond 256 emits linear pairs") {
+    // One 300-doc identical-direction cell with NO explicit maxCell:
+    // the default must ride the star (299 pairs), never the 300·299/2
+    // quadratic enumeration.
+    val corpus = oneHot(300, 8, 1)
+    val centroids = Ivf.train(corpus, "id", "vec", k = 1, iters = 1)
+    val p = SemDedup.pairs(corpus, "id", "vec", centroids, minCosine = 0.9)
+    assert(p.count() == 299L, "default maxCell must be finite (star-capped)")
+    assert(p.filter($"doc_a" =!= 0L).count() == 0L, "star pairs anchor at the cell minimum")
+    val rep = SemDedup.dedupReport(corpus, "id", "vec", k = 1, iters = 1)
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    assert(rep == Seq((0L, 299L)), "star still merges the whole class")
+  }
+
   test("orthogonal classes never pair; unique docs survive with 0 drops") {
     val out = SemDedup.dedupReport(oneHot(4, 8, 4), "id", "vec",
         k = 2, iters = 1, minCosine = 0.9)
