@@ -1136,33 +1136,32 @@ object QueriesData {
     * the verification sets) from words to word n-gram shingles,
     * mirroring Dedup.units.
     */
-  private def minhashMd5Ctes(src: String, minJaccard: Double, maxBucket: Option[Int] = None,
-                             starPairs: Boolean = false, shingle: Int = 0): String = {
-    // Word mode keeps its historical inline token SQL; shingle mode
-    // unnests the shingle list (already empty-word-free: shingles are
-    // built from the filtered word list).
-    val unitRows =
-      if (shingle >= 2)
-        s"""SELECT DISTINCT doc_id AS doc, w
-           |  FROM $src, unnest(${shinglesSql(wordsSql, shingle)}) AS t(w)""".stripMargin
-      else
-        s"""SELECT DISTINCT doc_id AS doc, w
-           |  FROM $src, unnest(string_split_regex(lower(text), '\\s+')) AS t(w) WHERE w <> ''""".stripMargin
-    val unitSet =
-      if (shingle >= 2) s"list_distinct(${shinglesSql(wordsSql, shingle)})"
-      else "list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))"
-    val minAggs = (0 until 16)
-      .map(i => s"min(substr(md5('$i' || '|' || w), 1, 15)) AS h$i").mkString(",\n  ")
-    val bandRows = (0 until 4).map { b =>
-      val hs = (b * 4 until (b + 1) * 4).map(i => s"h$i").mkString(" || '|' || ")
-      s"SELECT doc, $b AS band, md5($hs) AS band_key FROM sigs"
-    }.mkString("\n  UNION ALL ")
+  // Word mode keeps its historical inline token SQL; shingle mode
+  // unnests the shingle list (already empty-word-free: shingles are
+  // built from the filtered word list).
+  private def minhashUnitRows(src: String, shingle: Int): String =
+    if (shingle >= 2)
+      s"""SELECT DISTINCT doc_id AS doc, w
+         |  FROM $src, unnest(${shinglesSql(wordsSql, shingle)}) AS t(w)""".stripMargin
+    else
+      s"""SELECT DISTINCT doc_id AS doc, w
+         |  FROM $src, unnest(string_split_regex(lower(text), '\\s+')) AS t(w) WHERE w <> ''""".stripMargin
+
+  private def minhashUnitSet(shingle: Int): String =
+    if (shingle >= 2) s"list_distinct(${shinglesSql(wordsSql, shingle)})"
+    else "list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))"
+
+  /** The hash-family-independent back half of the minhash-pairs
+    * oracle: candidate pairs out of a `bands(doc, band, band_key)`
+    * CTE (with the capped star rule when `maxBucket` is set), then
+    * true-Jaccard verification into CTE `verified` — shared by the
+    * md5 and xxh64 chains so the two families can never drift.
+    */
+  private def minhashVerifyCtes(src: String, minJaccard: Double, maxBucket: Option[Int],
+                                starPairs: Boolean, shingle: Int): String = {
+    val unitSet = minhashUnitSet(shingle)
     val candSrc = maxBucket match {
       case Some(cap) =>
-        // starPairs: oversized buckets contribute (bucket-min, member)
-        // star pairs to the candidate set (the capped-pairs operator);
-        // otherwise they contribute the unverified big_drops set (the
-        // dedup drop-set operator).
         val starCand =
           if (starPairs)
             """
@@ -1189,14 +1188,7 @@ object QueriesData {
           |  FROM bands a JOIN bands b
           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc),""".stripMargin
     }
-    s"""tok AS (
-       |  $unitRows),
-       |sigs AS (SELECT doc,
-       |  $minAggs
-       |  FROM tok GROUP BY doc),
-       |bands AS (
-       |  $bandRows),
-       |$candSrc
+    s"""$candSrc
        |ws AS (
        |  SELECT doc_id AS doc, $unitSet AS w
        |  FROM $src),
@@ -1207,6 +1199,54 @@ object QueriesData {
        |  FROM cand JOIN ws wa ON wa.doc = doc_a JOIN ws wb ON wb.doc = doc_b
        |  WHERE CAST(len(list_intersect(wa.w, wb.w)) AS DOUBLE)
        |      / CAST(len(list_distinct(list_concat(wa.w, wb.w))) AS DOUBLE) >= $minJaccard)""".stripMargin
+  }
+
+  private def minhashMd5Ctes(src: String, minJaccard: Double, maxBucket: Option[Int] = None,
+                             starPairs: Boolean = false, shingle: Int = 0): String = {
+    val unitRows = minhashUnitRows(src, shingle)
+    val minAggs = (0 until 16)
+      .map(i => s"min(substr(md5('$i' || '|' || w), 1, 15)) AS h$i").mkString(",\n  ")
+    val bandRows = (0 until 4).map { b =>
+      val hs = (b * 4 until (b + 1) * 4).map(i => s"h$i").mkString(" || '|' || ")
+      s"SELECT doc, $b AS band, md5($hs) AS band_key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""tok AS (
+       |  $unitRows),
+       |sigs AS (SELECT doc,
+       |  $minAggs
+       |  FROM tok GROUP BY doc),
+       |bands AS (
+       |  $bandRows),
+       |${minhashVerifyCtes(src, minJaccard, maxBucket, starPairs, shingle)}""".stripMargin
+  }
+
+  /** The PRODUCTION xxhash64 minhash chain (seeded signatures + band
+    * keys), replayed value-exactly by the generated DuckDB stages in
+    * [[graft.oracle.PortableHashSql]]. Same unit rows, same star rule,
+    * same verification tail as the md5 twin. The caller's query MUST
+    * open with `WITH RECURSIVE` (the XXH64 stripe walk recurses).
+    */
+  private def minhashXxhCtes(src: String, minJaccard: Double, maxBucket: Option[Int] = None,
+                             starPairs: Boolean = false, shingle: Int = 0): String = {
+    import graft.oracle.{PortableHashSql, Xxh64Ref}
+    val unitRows = minhashUnitRows(src, shingle)
+    val seeds = (0 until 16).map(i => Xxh64Ref.hashInt(i, 42L))
+    val minAggs = (0 until 16).map(i => s"min(h.h$i) AS h$i").mkString(",\n  ")
+    val groups = (0 until 4).map(b => (s"bk$b", (b * 4 until (b + 1) * 4).map(i => s"h$i")))
+    val bandRows = (0 until 4)
+      .map(b => s"SELECT doc, $b AS band, bk$b AS band_key FROM bxk")
+      .mkString("\n  UNION ALL ")
+    s"""tok AS MATERIALIZED (
+       |  $unitRows),
+       |uw AS MATERIALIZED (SELECT DISTINCT w FROM tok),
+       |${PortableHashSql.wordHashCtes("wx", "uw", seeds)},
+       |sigs AS MATERIALIZED (SELECT doc,
+       |  $minAggs
+       |  FROM tok JOIN wxh h USING (w) GROUP BY doc),
+       |${PortableHashSql.chainLongsCtes("bx", "sigs", groups)},
+       |bands AS MATERIALIZED (
+       |  $bandRows),
+       |${minhashVerifyCtes(src, minJaccard, maxBucket, starPairs, shingle)}""".stripMargin
   }
 
   /** Prefixed tok/sigs/bands CTE chain — lets one query band two
@@ -1291,6 +1331,75 @@ object QueriesData {
        |  FROM base),
        |${minhashMd5Ctes("docs", 0.5, maxBucket = Some(10), starPairs = true, shingle = 3)}
        |SELECT doc_a, doc_b, jaccard FROM verified ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Full oracle for the PRODUCTION xxhash64 word-mode entry
+    * (`q_dedup_minhash`: cap 64, star pairs) — the DuckDB chain
+    * recomputes every seeded xxhash64 signature and band key
+    * bit-for-bit via [[graft.oracle.PortableHashSql]].
+    */
+  private def minhashXxhOracle: String =
+    s"""WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+       |${minhashXxhCtes("docs", 0.5, maxBucket = Some(64), starPairs = true)}
+       |SELECT doc_a, doc_b, jaccard FROM verified ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Full oracle for the PRODUCTION xxhash64 shingle-mode entry
+    * (`q_dedup_minhash_shingled`: planted last-word-truncated twins,
+    * 3-gram shingles, uncapped).
+    */
+  private def minhashShingledXxhOracle: String =
+    s"""WITH RECURSIVE base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+       |docs AS (
+       |  SELECT doc_id, text FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 10000000,
+       |    array_to_string(list_slice(string_split_regex(text, '\\s+'), 1,
+       |      len(string_split_regex(text, '\\s+')) - 1), ' ')
+       |  FROM base),
+       |${minhashXxhCtes("docs", 0.5, shingle = 3)}
+       |SELECT doc_a, doc_b, jaccard FROM verified ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Full oracle for the PRODUCTION SimHash entry (`q_dedup_simhash`):
+    * replays the FNV-1a/splitmix64 word hash, the per-bit votes, the
+    * 63-bit sketch, the pigeonhole chunk candidates (11 chunks for
+    * maxHamming 10), the bucket-64 star rule, and Hamming
+    * verification — the same machinery [[Dedup.simhashPairs]] plans.
+    */
+  private def simhashXxhOracle: String = {
+    val numChunks = 11
+    val widths = Array.tabulate(numChunks)(i => 64 / numChunks + (if (i < 64 % numChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val chunkVals = (0 until numChunks).map { i =>
+      val mask = (1L << widths(i)) - 1L
+      s"($i, ${offsets(i)}, $mask)"
+    }.mkString(", ")
+    val pw = (0 until 63).map(b => s"($b, CAST(${BigInt(1) << b} AS HUGEINT))").mkString(", ")
+    s"""WITH RECURSIVE docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+       |wmul AS MATERIALIZED (
+       |  SELECT doc_id AS doc, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+       |  FROM docs),
+       |uw AS MATERIALIZED (SELECT DISTINCT w FROM wmul),
+       |${graft.oracle.PortableHashSql.fnvWordHashCtes("fx", "uw")},
+       |hh AS (SELECT doc, hv FROM wmul JOIN fxh USING (w)),
+       |pw(b, p) AS (VALUES $pw),
+       |bits AS (SELECT doc, b, CASE WHEN (hv // p) % 2 = 1 THEN 1 ELSE -1 END AS v FROM hh, pw),
+       |votes AS (SELECT doc, b, CAST(sum(v) AS BIGINT) AS vote FROM bits GROUP BY 1, 2),
+       |sig AS (SELECT doc, CAST(sum(CASE WHEN vote > 0 THEN p ELSE 0 END) AS BIGINT) AS sh
+       |        FROM votes JOIN pw USING (b) GROUP BY doc),
+       |ck AS (SELECT doc, sh, c.chunk, (sh >> c.o) & c.mk AS key
+       |       FROM sig, (VALUES $chunkVals) c(chunk, o, mk)),
+       |bsz AS (SELECT chunk, key, count(*) AS n, min(doc) AS keep_doc, arg_min(sh, doc) AS keep_sh
+       |        FROM ck GROUP BY 1, 2),
+       |small AS (SELECT ck.doc, ck.sh, ck.chunk, ck.key FROM ck JOIN bsz USING (chunk, key) WHERE n <= 64),
+       |cand AS (
+       |  SELECT a.doc AS doc_a, a.sh AS sh_a, b.doc AS doc_b, b.sh AS sh_b
+       |  FROM small a JOIN small b ON a.chunk = b.chunk AND a.key = b.key AND a.doc < b.doc
+       |  UNION
+       |  SELECT keep_doc, keep_sh, c.doc, c.sh FROM ck c JOIN bsz USING (chunk, key)
+       |  WHERE n > 64 AND c.doc <> keep_doc)
+       |SELECT DISTINCT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 10
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   private val qualitySql: String =
     """CAST(len(list_filter(string_split_regex(lower(text), '\s+'), w -> w IN (%STOP%))) AS DOUBLE)
@@ -1416,6 +1525,9 @@ object QueriesData {
          |${(1 to 10).map(iter).mkString(",\n")}
          |SELECT node, r FROM r10 ORDER BY node""".stripMargin
     },
+    "q_dedup_minhash" -> minhashXxhOracle,
+    "q_dedup_minhash_shingled" -> minhashShingledXxhOracle,
+    "q_dedup_simhash" -> simhashXxhOracle,
     "q_dedup_minhash_md5" -> minhashMd5Oracle,
     "q_dedup_minhash_md5_capped" -> minhashMd5CappedOracle,
     "q_dedup_minhash_shingled_md5" -> minhashShingledMd5Oracle,
