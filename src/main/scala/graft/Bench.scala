@@ -96,6 +96,7 @@ object Bench {
       // recompiles mid-run and were costing whole seconds per query.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
+      .config(graft.tables.TestTables.nanosAsLongConf._1, graft.tables.TestTables.nanosAsLongConf._2) // NANOS events support; readers never mutate conf
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -145,12 +146,17 @@ object Bench {
     println(line)
     // Also persist the full JSON to a file: the driver's BENCH_r{N}
     // capture tail-truncates long stdout, which has cost whole rounds
-    // their per-query spread evidence. SPARK_GRAFT_BENCH_OUT overrides
-    // the default repo-root bench_out.json.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: Exception => System.err.println(s"[bench] could not write $outPath: $e") }
+    // their per-query spread evidence. The DEFAULT is a timestamped
+    // path under /tmp so an env-less run can never clobber the
+    // committed round artifact (repo-root bench_out.json is written
+    // only when SPARK_GRAFT_BENCH_OUT explicitly points there).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"/tmp/graft_bench_${System.currentTimeMillis()}.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] wrote $outPath")
+    } catch { case e: Exception => System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()
     // A crashed query must fail the bench loudly, not bench as ~0 s.
     if (results.exists(_._4.nonEmpty)) sys.exit(1)

@@ -73,16 +73,29 @@ object TimeSeries {
   def ewmaScaled(df: DataFrame, entityCol: String, orderCol: String,
                  valueCol: String, k: Int, scale: Long = 1000000L): DataFrame = {
     require(k >= 1 && k <= 62, s"k must be in [1, 62], got $k")
-    require(scale >= 1L, s"scale must be positive, got $scale")
+    require(scale >= 1L && scale <= Long.MaxValue / 4,
+      s"scale must be in [1, 2^61], got $scale")
+    // ENFORCED domain (the addExact discipline): value · scale must fit
+    // a long AND the k-term sum (< 2 · value · scale) must too, so the
+    // admissible range is [0, Long.MaxValue / (2 · scale)] — 4.6e12 at
+    // the default scale. Out-of-domain rows RAISE instead of silently
+    // wrapping: a feature column that overflows into negative territory
+    // is a corrupt model input, not a value.
+    val bound = Long.MaxValue / (2L * scale)
+    val v = col(valueCol).cast("long")
+    val guarded = when(v.isNull || (v >= 0L && v <= bound), v)
+      .otherwise(raise_error(concat(
+        lit(s"ewmaScaled: $valueCol out of domain [0, $bound] for scale=$scale: "),
+        v.cast("string"))))
     val w = Window.partitionBy(col(entityCol)).orderBy(col(orderCol))
     val terms = (0 until k).map { j =>
       // shiftright, NOT `/`: Spark routes long/long through double
       // (the floor-of-a-near-integer-quotient trap); an arithmetic
       // right shift IS floor division by 2^j, exactly, in pure longs.
-      // Values are non-negative by contract (counts/amounts). Missing
-      // lags (series head) contribute 0 like an all-zero prehistory.
+      // Missing lags (series head) contribute 0 like an all-zero
+      // prehistory.
       coalesce(
-        shiftright(lag(col(valueCol), j).over(w).cast("long") * lit(scale), j),
+        shiftright(lag(guarded, j).over(w) * lit(scale), j),
         lit(0L))
     }
     df.withColumn("ewma_scaled", terms.reduce(_ + _))

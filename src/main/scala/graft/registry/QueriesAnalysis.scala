@@ -304,9 +304,13 @@ object QueriesAnalysis {
     "q_ts_ewma" -> ((s, dir) => {
       import graft.ops.TimeSeries
       import graft.tables.TestTables
-      val d = TestTables.events(s, dir)
+      // The daily-count table feeds BOTH the spine derivation and the
+      // join; materialize it once so the raw events scan+aggregate runs
+      // once, not twice — at corpus scale the duplicated full scan is
+      // the whole cost of the query.
+      val d = graft.util.Materialize.once(TestTables.events(s, dir)
         .select(col("event_type"), col("ts").cast("date").as("day"))
-        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n")))
       val dense = TimeSeries.dateSpine(d, "event_type", "day")
         .join(d, Seq("event_type", "day"), "left")
         .withColumn("n", coalesce(col("n"), lit(0L)))

@@ -63,15 +63,28 @@ object TestTables {
   def rawEventsSchema(spark: SparkSession, dir: String): org.apache.spark.sql.types.StructType =
     rawEvents(spark, dir).schema
 
-  /** Raw, untransformed events scan. `nanosAsLong` is set pre-read
-    * because Spark's vectorized reader otherwise rejects TIMESTAMP
-    * (NANOS) outright ([PARQUET_TYPE_ILLEGAL]); it is a no-op for µs
-    * files.
+  /** The session conf a TIMESTAMP(NANOS)-encoded events file needs:
+    * without it Spark's vectorized reader rejects the type outright
+    * ([PARQUET_TYPE_ILLEGAL]); it is a no-op for µs files. Set it at
+    * SESSION BUILD (all graft mains and SharedSpark do) — the loader
+    * itself never mutates session conf: a reader that silently flips a
+    * session-wide legacy flag is exactly the config class that caused
+    * the round-5 regression, and save/restore around the eager read is
+    * unsound because the scan re-reads the conf at ACTION time.
     */
-  private def rawEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-  }
+  val nanosAsLongConf: (String, String) = ("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Raw, untransformed events scan. Mutation-free: if the file is
+    * NANOS-encoded and the session lacks [[nanosAsLongConf]], the
+    * scan's own error is rethrown with the fix attached.
+    */
+  private def rawEvents(spark: SparkSession, dir: String): DataFrame =
+    try spark.read.parquet(s"$dir/events.parquet")
+    catch {
+      case e: Exception if e.getMessage != null && e.getMessage.contains("PARQUET_TYPE_ILLEGAL") =>
+        throw new IllegalStateException(
+          s"events.parquet uses TIMESTAMP(NANOS); build the session with ${nanosAsLongConf._1}=true", e)
+    }
 
   /** Scan-pushable watermark cut for [[events]], matched to the file's
     * physical `ts` encoding. The returned predicate is a SUPERSET of

@@ -64,6 +64,35 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(plan).length == 1, s"12 lags must share one Window:\n$plan")
   }
 
+  test("ewmaScaled domain guard: boundary value is exact, one past it raises") {
+    // The admissible maximum is Long.MaxValue / (2*scale): value*scale
+    // fits a long AND the k-term sum (< 2*value*scale) does too.
+    val bound = Long.MaxValue / (2L * 1000000L)
+    val ok = Seq((1L, 0L, bound), (1L, 1L, bound))
+      .toDF("ent", "t", "v")
+    val got = TimeSeries.ewmaScaled(ok, "ent", "t", "v", k = 8)
+      .orderBy($"t").select($"ewma_scaled").as[Long].collect()
+    // Row 0: bound*scale. Row 1: bound*scale + (bound*scale >> 1) — the
+    // worst-case two-term sum, still inside a long, no silent wrap.
+    assert(got(0) == bound * 1000000L)
+    assert(got(1) == bound * 1000000L + ((bound * 1000000L) >> 1))
+    assert(got(1) > 0L, "sum at the boundary must not wrap negative")
+
+    val over = Seq((1L, 0L, bound + 1L)).toDF("ent", "t", "v")
+    val e = intercept[Exception] {
+      TimeSeries.ewmaScaled(over, "ent", "t", "v", k = 8).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("out of domain")), s"got: $e")
+
+    val neg = Seq((1L, 0L, -1L)).toDF("ent", "t", "v")
+    val e2 = intercept[Exception] {
+      TimeSeries.ewmaScaled(neg, "ent", "t", "v", k = 8).collect()
+    }
+    assert(messages(e2).exists(_.contains("out of domain")), s"got: $e2")
+  }
+
   test("a leading gap before the first observation stays NULL") {
     // entity 3 has null value on its first day — nothing to carry.
     val f = facts.unionByName(Seq((3L, "2024-05-01", null.asInstanceOf[java.lang.Double]),

@@ -234,7 +234,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_hybrid_rrf" -> (5, 7),
       "q_asof_native" -> (3, 2),
       "q_dedup_exact" -> (1, 1),
-      "q_corpus_top_terms" -> (1, 1))
+      "q_corpus_top_terms" -> (1, 1),
+      // Sketch family (round 8): the whole point of a mergeable sketch
+      // is that only SKETCHES cross the wire. The two-level rollup is
+      // exactly two exchanges (daily sketch build + rollup merge);
+      // everything else is one. A higher count means raw rows shuffled.
+      "q_bitmap_rollup" -> (2, 1),
+      "q_countmin_rollup" -> (2, 2), // 2nd scan = the probe-key side
+      "q_ts_ewma" -> (1, 0)) // daily counts materialized once; 1 = the window sort exchange
     def counts(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
       val s = df.queryExecution.executedPlan.toString
       ("Exchange hashpartitioning".r.findAllIn(s).length,

@@ -59,6 +59,19 @@ class TestTablesSpec extends AnyFunSuite {
     results.foreach { case (f, got) => assert(got == expected, s"$f: $got") }
   }
 
+  test("events loader never mutates session conf (nanosAsLong stays whatever the session set)") {
+    // The flag lives at SESSION BUILD (TestTables.nanosAsLongConf); the
+    // loader itself must be mutation-free — a reader that silently
+    // flips a session-wide legacy flag is the round-5 regression class.
+    val key = TestTables.nanosAsLongConf._1
+    val saved = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "false")
+      TestTables.events(spark, fixture("timestamp_us_ltz")).collect()
+      assert(spark.conf.get(key) == "false", "loader flipped the session conf")
+    } finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("watermark predicate matches the exact typed cut and reaches PushedFilters — every encoding") {
     val hwm = new java.sql.Timestamp(t1Us / 1000)
     hwm.setNanos(((t1Us % 1000000L) * 1000L).toInt) // exact µs watermark = event 1's ts
