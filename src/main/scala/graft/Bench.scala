@@ -73,7 +73,10 @@ object Bench {
     "q_dedup_minhash_shingled_md5",
     "q_bitmap_overlap",
     "q_countmin_freq",
-    "q_ts_ewma")
+    "q_ts_ewma",
+    // Round-8 addition: in-engine quality-classifier training (six
+    // full gradient passes — benches the iterate-over-corpus shape).
+    "q_classifier_train")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,7 +1,8 @@
 package graft.datapipe
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Linear-model text classification via the hashing trick (the
   * Vowpal-Wabbit / fastText-style quality classifier of web-corpus
@@ -59,6 +60,131 @@ object Classifier {
       size(ws).cast("long").as("n_tokens"),
       hashedLinearScore(ws, weights, salt).as("score"))
       .withColumn("keep", col("score") > threshold)
+  }
+
+  /** TRAINING the weight vector in-engine: hashed-feature logistic
+    * regression with an integer-quantized hard sigmoid and a fixed
+    * iteration count — the [[GraphRank]] discipline applied to SGD, so
+    * any engine and any partitioning computes the identical weight
+    * vector and a value-level oracle can replay every iteration.
+    * (The reference's quality gate trains/validates a predictions
+    * model over labeled visits — `src/predictions.py:79-127`,
+    * `Notebooks/test_for_samy.ipynb`; this is that loop re-expressed
+    * as a deterministic distributed trainer for the corpus-quality
+    * classifier above.)
+    *
+    * The model: p(y=1|d) ≈ σ̂(margin/S) with margin = Σ_tokens
+    * w[bucket(t)] and σ̂ the HARD sigmoid (Courbariaux 2015's
+    * quantized-training nonlinearity): σ̂(x) = clamp(x/4 + 1/2, 0, 1),
+    * held on an integer grid of `q` levels:
+    *   sq(m)  = clamp(q/2 + floor(m·q / (4·S)), 0, q)
+    *   err_d  = sq(margin_d) − y_d·q                 ∈ [−q, q]
+    *   grad_b = Σ_d err_d · count_d(b)               (exact long)
+    *   w'_b   = w_b − floorDiv(grad_b, n·gDiv)       (batch step)
+    * Every quantity is a long on an exact grid — no IEEE anywhere, so
+    * iteration T is bit-reproducible and the oracle unrolls the SAME
+    * T iterations as chained CTEs (the [[Bpe.oracleSql]] pattern).
+    *
+    * Shape at scale: the token→bucket arrays materialize ONCE; each
+    * iteration is one scan of that table — a codegen'd fold for the
+    * margin (weights ride along as a plan literal), then
+    * explode→groupBy(bucket) for the gradient, whose map-side partial
+    * aggregation means each task ships ≤ dim rows — the classic
+    * treeAggregate shape of distributed SGD. Driver traffic per
+    * iteration is the dim-row gradient, nothing else. Literal-array
+    * weights are fine to ~2^16 buckets; a 2^20+ model should
+    * broadcast-join a bucket table instead.
+    */
+  def train(docs: DataFrame, textCol: String, label: Column, dim: Int, salt: String,
+            iters: Int, q: Long = 4096L, marginScale: Long = 4096L,
+            gDiv: Long = 8L): Seq[Long] = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    require(iters >= 1 && iters <= 64, s"iters must be in [1, 64], got $iters")
+    require(q >= 2 && (q & (q - 1)) == 0, s"q must be a power of two, got $q")
+    require(marginScale >= 1 && (marginScale & (marginScale - 1)) == 0,
+      s"marginScale must be a power of two, got $marginScale")
+    require(gDiv >= 1, s"gDiv must be positive, got $gDiv")
+    val ws = TextAnalysis.words(coalesce(col(textCol), lit("")))
+    // One materialized pass: per-doc label + token bucket array (one
+    // entry per token occurrence — counts stay implicit in the explode).
+    val feat = graft.util.Materialize.once(docs.select(
+      label.cast("long").as("y"),
+      transform(ws, w => (featureBucket(w, dim, salt) + 1).cast("int")).as("bks")))
+    val n = feat.count().max(1L)
+    val lrDen = n * gDiv
+    // floor(m·q / 4S) as an arithmetic shift: q and 4S are powers of
+    // two, and >> IS floor division by 2^k on longs — no IEEE, no
+    // trunc-toward-zero drift on negative margins.
+    val shift = java.lang.Long.numberOfTrailingZeros(4 * marginScale) -
+      java.lang.Long.numberOfTrailingZeros(q)
+    val w = Array.fill(dim)(0L)
+    for (_ <- 1 to iters) {
+      val wlit = typedlit(w.toSeq)
+      val margin = aggregate(col("bks"), lit(0L), (acc, b) => acc + element_at(wlit, b))
+      val sq =
+        if (shift >= 0) greatest(lit(0L), least(lit(q), lit(q / 2) + shiftright(margin, shift)))
+        else greatest(lit(0L), least(lit(q), lit(q / 2) + shiftleft(margin, -shift)))
+      val grads = feat
+        .select((sq - col("y") * lit(q)).as("err"), col("bks"))
+        .select(col("err"), explode(col("bks")).as("b1"))
+        .groupBy(col("b1")).agg(sum(col("err")).as("g"))
+        .collect()
+      grads.foreach { r =>
+        val b = r.getInt(0) - 1
+        w(b) = w(b) - Math.floorDiv(r.getLong(1), lrDen)
+      }
+    }
+    w.toSeq
+  }
+
+  /** The trained vector as a (bucket, weight) table (driver-side `dim`
+    * rows — the model IS small; the data pass was the distributed part).
+    */
+  def weightsDf(spark: SparkSession, weights: Seq[Long]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        weights.zipWithIndex.map { case (w, b) => Row(b, w) }, 1),
+      StructType(Seq(
+        StructField("bucket", IntegerType, nullable = false),
+        StructField("weight", LongType, nullable = false))))
+
+  /** DuckDB oracle for [[train]]: the SAME `iters` iterations unrolled
+    * as chained CTEs — per step a margin aggregate over the token
+    * table, the identical integer hard sigmoid (floor division spelled
+    * as the explicit floor formula, since engine-side it is an
+    * arithmetic shift), a bucket-grouped gradient, and the identical
+    * floorDiv weight step. `docsSql` must yield (doc_id, text, y).
+    */
+  def trainOracleSql(docsSql: String, dim: Int, salt: String, iters: Int,
+                     q: Long = 4096L, marginScale: Long = 4096L,
+                     gDiv: Long = 8L): String = {
+    def fdiv(a: String, b: String): String =
+      s"((($a) - (((($a) % ($b)) + ($b)) % ($b))) // ($b))"
+    val stage = (1 to iters).map { i =>
+      s"""m$i AS MATERIALIZED (
+         |  SELECT f.doc, f.y, CAST(coalesce(sum(w.w), 0) AS BIGINT) AS margin
+         |  FROM feat f JOIN w${i - 1} w USING (b) GROUP BY f.doc, f.y),
+         |e$i AS MATERIALIZED (
+         |  SELECT doc,
+         |    GREATEST(0, LEAST($q, ${q / 2} + ${fdiv(s"margin * $q", s"${4 * marginScale}")})) - y * $q AS err
+         |  FROM m$i),
+         |g$i AS MATERIALIZED (
+         |  SELECT f.b, CAST(sum(e.err) AS BIGINT) AS g
+         |  FROM feat f JOIN e$i e USING (doc) GROUP BY f.b),
+         |w$i AS MATERIALIZED (
+         |  SELECT w.b, CAST(w.w - ${fdiv("coalesce(g.g, 0)", s"(SELECT n FROM nn) * $gDiv")} AS BIGINT) AS w
+         |  FROM w${i - 1} w LEFT JOIN g$i g USING (b))""".stripMargin
+    }
+    s"""WITH tdocs AS MATERIALIZED (
+       |  $docsSql),
+       |feat AS MATERIALIZED (
+       |  SELECT doc_id AS doc, y,
+       |    CAST(('0x' || substr(md5('$salt' || '|' || t), 1, 8)) AS BIGINT) % $dim AS b
+       |  FROM tdocs, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS u(t)),
+       |nn AS (SELECT greatest(count(*), 1) AS n FROM tdocs),
+       |w0 AS (SELECT CAST(unnest(range(0, $dim)) AS BIGINT) AS b, CAST(0 AS BIGINT) AS w),
+       |${stage.mkString(",\n")}
+       |SELECT CAST(b AS INT) AS bucket, w AS weight FROM w$iters ORDER BY bucket""".stripMargin
   }
 
   /** DuckDB twin of [[scoreDocs]] (fixture generator renders the same

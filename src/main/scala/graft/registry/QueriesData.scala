@@ -226,6 +226,26 @@ object QueriesData {
           Classifier.syntheticWeights(64), salt = "cls0", threshold = 0L)
         .orderBy(col("doc_id"))),
 
+    // TRAINING that classifier in-engine: integer-quantized logistic
+    // regression (hard sigmoid on a 4096-level grid, floorDiv batch
+    // steps) over a planted corpus — each doc carries its class marker
+    // three times, labels from doc parity. Six fixed iterations; the
+    // oracle unrolls the SAME six as chained CTEs (margin aggregate →
+    // integer sigmoid → bucket-grouped gradient → floorDiv step), so a
+    // drift in hashing, quantization, or the update rule fails the
+    // hash. ClassifierSpec asserts the trained vector perfectly
+    // separates the planted classes.
+    "q_classifier_train" -> ((s, dir) => {
+      val marked = TestTables.documents(s, dir).select(
+        col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 2 === 0, lit(" qualgood qualgood qualgood"))
+            .otherwise(lit(" qualbad qualbad qualbad"))).as("text"),
+        (col("doc_id") % 2 === 0).cast("long").as("y"))
+      val w = Classifier.train(marked, "text", col("y"), dim = 64, salt = "clstr", iters = 6)
+      Classifier.weightsDf(s, w).orderBy(col("bucket"))
+    }),
+
     // BPE merge learning on the word-frequency dict (vocab-bounded,
     // never corpus-bounded): 10 heaviest-pair merges with a full
     // deterministic tie-break. The oracle unrolls the SAME 10
@@ -1734,6 +1754,13 @@ object QueriesData {
 
     "q_quality_classifier" ->
       Classifier.scoreDocsSql(Classifier.syntheticWeights(64), salt = "cls0", threshold = 0L),
+    "q_classifier_train" -> Classifier.trainOracleSql(
+      """SELECT doc_id,
+        |    coalesce(text, '') || CASE WHEN doc_id % 2 = 0
+        |      THEN ' qualgood qualgood qualgood' ELSE ' qualbad qualbad qualbad' END AS text,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM documents""".stripMargin,
+      dim = 64, salt = "clstr", iters = 6),
     "q_bpe_learn" -> Bpe.oracleSql(10, mergeTable = true),
     "q_bpe_apply" -> Bpe.oracleSql(10, mergeTable = false),
 

@@ -59,4 +59,64 @@ class ClassifierSpec extends AnyFunSuite with Matchers {
     plan should not include "Exchange"
     plan.toLowerCase should not include "batchevalpython"
   }
+
+  // ------------------------------------------------------------------
+  // train: integer-quantized logistic regression
+  // ------------------------------------------------------------------
+
+  /** Planted corpus: shared noise vocabulary in every doc, plus a
+    * class marker planted three times — the separable signal the
+    * trainer must find. Deterministic from the doc index.
+    */
+  private def plantedDocs(n: Int) = {
+    val noise = Vector("table", "scan", "filter", "join", "sort", "agg", "row", "key")
+    (0 until n).map { i =>
+      val y = i % 2
+      val words = (0 until 12).map(j => noise((i * 7 + j * 5) % noise.size)) ++
+        Seq.fill(3)(if (y == 1) "qualgood" else "qualbad")
+      (i.toLong, words.mkString(" "), y.toLong)
+    }.toDF("doc_id", "text", "y")
+  }
+
+  test("train separates planted good/bad docs with a margin") {
+    val docs = plantedDocs(40)
+    val w = Classifier.train(docs, "text", $"y", dim = 64, salt = "clstr", iters = 6)
+    w.size shouldBe 64
+    // Score the SAME planted construction under the trained weights:
+    // every good doc must outscore every bad doc (perfect separation
+    // on a linearly separable fixture is the minimum bar).
+    val scored = Classifier.scoreDocs(docs, "doc_id", "text", w, salt = "clstr")
+      .join(docs.select($"doc_id", $"y"), "doc_id")
+      .select($"y", $"score").as[(Long, Long)].collect()
+    val good = scored.filter(_._1 == 1L).map(_._2)
+    val bad = scored.filter(_._1 == 0L).map(_._2)
+    assert(good.min > bad.max,
+      s"trained weights must separate the classes: good=[${good.min},${good.max}] bad=[${bad.min},${bad.max}]")
+  }
+
+  test("train is exactly partitioning-invariant (integer grid, no IEEE)") {
+    val docs = plantedDocs(30)
+    val a = Classifier.train(docs, "text", $"y", dim = 32, salt = "clstr", iters = 4)
+    val b = Classifier.train(docs.repartition(7, $"text"), "text", $"y",
+      dim = 32, salt = "clstr", iters = 4)
+    a shouldBe b
+  }
+
+  test("train gradient pass ships only bucket-grouped partials (one exchange)") {
+    // The per-iteration gradient is explode -> partial agg -> one
+    // exchange of <= dim rows per task -> final agg: assert the plan of
+    // that stage has exactly one shuffle, i.e. raw token rows never
+    // cross the wire.
+    val docs = plantedDocs(20)
+    val ws = TextAnalysis.words(coalesce(col("text"), lit("")))
+    val feat = docs.select($"y".cast("long").as("y"),
+      transform(ws, w => (Classifier.featureBucket(w, 32, "clstr") + 1).cast("int")).as("bks"))
+    val wlit = typedlit(Seq.fill(32)(0L))
+    val margin = aggregate($"bks", lit(0L), (acc, b) => acc + element_at(wlit, b))
+    val plan = feat.select((margin - $"y" * lit(4096L)).as("err"), $"bks")
+      .select($"err", explode($"bks").as("b1"))
+      .groupBy($"b1").agg(sum($"err")).queryExecution.executedPlan.toString
+    "Exchange hashpartitioning".r.findAllIn(plan).length shouldBe 1
+    plan should include("HashAggregate") // map-side partials present
+  }
 }
