@@ -74,9 +74,12 @@ object Bench {
     "q_bitmap_overlap",
     "q_countmin_freq",
     "q_ts_ewma",
-    // Round-8 addition: in-engine quality-classifier training (six
-    // full gradient passes — benches the iterate-over-corpus shape).
-    "q_classifier_train")
+    // Round-8 additions: in-engine quality-classifier training (six
+    // full gradient passes — benches the iterate-over-corpus shape)
+    // and the bucketed-edge PageRank twin (pays the bucketed write,
+    // then every iteration's edge join is exchange-free on that side).
+    "q_classifier_train",
+    "q_graph_pagerank_bucketed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

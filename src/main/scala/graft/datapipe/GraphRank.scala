@@ -57,18 +57,32 @@ object GraphRank {
       s"scale must keep r*85 inside a long with headroom, got $scale")
     require(checkpointEvery >= 1, "checkpointEvery must be positive")
     val n = nodes.agg(count(lit(1)).as("__n"))
-    val deg = edges.groupBy(col(srcCol).as("node")).agg(count(lit(1)).as("__deg"))
-    val base = nodes.select(col(nodeCol).as("node")).crossJoin(broadcast(n))
-    var scores = base.select(col("node"), expr(s"$scale div __n").as("r"))
+    // The two NODE-sized side tables every iteration re-reads —
+    // (node, out-degree, teleport, r0) — materialize ONCE. Referencing
+    // them by name in the loop would otherwise clone their whole
+    // subtree into all `iters` iterations' plans: the node table (and,
+    // through `deg`, the EDGE table) re-scanned per iteration — at
+    // corpus scale, dozens of redundant full scans per run. Scores are
+    // unchanged: materialization moves bytes, never values. The edge
+    // table itself deliberately stays a plain per-iteration scan: it
+    // is the 100 TB side, and riding its (ideally bucketed-by-src)
+    // storage layout IS the design — see the bucketed headline twin.
+    val base = graft.util.Materialize.once(
+      nodes.select(col(nodeCol).as("node")).crossJoin(broadcast(n))
+        .join(edges.groupBy(col(srcCol).as("node")).agg(count(lit(1)).as("__deg")),
+          Seq("node"), "left")
+        .select(col("node"), col("__deg"),
+          expr(s"(15 * $scale) div (100 * __n)").as("__t"),
+          expr(s"$scale div __n").as("__r0")))
+    var scores = base.select(col("node"), col("__r0").as("r"))
     for (i <- 1 to iters) {
       val contrib = scores
         .join(edges.select(col(srcCol).as("node"), col(dstCol).as("__dst")), Seq("node"))
-        .join(deg, Seq("node"))
+        .join(base.select(col("node"), col("__deg")), Seq("node"))
         .select(col("__dst").as("node"), expr("(r * 85) div (100 * __deg)").as("__c"))
       val sums = contrib.groupBy(col("node")).agg(sum(col("__c")).as("__s"))
-      scores = base.join(sums, Seq("node"), "left")
-        .select(col("node"),
-          (expr(s"(15 * $scale) div (100 * __n)") + coalesce(col("__s"), lit(0L))).as("r"))
+      scores = base.select(col("node"), col("__t")).join(sums, Seq("node"), "left")
+        .select(col("node"), (col("__t") + coalesce(col("__s"), lit(0L))).as("r"))
       if (i % checkpointEvery == 0 && i < iters)
         scores = graft.util.Materialize.once(scores)
     }

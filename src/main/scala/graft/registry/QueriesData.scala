@@ -303,6 +303,30 @@ object QueriesData {
         .orderBy(col("node"))
     }),
 
+    // The SAME ranking computed the way a 100 TB graph would run it:
+    // the edge table — the side that can neither broadcast nor afford
+    // a per-iteration re-shuffle — is persisted bucketed+sorted on
+    // src first (sink/Bucketing), so every iteration's edge join and
+    // the degree aggregate plan NO exchange on the edge side; only the
+    // small score table moves. The merge hint pins the join strategy
+    // the big side would get anyway (at test SF Spark would broadcast
+    // the tiny edges and never exercise the layout). Scores are
+    // bit-identical to q_graph_pagerank — same oracle; PlanShapeSpec
+    // pins the exchange reduction.
+    "q_graph_pagerank_bucketed" -> ((s, dir) => {
+      val docs = TestTables.documents(s, dir).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), col("__n"),
+          explode(sequence(lit(1), (lit(1) + col("doc_id") % 3).cast("int"))).as("k"))
+        .select(col("src"), ((col("src") * 31 + col("k") * 97) % col("__n")).as("dst"))
+      val path = graft.util.TempDirs.scratch("graft_pr_edges")
+      graft.sink.Bucketing.writeBucketed(edges, "graft_pr_edges_bkt", s"$path/e", Seq("src"), 8, Seq("src"))
+      val bucketed = graft.sink.Bucketing.table(s, "graft_pr_edges_bkt").hint("merge")
+      GraphRank.pageRank(docs, "doc_id", bucketed, "src", "dst", iters = 10)
+        .orderBy(col("node"))
+    }),
+
     // Classifier evaluation: the language-ID confusion matrix against
     // the labeled lang column — per (actual, predicted) counts, the
     // precision/recall raw material as exact integers.
@@ -1523,8 +1547,10 @@ object QueriesData {
        |FROM ch, unnest(range(0, nch)) AS t(i)
        |ORDER BY doc_id, chunk_id""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
-    "q_graph_pagerank" -> {
+  /** Shared by q_graph_pagerank and its bucketed-edge twin: storage
+    * layout must not change a single grid unit of the fixed point.
+    */
+  private val pagerankOracle: String = {
       val S = "1000000000000"
       def iter(i: Int) =
         s"""r$i AS (
@@ -1544,7 +1570,11 @@ object QueriesData {
          |r0 AS (SELECT node, $S // (SELECT c FROM nn) AS r FROM nodes),
          |${(1 to 10).map(iter).mkString(",\n")}
          |SELECT node, r FROM r10 ORDER BY node""".stripMargin
-    },
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q_graph_pagerank" -> pagerankOracle,
+    "q_graph_pagerank_bucketed" -> pagerankOracle,
     "q_dedup_minhash" -> minhashXxhOracle,
     "q_dedup_minhash_shingled" -> minhashShingledXxhOracle,
     "q_dedup_simhash" -> simhashXxhOracle,

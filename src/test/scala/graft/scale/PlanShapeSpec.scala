@@ -229,7 +229,21 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_pipeline_eligibility" -> (6, 0),
       "q_eligibility_extract" -> (0, 5),   // star join: broadcasts only
       "q_set_ops_all" -> (2, 4),
-      "q_graph_pagerank" -> (30, 62),      // 3 exchanges x 10 iterations
+      // Round 8: node-sized side tables (teleport, degree, r0)
+      // materialize once instead of re-deriving inside every
+      // iteration — 30 exchanges/62 scans down to 20/20; the
+      // remaining 2 exchanges x 10 iterations are the message pass
+      // itself (scores->edge key, contributions->dst).
+      "q_graph_pagerank" -> (20, 20),
+      // The bucketed twin reads edges ONCE per iteration (10 scans,
+      // vs 20 doc-table scans for the in-query-derived plain edges)
+      // and plans ZERO edge-side exchanges — its 10 extra exchanges
+      // are all on the node-sized score table, forced by the merge
+      // hint where the plain plan broadcasts the tiny test edges (a
+      // small-data artifact; a 100 TB edge table cannot broadcast).
+      // The bucketed-beats-plain exchange count under no-broadcast is
+      // locked in GraphRankSpec.
+      "q_graph_pagerank_bucketed" -> (30, 10),
       "q_bm25_topk" -> (4, 5),
       "q_hybrid_rrf" -> (5, 7),
       "q_asof_native" -> (3, 2),
