@@ -157,7 +157,39 @@ object Classifier {
     */
   def trainOracleSql(docsSql: String, dim: Int, salt: String, iters: Int,
                      q: Long = 4096L, marginScale: Long = 4096L,
-                     gDiv: Long = 8L): String = {
+                     gDiv: Long = 8L): String =
+    s"""WITH ${trainCtes(docsSql, dim, salt, iters, q, marginScale, gDiv)}
+       |SELECT CAST(b AS INT) AS bucket, w AS weight FROM w$iters ORDER BY bucket""".stripMargin
+
+  /** Train-then-gate oracle: the [[trainOracleSql]] chain, then the
+    * [[scoreDocs]] replay of the CORPUS (un-marked `documents`) joined
+    * against the LEARNED weight table w{iters} instead of a rendered
+    * literal — the full quality-gate loop in one SQL statement.
+    */
+  def trainGateOracleSql(docsSql: String, dim: Int, salt: String, iters: Int,
+                         q: Long = 4096L, marginScale: Long = 4096L,
+                         gDiv: Long = 8L, threshold: Long = 0L): String =
+    s"""WITH ${trainCtes(docsSql, dim, salt, iters, q, marginScale, gDiv)},
+       |sdocs AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), x -> x <> '') AS words
+       |  FROM documents),
+       |sb AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5('$salt' || '|' || t), 1, 8)) AS BIGINT) % $dim AS b
+       |  FROM sdocs, unnest(words) AS u(t)),
+       |ssum AS MATERIALIZED (
+       |  SELECT sb.doc_id, CAST(sum(w.w) AS BIGINT) AS score
+       |  FROM sb JOIN w$iters w USING (b) GROUP BY sb.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(len(d.words) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(s.score, 0) AS BIGINT) AS score,
+       |  coalesce(s.score, 0) > $threshold AS keep
+       |FROM sdocs d LEFT JOIN ssum s USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  private def trainCtes(docsSql: String, dim: Int, salt: String, iters: Int,
+                        q: Long, marginScale: Long, gDiv: Long): String = {
     def fdiv(a: String, b: String): String =
       s"((($a) - (((($a) % ($b)) + ($b)) % ($b))) // ($b))"
     val stage = (1 to iters).map { i =>
@@ -175,7 +207,7 @@ object Classifier {
          |  SELECT w.b, CAST(w.w - ${fdiv("coalesce(g.g, 0)", s"(SELECT n FROM nn) * $gDiv")} AS BIGINT) AS w
          |  FROM w${i - 1} w LEFT JOIN g$i g USING (b))""".stripMargin
     }
-    s"""WITH tdocs AS MATERIALIZED (
+    s"""tdocs AS MATERIALIZED (
        |  $docsSql),
        |feat AS MATERIALIZED (
        |  SELECT doc_id AS doc, y,
@@ -183,8 +215,7 @@ object Classifier {
        |  FROM tdocs, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS u(t)),
        |nn AS (SELECT greatest(count(*), 1) AS n FROM tdocs),
        |w0 AS (SELECT CAST(unnest(range(0, $dim)) AS BIGINT) AS b, CAST(0 AS BIGINT) AS w),
-       |${stage.mkString(",\n")}
-       |SELECT CAST(b AS INT) AS bucket, w AS weight FROM w$iters ORDER BY bucket""".stripMargin
+       |${stage.mkString(",\n")}""".stripMargin
   }
 
   /** DuckDB twin of [[scoreDocs]] (fixture generator renders the same

@@ -246,6 +246,25 @@ object QueriesData {
       Classifier.weightsDf(s, w).orderBy(col("bucket"))
     }),
 
+    // The full quality-gate loop, end-to-end: train on the planted
+    // corpus, then gate the REAL (un-marked) documents with the
+    // learned vector — keep/drop per doc. The oracle chains the
+    // training replay into the scoring replay, joining tokens against
+    // the LEARNED weight CTE rather than a rendered literal, so the
+    // whole train→gate path is one hash-compared statement.
+    "q_classifier_train_gate" -> ((s, dir) => {
+      val marked = TestTables.documents(s, dir).select(
+        col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 2 === 0, lit(" qualgood qualgood qualgood"))
+            .otherwise(lit(" qualbad qualbad qualbad"))).as("text"),
+        (col("doc_id") % 2 === 0).cast("long").as("y"))
+      val w = Classifier.train(marked, "text", col("y"), dim = 64, salt = "clstr", iters = 6)
+      Classifier.scoreDocs(TestTables.documents(s, dir), "doc_id", "text",
+          w, salt = "clstr", threshold = 0L)
+        .orderBy(col("doc_id"))
+    }),
+
     // BPE merge learning on the word-frequency dict (vocab-bounded,
     // never corpus-bounded): 10 heaviest-pair merges with a full
     // deterministic tie-break. The oracle unrolls the SAME 10
@@ -1785,6 +1804,13 @@ object QueriesData {
     "q_quality_classifier" ->
       Classifier.scoreDocsSql(Classifier.syntheticWeights(64), salt = "cls0", threshold = 0L),
     "q_classifier_train" -> Classifier.trainOracleSql(
+      """SELECT doc_id,
+        |    coalesce(text, '') || CASE WHEN doc_id % 2 = 0
+        |      THEN ' qualgood qualgood qualgood' ELSE ' qualbad qualbad qualbad' END AS text,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM documents""".stripMargin,
+      dim = 64, salt = "clstr", iters = 6),
+    "q_classifier_train_gate" -> Classifier.trainGateOracleSql(
       """SELECT doc_id,
         |    coalesce(text, '') || CASE WHEN doc_id % 2 = 0
         |      THEN ' qualgood qualgood qualgood' ELSE ' qualbad qualbad qualbad' END AS text,
