@@ -1225,12 +1225,19 @@ object QueriesData {
     val unitSet = minhashUnitSet(shingle)
     val candSrc = maxBucket match {
       case Some(cap) =>
+        // The dedup is an explicit outer DISTINCT over UNION ALL, never
+        // a bare UNION: these CTEs also run inside the xxh64 chains'
+        // WITH RECURSIVE statements, where DuckDB 1.0 treats any CTE
+        // with a top-level UNION as recursive-CTE syntax and SKIPS the
+        // union's deduplication (reproduced: WITH RECURSIVE t AS
+        // (SELECT 1 UNION SELECT 1) yields 2 rows) — that silently
+        // duplicated capped star pairs at sf0.1.
         val starCand =
           if (starPairs)
             """
-              |  UNION
-              |  SELECT keep_doc AS doc_a, b.doc AS doc_b FROM bands b
-              |  JOIN bsz USING (band, band_key) WHERE n > %CAP% AND b.doc <> keep_doc""".stripMargin
+              |    UNION ALL
+              |    SELECT keep_doc AS doc_a, b.doc AS doc_b FROM bands b
+              |    JOIN bsz USING (band, band_key) WHERE n > %CAP% AND b.doc <> keep_doc""".stripMargin
           else ""
         s"""bsz AS (
            |  SELECT band, band_key, count(*) AS n, min(doc) AS keep_doc
@@ -1242,9 +1249,10 @@ object QueriesData {
            |  SELECT DISTINCT b.doc FROM bands b
            |  JOIN bsz USING (band, band_key) WHERE n > $cap AND b.doc <> keep_doc),
            |cand AS (
-           |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-           |  FROM small a JOIN small b
-           |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc${starCand.replace("%CAP%", cap.toString)}),""".stripMargin
+           |  SELECT DISTINCT doc_a, doc_b FROM (
+           |    SELECT a.doc AS doc_a, b.doc AS doc_b
+           |    FROM small a JOIN small b
+           |      ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc${starCand.replace("%CAP%", cap.toString)}) u),""".stripMargin
       case None =>
         """cand AS (
           |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
@@ -1454,11 +1462,15 @@ object QueriesData {
        |        FROM ck GROUP BY 1, 2),
        |small AS (SELECT ck.doc, ck.sh, ck.chunk, ck.key FROM ck JOIN bsz USING (chunk, key) WHERE n <= 64),
        |cand AS (
-       |  SELECT a.doc AS doc_a, a.sh AS sh_a, b.doc AS doc_b, b.sh AS sh_b
-       |  FROM small a JOIN small b ON a.chunk = b.chunk AND a.key = b.key AND a.doc < b.doc
-       |  UNION
-       |  SELECT keep_doc, keep_sh, c.doc, c.sh FROM ck c JOIN bsz USING (chunk, key)
-       |  WHERE n > 64 AND c.doc <> keep_doc)
+       |  -- outer DISTINCT over UNION ALL, not bare UNION: under WITH
+       |  -- RECURSIVE, DuckDB 1.0 parses a top-level UNION in any CTE
+       |  -- as recursive syntax and skips its deduplication
+       |  SELECT DISTINCT doc_a, sh_a, doc_b, sh_b FROM (
+       |    SELECT a.doc AS doc_a, a.sh AS sh_a, b.doc AS doc_b, b.sh AS sh_b
+       |    FROM small a JOIN small b ON a.chunk = b.chunk AND a.key = b.key AND a.doc < b.doc
+       |    UNION ALL
+       |    SELECT keep_doc, keep_sh, c.doc, c.sh FROM ck c JOIN bsz USING (chunk, key)
+       |    WHERE n > 64 AND c.doc <> keep_doc) u)
        |SELECT DISTINCT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
        |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 10
        |ORDER BY doc_a, doc_b""".stripMargin
@@ -1500,8 +1512,14 @@ object QueriesData {
       " ELSE 'und' END"
     val dropsCtes =
       if (!ccSurvivor)
+        // DISTINCT over UNION ALL, not bare UNION: these statements run
+        // under WITH RECURSIVE, where DuckDB 1.0 skips a top-level
+        // UNION's dedup (benign here — drops feeds NOT IN — but the
+        // shape is banned repo-wide after the q_dedup_minhash sf0.1
+        // duplicate-pair incident).
         """drops AS (
-          |  SELECT doc_b AS doc FROM verified UNION SELECT doc FROM big_drops)""".stripMargin
+          |  SELECT DISTINCT doc FROM (
+          |    SELECT doc_b AS doc FROM verified UNION ALL SELECT doc FROM big_drops) u)""".stripMargin
       else
         // Transitive closure of the verified-pair graph: every node
         // reachable from `root`; component = min reachable node (the
@@ -1515,8 +1533,9 @@ object QueriesData {
           |  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node),
           |comp AS (SELECT node, min(root) AS root FROM reach GROUP BY node),
           |drops AS (
-          |  SELECT node AS doc FROM comp WHERE root <> node
-          |  UNION SELECT doc FROM big_drops)""".stripMargin
+          |  SELECT DISTINCT doc FROM (
+          |    SELECT node AS doc FROM comp WHERE root <> node
+          |    UNION ALL SELECT doc FROM big_drops) u)""".stripMargin
     s"""hitted AS (
        |  SELECT doc_id, text, lang,
        |  $hitCols,
