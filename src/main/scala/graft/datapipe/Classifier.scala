@@ -98,12 +98,7 @@ object Classifier {
   def train(docs: DataFrame, textCol: String, label: Column, dim: Int, salt: String,
             iters: Int, q: Long = 4096L, marginScale: Long = 4096L,
             gDiv: Long = 8L): Seq[Long] = {
-    require(dim >= 2, s"dim must be >= 2, got $dim")
-    require(iters >= 1 && iters <= 64, s"iters must be in [1, 64], got $iters")
-    require(q >= 2 && (q & (q - 1)) == 0, s"q must be a power of two, got $q")
-    require(marginScale >= 1 && (marginScale & (marginScale - 1)) == 0,
-      s"marginScale must be a power of two, got $marginScale")
-    require(gDiv >= 1, s"gDiv must be positive, got $gDiv")
+    validateHyper(dim, iters, q, marginScale, gDiv)
     val ws = TextAnalysis.words(coalesce(col(textCol), lit("")))
     // One materialized pass: per-doc label + token bucket array (one
     // entry per token occurrence — counts stay implicit in the explode).
@@ -188,8 +183,28 @@ object Classifier {
        |FROM sdocs d LEFT JOIN ssum s USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Shared hyperparameter domain for [[train]] and the oracle
+    * renderers. The 2^60 caps keep `4 * marginScale` (engine shift
+    * base AND an interpolated oracle divisor) inside a positive long:
+    * above them the product wraps, the engine's shift path and the
+    * oracle's floor-mod division silently disagree, and at 2^62 the
+    * rendered divisor is literally 0.
+    */
+  private def validateHyper(dim: Int, iters: Int, q: Long, marginScale: Long,
+                            gDiv: Long): Unit = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    require(iters >= 1 && iters <= 64, s"iters must be in [1, 64], got $iters")
+    require(q >= 2 && q <= (1L << 60) && (q & (q - 1)) == 0,
+      s"q must be a power of two in [2, 2^60], got $q")
+    require(marginScale >= 1 && marginScale <= (1L << 60) &&
+      (marginScale & (marginScale - 1)) == 0,
+      s"marginScale must be a power of two in [1, 2^60], got $marginScale")
+    require(gDiv >= 1, s"gDiv must be positive, got $gDiv")
+  }
+
   private def trainCtes(docsSql: String, dim: Int, salt: String, iters: Int,
                         q: Long, marginScale: Long, gDiv: Long): String = {
+    validateHyper(dim, iters, q, marginScale, gDiv)
     def fdiv(a: String, b: String): String =
       s"((($a) - (((($a) % ($b)) + ($b)) % ($b))) // ($b))"
     val stage = (1 to iters).map { i =>

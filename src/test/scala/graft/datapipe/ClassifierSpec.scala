@@ -94,6 +94,27 @@ class ClassifierSpec extends AnyFunSuite with Matchers {
       s"trained weights must separate the classes: good=[${good.min},${good.max}] bad=[${bad.min},${bad.max}]")
   }
 
+  test("train and the oracle renderer reject hyperparameters past the 2^60 overflow caps") {
+    val docs = plantedDocs(4)
+    // 2^61 passes the power-of-two shape but 4*marginScale wraps
+    // negative: the engine's shift base and the oracle's interpolated
+    // divisor would silently disagree (and at 2^62 render a 0 divisor).
+    intercept[IllegalArgumentException] {
+      Classifier.train(docs, "text", $"y", dim = 4, salt = "s", iters = 1,
+        marginScale = 1L << 61)
+    }
+    intercept[IllegalArgumentException] {
+      Classifier.train(docs, "text", $"y", dim = 4, salt = "s", iters = 1,
+        q = 1L << 61)
+    }
+    intercept[IllegalArgumentException] {
+      Classifier.trainOracleSql("SELECT 1", dim = 4, salt = "s", iters = 1,
+        marginScale = 1L << 62)
+    }
+    // The in-range defaults still pass both entry points.
+    Classifier.trainOracleSql("SELECT 1", dim = 4, salt = "s", iters = 1)
+  }
+
   test("train is exactly partitioning-invariant (integer grid, no IEEE)") {
     val docs = plantedDocs(30)
     val a = Classifier.train(docs, "text", $"y", dim = 32, salt = "clstr", iters = 4)

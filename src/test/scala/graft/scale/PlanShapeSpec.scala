@@ -218,7 +218,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // introduces an extra shuffle or an extra base-table scan into one
     // of these fails HERE, in `sbt test`, instead of surfacing as a
     // bench regression a round later. Counts are taken on the planned
-    // (pre-AQE) physical plan: deterministic, no execution needed.
+    // (pre-AQE) physical plan, so they are deterministic — but
+    // BUILDING some entries does execute work (pageRank eagerly
+    // materializes its node side tables, the bucketed twin writes a
+    // bucketed edge table, ts_ewma pre-aggregates daily counts), so
+    // this test's runtime scales with the fixture dir.
     // If a deliberate plan improvement LOWERS a count, re-pin the
     // budget downward — the assertion is two-sided so the pins can't
     // silently go stale.
