@@ -125,8 +125,13 @@ object Classifier {
         .groupBy(col("b1")).agg(sum(col("err")).as("g"))
         .collect()
       grads.foreach { r =>
-        val b = r.getInt(0) - 1
-        w(b) = w(b) - Math.floorDiv(r.getLong(1), lrDen)
+        // A bucket whose every contributing doc has a NULL label sums
+        // to a NULL gradient: no update — the same coalesce-to-0 the
+        // oracle SQL applies to g.g, instead of a driver NPE.
+        if (!r.isNullAt(1)) {
+          val b = r.getInt(0) - 1
+          w(b) = w(b) - Math.floorDiv(r.getLong(1), lrDen)
+        }
       }
     }
     w.toSeq

@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * different way, and none ever does an all-pairs crossJoin:
   *
   *  - exact:   one shuffle on the content hash;
-  *  - jaccard: token-inverted-index join (pairs only meet through a
-  *             shared token, frequent tokens pruned — prefix filtering);
+  *  - jaccard: token-inverted-index join (candidates only meet through
+  *             a shared token, frequent tokens pruned — prefix
+  *             filtering; verified with TRUE set similarity);
   *  - minhash: banded LSH — pairs only meet through a shared band
   *             bucket, candidates then verified with true Jaccard;
   *  - simhash: 64-bit sketch, candidates meet through equal 16-bit
@@ -45,23 +46,32 @@ object Dedup {
     tok.join(keep, Seq("w"), "left_semi")
   }
 
-  /** N-gram/word-set Jaccard pairs ≥ `minJaccard` via inverted index:
-    * |A∩B| from the token join, |A|,|B| from per-doc distinct counts.
+  /** N-gram/word-set Jaccard pairs ≥ `minJaccard` via inverted index.
+    * Candidates meet through a shared token in the df-PRUNED index
+    * (prefix filtering bounds the self-join); the reported jaccard is
+    * then verified on the FULL distinct word sets — pruning narrows
+    * which pairs are examined, never what similarity they're assigned.
+    * Recall bound (inherent to df pruning): a pair ALL of whose shared
+    * tokens exceed `maxDf` never becomes a candidate — e.g. a corpus
+    * duplicated en masse where every token's df passes the cap. That
+    * regime is exactly where [[exact]] and [[minhashPairs]] (no df
+    * pruning) stay correct; raise `maxDf` or use those there.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    minJaccard: Double, maxDf: Long = 1000): DataFrame = {
-    // Materialized: both sides of the intersection self-join consume
-    // the index; unmaterialized, tokenize + df-count + semi-join run twice.
+    // Materialized: both sides of the candidate self-join consume the
+    // index; unmaterialized, tokenize + df-count + semi-join run twice.
     val idx = graft.util.Materialize.once(tokenIndex(docs, idCol, textCol, maxDf))
-    val sizes = docs.select(col(idCol).as("doc"),
-      size(array_distinct(TextAnalysis.words(col(textCol)))).as("n"))
-    val inter = idx.as("a").join(idx.as("b"), col("a.w") === col("b.w") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n", "nb"), Seq("doc_b"))
-      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double"))
+    val cand = idx.as("a").join(idx.as("b"), col("a.w") === col("b.w") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b")).distinct()
+    val sets = docs.select(col(idCol).as("doc"),
+      array_distinct(TextAnalysis.words(col(textCol))).as("ws"))
+    cand
+      .join(sets.select(col("doc").as("doc_a"), col("ws").as("wa")), Seq("doc_a"))
+      .join(sets.select(col("doc").as("doc_b"), col("ws").as("wb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("wa"), col("wb"))).cast("double") /
+          size(array_union(col("wa"), col("wb"))).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -69,12 +79,14 @@ object Dedup {
   /** Asymmetric CONTAINMENT pairs — |A∩B| ≥ (num/den)·|A| in either
     * direction: the near-dup relation symmetric Jaccard misses when a
     * short document is wholly embedded in a long one (quote farms,
-    * article + syndicated excerpt). Same inverted-index shape as
-    * [[jaccardPairs]] (one candidate-bounded self-join, df-capped), but
-    * the verdicts are exact INTEGER cross-multiplications — no IEEE
-    * ratio in the filter, so results are engine-portable. Output keeps
-    * both direction flags plus the raw counts; `containment` of the
-    * dominating direction is attached as a display double only.
+    * article + syndicated excerpt). Candidates come from the same
+    * df-capped inverted index as [[jaccardPairs]] (same recall bound:
+    * a pair sharing ONLY over-`maxDf` tokens is never examined); the
+    * verdicts are then exact INTEGER cross-multiplications over the
+    * TRUE intersection and set sizes — no IEEE ratio in the filter, so
+    * results are engine-portable. Output: `(doc_a, doc_b, c, na, nb,
+    * a_in_b, b_in_a)` — true counts plus both direction flags; callers
+    * wanting a containment ratio derive it from c/na or c/nb.
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        minNum: Long, minDen: Long, maxDf: Long = 1000,
@@ -83,14 +95,16 @@ object Dedup {
       explode(array_distinct(units(col(textCol), shingle))).as("w"))
     val keep = tok.groupBy(col("w")).count().filter(col("count") <= maxDf).select(col("w"))
     val idx = graft.util.Materialize.once(tok.join(keep, Seq("w"), "left_semi"))
-    val sizes = docs.select(col(idCol).as("doc"),
-      size(array_distinct(units(col(textCol), shingle))).cast("long").as("n"))
-    val inter = idx.as("a").join(idx.as("b"), col("a.w") === col("b.w") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n", "nb"), Seq("doc_b"))
+    val cand = idx.as("a").join(idx.as("b"), col("a.w") === col("b.w") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b")).distinct()
+    val sets = docs.select(col(idCol).as("doc"),
+      array_distinct(units(col(textCol), shingle)).as("ws"))
+    cand
+      .join(sets.select(col("doc").as("doc_a"), col("ws").as("wa")), Seq("doc_a"))
+      .join(sets.select(col("doc").as("doc_b"), col("ws").as("wb")), Seq("doc_b"))
+      .withColumn("c", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+      .withColumn("na", size(col("wa")).cast("long"))
+      .withColumn("nb", size(col("wb")).cast("long"))
       .withColumn("a_in_b", col("c") * minDen >= lit(minNum) * col("na"))
       .withColumn("b_in_a", col("c") * minDen >= lit(minNum) * col("nb"))
       .filter(col("a_in_b") || col("b_in_a"))
@@ -117,6 +131,13 @@ object Dedup {
   def minhashBands(docs: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 16, bands: Int = 4, portable: Boolean = false,
                    shingle: Int = 0): DataFrame = {
+    // bands > numHashes would give every doc the constant empty-band
+    // key (one global bucket — the N² cross product this module exists
+    // to avoid); a non-divisible split would silently discard the
+    // trailing hash functions, weakening the signature vs. what the
+    // caller asked for.
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"numHashes must be a positive multiple of bands, got numHashes=$numHashes bands=$bands")
     val rowsPerBand = numHashes / bands
     val tok = docs.select(col(idCol).as("doc"), explode(array_distinct(units(col(textCol), shingle))).as("w"))
     val minExprs = (0 until numHashes).map { i =>

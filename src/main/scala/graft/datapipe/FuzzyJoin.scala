@@ -55,7 +55,11 @@ object FuzzyJoin {
 
   /** All (left, right) pairs with `levenshtein(leftText, rightText)
     * <= maxDist`. Output: `leftKey, leftText, rightKey, rightText,
-    * dist` — slim by design; join payload columns back by key.
+    * dist` — slim by design; join payload columns back by key. When a
+    * right column NAME collides with a left output name (two document
+    * tables both keyed `id` with a `text` column — the common case),
+    * the right column is suffixed `_r` instead of failing analysis
+    * with an ambiguous reference.
     *
     * Keys must be unique per side (the usual doc-id contract); rows
     * with NULL text produce no candidates and never match (SQL
@@ -66,18 +70,24 @@ object FuzzyJoin {
                        maxDist: Int): DataFrame = {
     require(maxDist >= 1 && maxDist <= 2,
       s"editDistanceJoin supports maxDist in {1, 2} (variant blowup is ~L^k), got $maxDist")
-    val l = left.select(col(leftKey), col(leftText))
-      .withColumn("__v", explode(deletionNeighborhood(col(leftText), maxDist)))
-    val r = right.select(col(rightKey), col(rightText))
-      .withColumn("__v", explode(deletionNeighborhood(col(rightText), maxDist)))
+    // Internal names keep the join unambiguous whatever the callers
+    // called their columns; output restores caller names (suffixing
+    // only on collision).
+    val leftOut = Set(leftKey, leftText)
+    def rightName(n: String) = if (leftOut(n)) n + "_r" else n
+    val l = left.select(col(leftKey).as("__lk"), col(leftText).as("__lt"))
+      .withColumn("__v", explode(deletionNeighborhood(col("__lt"), maxDist)))
+    val r = right.select(col(rightKey).as("__rk"), col(rightText).as("__rt"))
+      .withColumn("__v", explode(deletionNeighborhood(col("__rt"), maxDist)))
     l.join(r, Seq("__v"))
-      .select(col(leftKey), col(leftText), col(rightKey), col(rightText))
+      .select(col("__lk").as(leftKey), col("__lt").as(leftText),
+        col("__rk").as(rightName(rightKey)), col("__rt").as(rightName(rightText)))
       .distinct()
       // Thresholded levenshtein: the kernel abandons a row the moment
       // the running minimum exceeds maxDist (returns -1) — on a
       // candidate set this is most comparisons; values ≤ maxDist are
       // exact, so results are unchanged.
-      .withColumn("dist", levenshtein(col(leftText), col(rightText), maxDist))
+      .withColumn("dist", levenshtein(col(leftText), col(rightName(rightText)), maxDist))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 }

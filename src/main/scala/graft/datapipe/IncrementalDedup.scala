@@ -110,7 +110,14 @@ object IncrementalDedup {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val haveCorpus = new java.io.File(docsPath).exists()
+        // Resolve existence through the path's OWN filesystem (HDFS,
+        // S3A, file:) — a java.io.File probe is local-only and would
+        // silently route every batch down the no-corpus branch on a
+        // real cluster, appending wholesale with no dedup.
+        val docsHPath = new org.apache.hadoop.fs.Path(docsPath)
+        val haveCorpus = docsHPath
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(docsHPath)
         val survivorPair =
           if (!haveCorpus) (batch, Dedup.minhashBands(batch, idCol, textCol, numHashes, bands, portable, shingle))
           else ingest(batch, idCol, textCol,

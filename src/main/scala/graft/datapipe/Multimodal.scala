@@ -172,6 +172,11 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val (sr, samples) = decodeWavPcm16(r.getAs[Array[Byte]](contentIdx))
+          // Same honest divisibility contract as transcodeAvi: a
+          // non-divisible rate would silently truncate (8000/3 header
+          // says 2666 Hz while the stream is 2666.67 Hz — every
+          // rate-derived feature drifts).
+          require(sr % factor == 0, s"sample rate $sr not divisible by $factor")
           val n2 = samples.length / factor
           val out = new Array[Short](n2)
           var j = 0

@@ -34,12 +34,20 @@ object Quantize {
   }
 
   /** Reconstructed double vector from codes + stored bounds: the
-    * center of each quantization cell (code + 0.5 scaled back).
+    * center of each quantization cell (code + 0.5 scaled back) — for
+    * codes 0..254, which each cover a 1/255-width cell of [qmin,
+    * qmax). Code 255 is reached only at the very top of the range —
+    * x = qmax, give or take an ulp of rounding in the affine (the
+    * least() clamp guards fp overshoot) — so it reconstructs as qmax
+    * itself; the center formula would return qmax + Δ/510, OUTSIDE
+    * the stored bounds, doubling that component's error for every
+    * vector's maximum.
     */
   def dequantize(codes: Column, qmin: Column, qmax: Column): Column =
     when(qmax === qmin, transform(codes, _ => qmin))
       .otherwise(transform(codes, c =>
-        qmin + (c.cast("double") + lit(0.5)) * (qmax - qmin) / lit(255.0)))
+        when(c === 255, qmax)
+          .otherwise(qmin + (c.cast("double") + lit(0.5)) * (qmax - qmin) / lit(255.0))))
 
   /** Quantize an embedding table: id, qmin, qmax, qvec. */
   def quantizeTable(df: DataFrame, idCol: String, vecCol: String): DataFrame = {

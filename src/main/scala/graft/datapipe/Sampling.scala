@@ -27,12 +27,19 @@ object Sampling {
   /** Hex threshold selecting `fraction` of the 2^32 hash space via a
     * strict `<` compare. fraction >= 1 returns "g", which sorts after
     * every hex digit (keep all); fraction <= 0 returns "00000000"
-    * (keep none).
+    * (keep none). Fractions within 2^-33 of 1.0 ROUND to 2^32, whose
+    * hex rendering would be 9 chars — a string the fixed-width
+    * lexicographic compare misreads as "starts with 1" (keeping ~1/16
+    * of rows instead of ~all) — so the rounded value is clamped to
+    * the keep-all sentinel.
     */
   def hexThreshold(fraction: Double): String =
     if (fraction >= 1.0) "g"
     else if (fraction <= 0.0) "00000000"
-    else f"${math.round(fraction * 4294967296.0)}%08x"
+    else {
+      val t = math.round(fraction * 4294967296.0)
+      if (t >= 4294967296L) "g" else f"$t%08x"
+    }
 
   /** Uniform double in [0,1) from the same 32 hash bits (for thresholds
     * that vary per row, where a constant hex string can't express the

@@ -73,21 +73,44 @@ object SemDedup {
   }
 
   /** Survivors with per-survivor drop accounting: (id, n_dropped).
-    * Every dropped doc is attributed to its MINIMUM paired partner
-    * (in a merged group that is the group's survivor); survivors that
-    * dropped nothing report 0. Training is delegated to [[Ivf.train]]
-    * on the corpus itself — pass `centroids` via [[pairs]] directly
-    * to reuse an existing quantizer.
+    * Each dropped doc's minimum paired partner may ITSELF be dropped —
+    * cosine at the threshold is not transitive (pairs (1,2) and (2,3)
+    * without (1,3)) — so attribution follows the min-partner chain to
+    * its surviving root. Every hop strictly decreases the id (pairs
+    * are doc_a < doc_b), so the chain terminates at a doc with no
+    * smaller partner, i.e. a true survivor; pointer doubling resolves
+    * it in O(log longest-chain) passes over the DROPS table (never the
+    * corpus). `sum(n_dropped)` therefore equals the total number of
+    * docs removed. Training is delegated to [[Ivf.train]] on the
+    * corpus itself — pass `centroids` via [[pairs]] directly to reuse
+    * an existing quantizer.
     */
   def dedupReport(corpus: DataFrame, idCol: String, vecCol: String,
                   k: Int, iters: Int = 2, minCosine: Double = 0.9,
                   maxCell: Int = 256): DataFrame = {
     val centroids = Ivf.train(corpus, idCol, vecCol, k, iters)
     val p = pairs(corpus, idCol, vecCol, centroids, minCosine, maxCell)
-    val dropped = p.groupBy(col("doc_b")).agg(min(col("doc_a")).as("survivor"))
-    val dropCounts = dropped.groupBy(col("survivor")).agg(count(lit(1)).as("n_dropped"))
+    val direct = graft.util.Materialize.once(
+      p.groupBy(col("doc_b")).agg(min(col("doc_a")).as("ptr")))
+    // Pointer doubling: re-point every chain entry at its pointer's
+    // pointer until no pointer is itself a dropped doc. Chain length
+    // halves each pass; each pass is one self-join of the drops table.
+    var chain = direct
+    var unresolved = true
+    while (unresolved) {
+      val hopped = graft.util.Materialize.once(
+        chain.as("c")
+          .join(chain.select(col("doc_b").as("ptr"), col("ptr").as("next")).as("n"),
+            Seq("ptr"), "left")
+          .select(col("doc_b"), coalesce(col("next"), col("ptr")).as("ptr"),
+            col("next").isNotNull.as("__moved")))
+      unresolved = !hopped.filter(col("__moved")).isEmpty
+      chain = hopped.select(col("doc_b"), col("ptr"))
+    }
+    val dropCounts = chain.groupBy(col("ptr").as("survivor"))
+      .agg(count(lit(1)).as("n_dropped"))
     corpus.select(col(idCol).as("id"))
-      .join(dropped.select(col("doc_b").as("id")), Seq("id"), "left_anti")
+      .join(chain.select(col("doc_b").as("id")), Seq("id"), "left_anti")
       .join(dropCounts.withColumnRenamed("survivor", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }

@@ -1785,10 +1785,15 @@ object QueriesData {
         |tok AS (SELECT DISTINCT doc_id AS doc, unnest(sg) AS w FROM sh),
         |keep AS (SELECT w FROM tok GROUP BY w HAVING count(*) <= 1000),
         |tk AS (SELECT * FROM tok WHERE w IN (SELECT w FROM keep)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        |  FROM tk a JOIN tk b ON a.w = b.w AND a.doc < b.doc),
         |sizes AS (SELECT doc_id AS doc, CAST(len(list_distinct(sg)) AS BIGINT) AS n FROM sh),
         |inter AS (
-        |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
-        |  FROM tk a JOIN tk b ON a.w = b.w AND a.doc < b.doc GROUP BY 1, 2)
+        |  SELECT ta.doc AS doc_a, tb.doc AS doc_b, count(*) AS c
+        |  FROM cand JOIN tok ta ON ta.doc = cand.doc_a
+        |            JOIN tok tb ON tb.doc = cand.doc_b AND tb.w = ta.w
+        |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, c, sa.n AS na, sb.n AS nb,
         |  (c * 5 >= 4 * sa.n) AS a_in_b, (c * 5 >= 4 * sb.n) AS b_in_a
         |FROM inter JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
@@ -2006,6 +2011,9 @@ object QueriesData {
         |  min(doc_id) AS kept_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
 
+    // Candidates meet through the df-pruned index; the reported
+    // jaccard is the TRUE intersection over the full word sets (the
+    // engine verifies candidates, pruning never changes a score).
     "q_dedup_jaccard" ->
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
         |tok AS (
@@ -2013,13 +2021,17 @@ object QueriesData {
         |  FROM docs, unnest(string_split_regex(lower(text), '\s+')) AS t(w) WHERE w <> ''),
         |keep AS (SELECT w FROM tok GROUP BY w HAVING count(*) <= 1000),
         |tk AS (SELECT * FROM tok WHERE w IN (SELECT w FROM keep)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+        |  FROM tk a JOIN tk b ON a.w = b.w AND a.doc < b.doc),
+        |inter AS (
+        |  SELECT ta.doc AS doc_a, tb.doc AS doc_b, count(*) AS c
+        |  FROM cand JOIN tok ta ON ta.doc = cand.doc_a
+        |            JOIN tok tb ON tb.doc = cand.doc_b AND tb.w = ta.w
+        |  GROUP BY ta.doc, tb.doc),
         |sizes AS (
         |  SELECT doc_id AS doc, len(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS n
-        |  FROM docs),
-        |inter AS (
-        |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS c
-        |  FROM tk a JOIN tk b ON a.w = b.w AND a.doc < b.doc
-        |  GROUP BY a.doc, b.doc)
+        |  FROM docs)
         |SELECT doc_a, doc_b, CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
         |FROM inter
         |JOIN sizes sa ON sa.doc = doc_a
@@ -2619,7 +2631,8 @@ object QueriesData {
         |dq AS (SELECT n_id,
         |         CASE WHEN mx = mn THEN list_transform(emb, x -> mn)
         |              ELSE list_transform(emb, x ->
-        |                mn + ((CAST(least(255, CAST(floor(((CAST(x AS DOUBLE) - mn) * CAST(255.0 AS DOUBLE)) / (mx - mn)) AS INT)) AS DOUBLE) + CAST(0.5 AS DOUBLE)) * (mx - mn)) / CAST(255.0 AS DOUBLE))
+        |                CASE WHEN least(255, CAST(floor(((CAST(x AS DOUBLE) - mn) * CAST(255.0 AS DOUBLE)) / (mx - mn)) AS INT)) = 255 THEN mx
+        |                     ELSE mn + ((CAST(least(255, CAST(floor(((CAST(x AS DOUBLE) - mn) * CAST(255.0 AS DOUBLE)) / (mx - mn)) AS INT)) AS DOUBLE) + CAST(0.5 AS DOUBLE)) * (mx - mn)) / CAST(255.0 AS DOUBLE) END)
         |         END AS nv
         |       FROM qz),
         |scored AS (

@@ -94,6 +94,29 @@ class ClassifierSpec extends AnyFunSuite with Matchers {
       s"trained weights must separate the classes: good=[${good.min},${good.max}] bad=[${bad.min},${bad.max}]")
   }
 
+  test("null-label docs train as no-ops: null gradient buckets skip, no NPE") {
+    // An unlabeled row slips into the training set with tokens of its
+    // own: its gradient bucket sums to NULL (all contributions null),
+    // which must mean "no update" — the oracle's coalesce(g, 0) — not
+    // a driver NullPointerException mid-iteration.
+    val labeled = plantedDocs(20)
+    val withNulls = labeled.unionByName(
+      Seq((900L, "zzuniquetoken yyothertoken", null.asInstanceOf[java.lang.Long]))
+        .toDF("doc_id", "text", "y"))
+    val w = Classifier.train(withNulls, "text", $"y", dim = 32, salt = "clstr", iters = 2)
+    assert(w.size == 32)
+    // The null-label doc must not have nudged training: weights equal
+    // the labeled-only run unless its tokens collide into used buckets
+    // (dim 32 makes collisions possible; equality of the planted-token
+    // separation is the invariant that matters).
+    val scored = Classifier.scoreDocs(labeled, "doc_id", "text", w, salt = "clstr")
+      .join(labeled.select($"doc_id", $"y"), "doc_id")
+      .select($"y", $"score").as[(Long, Long)].collect()
+    val good = scored.filter(_._1 == 1L).map(_._2)
+    val bad = scored.filter(_._1 == 0L).map(_._2)
+    assert(good.min > bad.max, "separation must survive unlabeled rows")
+  }
+
   test("train and the oracle renderer reject hyperparameters past the 2^60 overflow caps") {
     val docs = plantedDocs(4)
     // 2^61 passes the power-of-two shape but 4*marginScale wraps

@@ -39,12 +39,20 @@ class ContainmentSpec extends AnyFunSuite with Matchers {
     pairs(docs, 9, 10) shouldBe empty        // 4*10 < 9*5
   }
 
-  test("df cap removes corpus-wide shingles from the intersection") {
-    // 'common' appears in every doc -> pruned at maxDf 2; pairs must
-    // then fail because the remaining overlap is empty.
+  test("df cap prunes candidate generation, never the verified counts") {
+    // 'common' appears in every doc -> pruned at maxDf 2: docs sharing
+    // ONLY 'common' never meet as candidates, so no pair is emitted.
     val docs = Seq((1L, "common u1 u2 u3 u4"), (2L, "common v1 v2 v3 v4"),
       (3L, "common w1 w2 w3 w4")).toDF("id", "text")
     val p = Dedup.containmentPairs(docs, "id", "text", 1, 10, maxDf = 2)
     p.collect() shouldBe empty
+    // A pair that meets through an UNPRUNED token is verified on the
+    // true intersection, which still counts the pruned token — pruning
+    // narrows which pairs are examined, never what c they're assigned.
+    val docs2 = Seq((1L, "common u1 x y z"), (2L, "common u1 p q r"),
+      (3L, "common m1 m2 m3 m4")).toDF("id", "text")
+    val q = Dedup.containmentPairs(docs2, "id", "text", 1, 10, maxDf = 2)
+    q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq shouldBe
+      Seq((1L, 2L, 2L)) // c = |{common, u1}| — the pruned token counted
   }
 }

@@ -34,6 +34,28 @@ class DataPipeSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("jaccard scores are TRUE set similarity even when shared tokens are df-pruned") {
+    // 'common' is in all 3 docs -> pruned at maxDf 2. Docs 1 and 2
+    // still meet through their unpruned shared tokens, and the
+    // reported jaccard must count 'common' in the intersection:
+    // |{common,a,b,c}| / |{common,a,b,c,x,y}| = 4/6 — the pruned
+    // formula would report 3/6 and wrongly drop the pair at 0.6.
+    val docs = Seq((1L, "common a b c x"), (2L, "common a b c y"),
+      (3L, "common p q r s")).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", minJaccard = 0.6, maxDf = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 4.0 / 6.0)), s"got $got")
+  }
+
+  test("minhashBands rejects band counts the hash budget cannot honor") {
+    intercept[IllegalArgumentException] {
+      Dedup.minhashBands(corpus, "doc_id", "text", numHashes = 4, bands = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashBands(corpus, "doc_id", "text", numHashes = 16, bands = 5)
+    }
+  }
+
   test("minhash-LSH finds planted near-dups and verifies with true jaccard") {
     val pairs = Dedup.minhashPairs(corpus, "doc_id", "text", minJaccard = 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

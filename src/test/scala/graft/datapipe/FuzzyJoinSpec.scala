@@ -43,6 +43,17 @@ class FuzzyJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("same-named columns on both sides join cleanly; right side suffixes _r") {
+    // Two document tables keyed `id` with a `text` column — the common
+    // shape that used to die in analysis with an ambiguous reference.
+    val a = Seq((1L, "kitten"), (2L, "apple")).toDF("id", "text")
+    val b = Seq((10L, "sitten"), (20L, "orange")).toDF("id", "text")
+    val out = FuzzyJoin.editDistanceJoin(a, "id", "text", b, "id", "text", 1)
+    assert(out.columns.toSeq == Seq("id", "text", "id_r", "text_r", "dist"))
+    val got = out.select($"id", $"id_r", $"dist").as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 10L, 1)), s"got $got")
+  }
+
   test("dist column is the exact levenshtein distance") {
     val got = FuzzyJoin.editDistanceJoin(df("l"), "l_id", "l_w", df("r"), "r_id", "r_w", 2)
       .as[(Long, String, Long, String, Int)].collect()

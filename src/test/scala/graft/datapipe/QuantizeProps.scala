@@ -17,7 +17,9 @@ object QuantizeProps extends Properties("Quantize") {
     else math.min(255L, math.floor((x.toDouble - mn) * 255.0 / (mx - mn)).toLong).toInt
 
   private def dequant(c: Int, mn: Double, mx: Double): Double =
-    if (mx == mn) mn else mn + (c.toDouble + 0.5) * (mx - mn) / 255.0
+    if (mx == mn) mn
+    else if (c == 255) mx // code 255 is exactly x = mx, not a cell
+    else mn + (c.toDouble + 0.5) * (mx - mn) / 255.0
 
   property("codes stay in [0, 255]") = Prop.forAll(vec) { v =>
     val (mn, mx) = (v.min.toDouble, v.max.toDouble)
@@ -31,6 +33,26 @@ object QuantizeProps extends Properties("Quantize") {
       v.forall { x =>
         math.abs(dequant(code(x, mn, mx), mn, mx) - x.toDouble) <= math.max(cell, 1e-12)
       }
+    }
+
+  property("reconstruction never leaves the stored [qmin, qmax] bounds") =
+    Prop.forAll(vec) { v =>
+      val (mn, mx) = (v.min.toDouble, v.max.toDouble)
+      v.forall { x =>
+        val d = dequant(code(x, mn, mx), mn, mx)
+        d >= mn && d <= mx
+      }
+    }
+
+  property("max component error is at most HALF a cell (code 255 = qmax exactly)") =
+    Prop.forAll(vec) { v =>
+      val (mn, mx) = (v.min.toDouble, v.max.toDouble)
+      // x = mx usually codes 255 (exact reconstruction); adverse IEEE
+      // rounding can floor it to 254 (center reconstruction, half-cell
+      // error). Either way the old center-of-cell decode of 255 — a
+      // half cell ABOVE mx — is ruled out.
+      val halfCell = (mx - mn) / 510.0
+      math.abs(dequant(code(v.max, mn, mx), mn, mx) - mx) <= math.max(halfCell, 1e-12)
     }
 
   property("codes are monotone in the component value") = Prop.forAll(vec) { v =>

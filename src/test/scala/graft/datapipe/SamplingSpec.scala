@@ -17,6 +17,14 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.hexThreshold(1.0) == "g") // sorts after every hex char
     assert(Sampling.hexThreshold(0.25) == "40000000")
     assert(Sampling.hexThreshold(0.5) == "80000000")
+    // Fractions within 2^-33 of 1.0 round to 2^32: the naive %08x
+    // renders 9 chars ("100000000"), which the fixed-width compare
+    // misreads and keeps only hashes below "10000000" (~1/16). Must
+    // clamp to the keep-all sentinel instead.
+    assert(Sampling.hexThreshold(math.nextDown(1.0)) == "g")
+    assert(Sampling.hexThreshold(1.0 - 1e-12) == "g")
+    // Largest fraction that still rounds INSIDE the space stays 8-wide.
+    assert(Sampling.hexThreshold((4294967295.0 - 0.6) / 4294967296.0) == "fffffffe")
   }
 
   test("sampleByHash is deterministic and hits the target fraction") {

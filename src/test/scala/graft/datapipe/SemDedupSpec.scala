@@ -24,6 +24,24 @@ class SemDedupSpec extends AnyFunSuite {
     assert(out == Seq((0L, 5L), (1L, 5L), (2L, 5L), (3L, 5L)))
   }
 
+  test("non-transitive chain: every drop is attributed to the surviving root") {
+    // 2-D unit vectors at 0°, 25°, 50°: cos(25°) ≈ 0.906 pairs both
+    // neighbors, cos(50°) ≈ 0.64 does NOT pair the ends — doc 2's
+    // minimum partner (doc 1) is itself dropped by doc 0. Attribution
+    // must follow the chain 2 → 1 → 0 so the survivor reports BOTH
+    // drops; the naive min-partner rule loses doc 2's drop entirely.
+    val rad = math.Pi / 180.0
+    val docs = Seq(
+      (0L, Seq(math.cos(0.0), math.sin(0.0))),
+      (1L, Seq(math.cos(25 * rad), math.sin(25 * rad))),
+      (2L, Seq(math.cos(50 * rad), math.sin(50 * rad))))
+      .toDF("id", "vec")
+    val out = SemDedup.dedupReport(docs, "id", "vec",
+        k = 1, iters = 1, minCosine = 0.9)
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 2L)), s"chain must resolve to the root: $out")
+  }
+
   test("capped hot cell falls back to the star and still merges the class") {
     // One class of 20 identical-direction docs; cap 5 forces the star.
     val out = SemDedup.dedupReport(oneHot(20, 8, 1), "id", "vec",

@@ -83,4 +83,14 @@ class WavSpec extends AnyFunSuite {
     val (sr, out) = transcodeOne(tone, 1, 1, 1)
     assert(sr == 8000 && out.sameElements(tone))
   }
+
+  test("transcode: non-divisible sample rate is rejected, not silently truncated") {
+    // 8000/3 would write a 2666 Hz header over a 2666.67 Hz stream —
+    // the same honest divisibility contract transcodeAvi enforces.
+    val ex = intercept[org.apache.spark.SparkException] {
+      transcodeOne(tone, 3, 1, 1)
+    }
+    assert(ex.getMessage.contains("not divisible") ||
+      Option(ex.getCause).exists(_.getMessage.contains("not divisible")))
+  }
 }

@@ -161,7 +161,12 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming corpus ingest: batches dedup against the persisted index; replay converges") {
     val base = java.nio.file.Files.createTempDirectory("ingest").toString
-    val (docsPath, bandsPath) = (s"$base/docs", s"$base/bands")
+    // Scheme-qualified URIs on purpose: corpus existence must resolve
+    // through the path's Hadoop filesystem. A java.io.File probe (the
+    // local-only shortcut this test once tolerated) treats "file:" as
+    // part of the name, never sees the corpus, and silently skips
+    // dedup on every batch — exactly what would happen on HDFS/S3.
+    val (docsPath, bandsPath) = (s"file:$base/docs", s"file:$base/bands")
     val srcDir = java.nio.file.Files.createTempDirectory("ingest_src")
     def deliver(name: String, rows: Seq[(Long, String)]): Unit =
       rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$srcDir/$name")
