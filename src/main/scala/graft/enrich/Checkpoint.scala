@@ -12,15 +12,27 @@ import org.apache.spark.sql.functions._
 final class Checkpoint(spark: SparkSession, path: String, keyCol: String) {
 
   def processedKeys(): DataFrame = {
-    // Existence check first: reading a not-yet-created store would log
-    // a scary (but benign) FileNotFoundException stack from Hadoop's
-    // metadata probe on every first run.
+    // Missing store and existing-but-EMPTY dir (schema inference has
+    // nothing to read) are the two benign "no keys yet" shapes, probed
+    // explicitly. Any OTHER read failure must propagate and fail the
+    // caller's batch: the old catch-all turned a transient store-read
+    // error into "nothing processed", which re-fired the LLM for every
+    // already-processed key — breaking the at-most-once-per-key
+    // guarantee EnrichStream documents.
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) spark.emptyDataFrame.withColumn(keyCol, lit(null: String))
-    else
-      try spark.read.parquet(path).select(col(keyCol)).distinct()
-      catch { case _: Exception => spark.emptyDataFrame.withColumn(keyCol, lit(null: String)) }
+    def hasDataFiles: Boolean = {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val n = it.next().getPath.getName
+        found = !n.startsWith("_") && !n.startsWith(".")
+      }
+      found
+    }
+    if (!fs.exists(p) || !hasDataFiles)
+      spark.emptyDataFrame.withColumn(keyCol, lit(null: String))
+    else spark.read.parquet(path).select(col(keyCol)).distinct()
   }
 
   /** B28: drop rows whose key is already recorded. */

@@ -330,11 +330,22 @@ object ManifestTable {
       if (entries.nonEmpty) readFiles(spark, root, entries)
       else read(spark, root, version).filter(lit(false))
     val oldDf = side(removed, fromV)
-    val dataCols = oldDf.columns.filterNot(_ == key).toSeq
-    def tagged(df: DataFrame, p: String): DataFrame =
-      df.select(col(key) +: dataCols.map(c => col(c).as(s"$p$c"))
-        :+ md5(to_json(struct(dataCols.map(col): _*))).as(s"${p}__sig"): _*)
-    tagged(oldDf, "o_0_").join(tagged(side(added, toV), "n_0_"), Seq(key), "full_outer")
+    val newDf = side(added, toV)
+    // Data columns are the UNION of both sides: upsert supports schema
+    // evolution (allowMissingColumns), so a row whose only change is a
+    // newly added column must still sign differently — old-side-only
+    // columns would misclassify it "unchanged" and drop the new column
+    // from the CDC output. A side missing a column contributes NULL,
+    // which to_json drops (field names keep the encodings distinct).
+    val dataCols = (oldDf.columns ++ newDf.columns).distinct.filterNot(_ == key).toSeq
+    def tagged(df: DataFrame, p: String): DataFrame = {
+      val have = df.columns.toSet
+      val filled = dataCols.map(c => (if (have(c)) col(c) else lit(null)).as(c))
+      df.select(col(key) +: filled: _*)
+        .select(col(key) +: dataCols.map(c => col(c).as(s"$p$c"))
+          :+ md5(to_json(struct(dataCols.map(col): _*))).as(s"${p}__sig"): _*)
+    }
+    tagged(oldDf, "o_0_").join(tagged(newDf, "n_0_"), Seq(key), "full_outer")
       .withColumn("change_type",
         when(col("o_0___sig").isNull, "insert")
           .when(col("n_0___sig").isNull, "delete")

@@ -30,23 +30,33 @@ object Sinks {
     * staging directory then swap (the reference's staging-table MERGE,
     * src/etl_utils.py:87-145). The swap is RENAME-ASIDE: live → `.old`,
     * staging → live, `.old` deleted — a crash at any point leaves either
-    * the old table in place or recoverable at `.old`, never the
-    * delete-then-rename window where the table has vanished.
+    * the old table in place or at `.old`, which the next call's recovery
+    * preamble restores automatically; never the delete-then-rename
+    * window where the table has vanished.
     *
     * Rewrites 100 % of the table per call: correct for small/scratch
     * tables only. Production loads of large tables go through
     * [[upsertPartitioned]], which prunes to the touched partitions.
     */
   def upsertParquet(spark: SparkSession, tablePath: String, updates: DataFrame, key: String): Unit = {
-    val merged =
-      try upsert(spark.read.parquet(tablePath), updates, key)
-      catch { case _: Exception => updates }
-    val staging = tablePath + ".staging"
-    merged.write.mode(SaveMode.Overwrite).parquet(staging)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(tablePath)
     val aside = new org.apache.hadoop.fs.Path(tablePath + ".old")
-    fs.delete(aside, true) // leftover from an earlier crash, superseded
+    // Crash recovery FIRST: a previous run that died between the two
+    // renames left the table only at `.old` — restore it before
+    // anything reads or deletes. (Deleting the aside while the live
+    // dir is missing would destroy the sole surviving copy.)
+    if (!fs.exists(dst) && fs.exists(aside) && !fs.rename(aside, dst))
+      throw new java.io.IOException(s"recovery rename $aside -> $dst failed")
+    // Merge against the live table iff it exists. No catch-all: a
+    // TRANSIENT read error must fail the call (and be retried), not
+    // silently replace the whole table with just this batch's updates.
+    val merged =
+      if (fs.exists(dst)) upsert(spark.read.parquet(tablePath), updates, key)
+      else updates
+    val staging = tablePath + ".staging"
+    merged.write.mode(SaveMode.Overwrite).parquet(staging)
+    fs.delete(aside, true) // superseded: the live dir exists (checked above)
     val hadLive = fs.exists(dst)
     if (hadLive && !fs.rename(dst, aside))
       throw new java.io.IOException(s"rename aside failed for $dst")
@@ -69,10 +79,12 @@ object Sinks {
     *     filter prunes at the parquet-partition level), merged, and
     *     staged, written with the same partition layout.
     *  3. Each staged partition swaps in via RENAME-ASIDE: live dir →
-    *     `<dir>.merging`, staged dir → live, aside deleted. A crash
-    *     leaves the old data at `.merging` (recoverable by renaming
-    *     back) — never the delete-then-rename window where the table
-    *     has vanished. Renames are atomic on HDFS-like filesystems;
+    *     `.merge_aside/<dir>`, staged dir → live, aside deleted. A
+    *     crash between the renames leaves the old data only at the
+    *     aside — which the next call's recovery preamble restores
+    *     automatically before reading or cleaning anything — never
+    *     the delete-then-rename window where the table has vanished.
+    *     Renames are atomic on HDFS-like filesystems;
     *     object stores should use a table format (Delta/Iceberg MERGE)
     *     instead, which this method's semantics map to 1:1.
     *
@@ -90,18 +102,44 @@ object Sinks {
     * immutable attributes, e.g. visit month) — the same assumption that
     * makes partition-level MERGE pruning valid in Delta/Iceberg.
     */
+  /** Crash recovery for the partition-level rename-aside swaps: any
+    * partition present under `.merge_aside` whose LIVE dir is missing
+    * is the sole surviving copy from a run that died between its two
+    * renames — restore it before anything reads the table or deletes
+    * "superseded" asides. Asides whose live dir exists ARE superseded
+    * and are cleaned lazily by the swap loops.
+    */
+  private def restoreAsidePartitions(fs: org.apache.hadoop.fs.FileSystem,
+                                     table: org.apache.hadoop.fs.Path): Unit = {
+    val asideRoot = new org.apache.hadoop.fs.Path(table, ".merge_aside")
+    if (fs.exists(asideRoot)) fs.listStatus(asideRoot).foreach { st =>
+      val livePart = new org.apache.hadoop.fs.Path(table, st.getPath.getName)
+      if (!fs.exists(livePart) && !fs.rename(st.getPath, livePart))
+        throw new java.io.IOException(s"recovery rename ${st.getPath} -> $livePart failed")
+    }
+  }
+
   def upsertPartitioned(spark: SparkSession, tablePath: String, updates: DataFrame,
                         key: String, partCol: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val staging = new org.apache.hadoop.fs.Path(tablePath + ".staging")
+    if (fs.exists(table)) restoreAsidePartitions(fs, table)
 
     val merged =
       if (!fs.exists(table)) updates
       else {
         val touched = updates.select(col(partCol)).distinct().collect().map(_.get(0))
-        val live = spark.read.parquet(tablePath)
-          .filter(col(partCol).isin(touched.toIndexedSeq: _*))
+        // isin(null) never matches (SQL three-valued logic), so a null
+        // partition value needs its own isNull branch or every
+        // pre-existing row of the null partition would be dropped.
+        val nonNull = touched.filter(_ != null)
+        val inList =
+          if (nonNull.isEmpty) lit(false)
+          else col(partCol).isin(nonNull.toIndexedSeq: _*)
+        val partFilter =
+          if (touched.contains(null)) inList || col(partCol).isNull else inList
+        val live = spark.read.parquet(tablePath).filter(partFilter)
         // updates win on `key`; anti join shuffles only the touched slice.
         updates.unionByName(
           live.join(updates.select(key).distinct(), Seq(key), "left_anti")
@@ -153,6 +191,7 @@ object Sinks {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val table = new org.apache.hadoop.fs.Path(tablePath)
     if (!fs.exists(table)) return Seq.empty
+    restoreAsidePartitions(fs, table)
     val oversized = fs.listStatus(table).filter { st =>
       st.isDirectory && st.getPath.getName.startsWith(s"$partCol=")
     }.flatMap { st =>

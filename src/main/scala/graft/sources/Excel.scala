@@ -242,7 +242,11 @@ object Excel {
       var inIsT = false
       val text = new StringBuilder
       var nextAutoCol = 0
-      while (reader.hasNext && rows.length <= maxRows) {
+      // One row of slack past header + maxRows: reaching it means the
+      // sheet is OVER the cap, which must fail loudly below — the old
+      // bound returned normally and silently dropped the tail, while
+      // the write side refuses loudly at the same cap.
+      while (reader.hasNext && rows.length <= maxRows + 1) {
         reader.next() match {
           case XMLStreamConstants.START_ELEMENT =>
             reader.getLocalName match {
@@ -280,6 +284,8 @@ object Excel {
           case _ =>
         }
       }
+      require(rows.length <= maxRows + 1, // header + maxRows data rows
+        s"sheet exceeds $maxRows rows — refusing silent truncation; raise maxRows or use parquet")
       rows.map { cells =>
         val width = if (cells.isEmpty) 0 else cells.map(_._1).max + 1
         val arr = new Array[String](width)

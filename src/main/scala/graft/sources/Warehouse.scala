@@ -86,7 +86,9 @@ object Warehouse {
         s"SELECT last_batch FROM $progressTable WHERE table_name = ? FOR UPDATE")
       sel.setString(1, table)
       val rs = sel.executeQuery()
-      rs.next()
+      if (!rs.next())
+        throw new java.sql.SQLException(
+          s"progress row for $table missing from $progressTable after ensureProgressRow")
       val last = rs.getLong(1)
       rs.close(); sel.close()
       if (id > last) {
@@ -95,9 +97,14 @@ object Warehouse {
         val ins = c.prepareStatement(
           s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})")
         var pending = 0
+        // Nulls must be TYPED: setObject(i, null) makes drivers that
+        // can't infer the parameter type (Derby, Postgres) throw on the
+        // first null-bearing row — a poison-pill batch that kills the
+        // stream on every replay.
+        val sqlTypes = schema.fields.map(f => jdbcNullType(f.dataType))
         rows.foreach { r =>
           schema.fields.zipWithIndex.foreach { case (f, i) =>
-            if (r.isNullAt(i)) ins.setObject(i + 1, null) else ins.setObject(i + 1, r.get(i))
+            if (r.isNullAt(i)) ins.setNull(i + 1, sqlTypes(i)) else ins.setObject(i + 1, r.get(i))
           }
           ins.addBatch()
           pending += 1
@@ -114,6 +121,29 @@ object Warehouse {
     } catch {
       case e: Throwable => try c.rollback() catch { case _: Throwable => }; throw e
     } finally c.close()
+  }
+
+  /** java.sql.Types code for a typed NULL of the given Spark type —
+    * what `PreparedStatement.setNull` needs on drivers that refuse an
+    * untyped `setObject(i, null)`.
+    */
+  private def jdbcNullType(dt: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => java.sql.Types.VARCHAR
+      case LongType => java.sql.Types.BIGINT
+      case IntegerType => java.sql.Types.INTEGER
+      case ShortType => java.sql.Types.SMALLINT
+      case ByteType => java.sql.Types.TINYINT
+      case DoubleType => java.sql.Types.DOUBLE
+      case FloatType => java.sql.Types.REAL
+      case BooleanType => java.sql.Types.BOOLEAN
+      case DateType => java.sql.Types.DATE
+      case TimestampType => java.sql.Types.TIMESTAMP
+      case _: DecimalType => java.sql.Types.DECIMAL
+      case BinaryType => java.sql.Types.BINARY
+      case _ => java.sql.Types.OTHER
+    }
   }
 
   /** Create the progress table/row if missing (committed separately —

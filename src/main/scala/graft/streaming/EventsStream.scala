@@ -130,7 +130,20 @@ object EventsStream {
           sorted.foreach { e =>
             cur match {
               case Some(s) if e.ts_us - s.lastUs <= sessionGapUs =>
-                cur = Some(s.copy(lastUs = e.ts_us, nEvents = s.nEvents + 1, sumValue = s.sumValue + e.value))
+                // min/max, not assignment: a LATE event from a later
+                // micro-batch (ts below lastUs) merges here, and naively
+                // setting lastUs backward would wrongly re-split the
+                // session for the next on-time event while keeping a
+                // too-late session_start. Residual cross-batch limit,
+                // stated honestly: an event more than the gap BELOW
+                // lastUs still closes the current session (state holds
+                // one window per user — it cannot retro-bridge sessions
+                // the way the global-sort batch twin can); bound such
+                // lateness upstream with a watermark.
+                cur = Some(s.copy(
+                  startUs = math.min(s.startUs, e.ts_us),
+                  lastUs = math.max(s.lastUs, e.ts_us),
+                  nEvents = s.nEvents + 1, sumValue = s.sumValue + e.value))
               case Some(s) =>
                 closed += SessionOut(user, s.startUs, s.nEvents, s.sumValue)
                 cur = Some(SessionState(e.ts_us, e.ts_us, 1, e.value))

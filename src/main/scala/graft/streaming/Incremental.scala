@@ -25,11 +25,34 @@ final class Incremental(spark: SparkSession, stateDir: String, tsCol: String,
 
   private val statePath = s"$stateDir/hwm.parquet"
 
-  def currentWatermark(): Option[java.sql.Timestamp] =
-    try {
+  private def hadoopFs(): org.apache.hadoop.fs.FileSystem =
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  /** Restore the compaction aside if a crash between its two renames
+    * left no live store — without this, the missing store would read
+    * as "no watermark" and the whole source would re-process.
+    */
+  private def recoverState(fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val live = new org.apache.hadoop.fs.Path(statePath)
+    val aside = new org.apache.hadoop.fs.Path(statePath + ".old")
+    if (!fs.exists(live) && fs.exists(aside) && !fs.rename(aside, live))
+      throw new java.io.IOException(s"watermark recovery rename $aside -> $live failed")
+  }
+
+  /** None means the store genuinely does not exist (first run). A
+    * TRANSIENT read failure must propagate and fail the poll — the old
+    * catch-all mapped it to None, which re-read the ENTIRE source as
+    * "new" and duplicated history downstream.
+    */
+  def currentWatermark(): Option[java.sql.Timestamp] = {
+    val fs = hadoopFs()
+    recoverState(fs)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(statePath))) None
+    else {
       val rows = spark.read.parquet(statePath).agg(max(col("hwm"))).collect()
       Option(rows.head.getTimestamp(0))
-    } catch { case _: Exception => None }
+    }
+  }
 
   /** Rows strictly newer than the stored watermark. */
   def newRows(source: DataFrame): DataFrame =
@@ -52,6 +75,11 @@ final class Incremental(spark: SparkSession, stateDir: String, tsCol: String,
     * files and pay an ever-growing listing + footer cost each batch.
     */
   def commit(processed: DataFrame): Unit = {
+    // Recover before appending: creating a FRESH store while the
+    // crashed compaction's aside still holds the history would
+    // silently regress the watermark (and the next compaction would
+    // delete the only copy of the old one).
+    recoverState(hadoopFs())
     val m = processed.agg(max(col(tsCol)).as("hwm")).filter(col("hwm").isNotNull)
     if (!m.isEmpty) {
       m.write.mode("append").parquet(statePath)
@@ -79,7 +107,15 @@ final class Incremental(spark: SparkSession, stateDir: String, tsCol: String,
       fs.delete(staging, true)
       snapshot.coalesce(1).write.parquet(staging.toString)
       fs.delete(aside, true)
-      if (fs.rename(dir, aside) && fs.rename(staging, dir)) fs.delete(aside, true)
+      // Loud failures: a silently-ignored rename would leave NO live
+      // store (read as watermark=None → full re-read). A crash between
+      // the renames is healed by recoverState on the next poll/commit.
+      if (!fs.rename(dir, aside))
+        throw new java.io.IOException(s"compaction aside rename failed for $dir")
+      if (!fs.rename(staging, dir))
+        throw new java.io.IOException(
+          s"compaction swap failed for $dir — history preserved at $aside")
+      fs.delete(aside, true)
     }
   }
 

@@ -106,6 +106,26 @@ class JobRunnerSpec extends AnyFunSuite {
       "compaction preserves the max watermark")
   }
 
+  test("watermark store recovers an orphaned compaction aside instead of rewinding to None") {
+    val state = tmp()
+    val inc = new Incremental(spark, state, "ts")
+    inc.commit(Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 05:00:00"))).toDF("id", "ts"))
+    // Simulate a compaction crash between the two renames: the live
+    // store is gone, the history survives only at `.old`.
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$state/hwm.parquet")
+    assert(fs.rename(live, new org.apache.hadoop.fs.Path(s"$state/hwm.parquet.old")))
+    // The old catch-all read this as "no watermark" (full source
+    // re-read); recovery must restore the aside and keep the cut.
+    assert(inc.currentWatermark().contains(java.sql.Timestamp.valueOf("2024-01-01 05:00:00")))
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 06:00:00"))).toDF("id", "ts")
+    var seen = Seq.empty[Long]
+    inc.runBatch(df)(b => seen = b.select($"id").as[Long].collect().toSeq)
+    assert(seen == Seq(2L), s"recovered watermark must suppress old rows, saw $seen")
+  }
+
   test("failure notification (E5): failed run leaves a durable record AND still throws") {
     val out = tmp()
     val ex = intercept[IllegalArgumentException] {

@@ -2,7 +2,7 @@ package graft.scale
 
 import graft.SharedSpark
 import graft.ops.Skew
-import graft.sources.Bucketed
+import graft.sink.Bucketing
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -37,14 +37,18 @@ class ScaleSpec extends AnyFunSuite {
 
   test("bucketed-by-key join plans with zero shuffle exchanges") {
     val orders = graft.tables.TestTables.orders(spark, "/root/testdata/sf0.001")
-    Bucketed.write(li.select($"l_orderkey", $"l_quantity"), "b_items", "l_orderkey", 4)
-    Bucketed.write(orders.select($"o_orderkey".as("l_orderkey"), $"o_totalprice"), "b_orders", "l_orderkey", 4)
+    val bdir = java.nio.file.Files.createTempDirectory("bucketed").toString
+    Bucketing.writeBucketed(li.select($"l_orderkey", $"l_quantity"),
+      "b_items", s"$bdir/b_items", Seq("l_orderkey"), 4, Seq("l_orderkey"))
+    Bucketing.writeBucketed(orders.select($"o_orderkey".as("l_orderkey"), $"o_totalprice"),
+      "b_orders", s"$bdir/b_orders", Seq("l_orderkey"), 4, Seq("l_orderkey"))
     // Force the sort-merge path (at real scale neither side broadcasts —
     // that is exactly when bucketing pays).
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val joined = Bucketed.join(spark, "b_items", "b_orders", "l_orderkey")
+      val joined = Bucketing.table(spark, "b_items")
+        .join(Bucketing.table(spark, "b_orders"), Seq("l_orderkey"))
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
       assert(plan.contains("Bucketed: true"), s"scan must use the bucket layout:\n$plan")

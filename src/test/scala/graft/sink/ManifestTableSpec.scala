@@ -133,6 +133,25 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(got == Set(("update", 3L, "UPD"), ("insert", 11L, "new"), ("delete", 7L, "a")))
   }
 
+  test("changes signs over the UNION of old and new columns across schema evolution") {
+    val r = root()
+    ManifestTable.create(spark, r, mk(1 to 4, "a"), "id")
+    // v2 upserts key 2 with identical tag/v but a NEW column carrying a
+    // value: the only difference is in the added column. Old-side-only
+    // signing would call it "unchanged" and drop it from the diff.
+    ManifestTable.upsert(spark, r,
+      Seq((2L, "a", 20, "x")).toDF("id", "tag", "v", "extra"))
+    val got = ManifestTable.changes(spark, r, 1L, 2L)
+    assert(got.columns.contains("extra"), s"new column must appear in CDC output: ${got.columns.toSeq}")
+    val rows = got.select($"change_type", $"id", $"extra")
+      .as[(String, Long, Option[String])].collect().toSet
+    assert(rows.contains(("update", 2L, Some("x"))),
+      s"a row changed only in the evolved column must classify as update: $rows")
+    // Rewritten-but-identical survivors sharing key 2's file must not
+    // leak in as phantom updates (their null extra signs null on both sides).
+    assert(!rows.exists(t => t._2 != 2L && t._1 == "update"), s"phantom updates: $rows")
+  }
+
   test("changes reads only files that differ between the manifests") {
     val r = root()
     ManifestTable.create(spark, r, mk(1 to 100, "a").repartition(1), "id")

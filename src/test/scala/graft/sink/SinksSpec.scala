@@ -86,6 +86,53 @@ class SinksSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(aside), "superseded aside is cleaned on the next merge")
   }
 
+  test("upsertParquet: restores an orphaned .old copy instead of destroying it") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert_orphan").toString + "/table"
+    Sinks.upsertParquet(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k")
+    // Simulate a crash between the two renames: live moved aside,
+    // staging never landed — the table exists ONLY at `.old`.
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir), new org.apache.hadoop.fs.Path(dir + ".old")))
+    // The next upsert must recover the aside copy and merge against it
+    // (the old behavior deleted it and replaced the table with just
+    // this batch's updates).
+    Sinks.upsertParquet(spark, dir, Seq((2L, "B")).toDF("k", "v"), "k")
+    val out = spark.read.parquet(dir).as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "B"), s"old rows must survive recovery: $out")
+  }
+
+  test("upsertPartitioned: restores an orphaned aside partition before merging") {
+    val dir = java.nio.file.Files.createTempDirectory("pupsert_orphan").toString + "/table"
+    Sinks.upsertPartitioned(spark,
+      dir, Seq((1L, "a", "2024-01"), (2L, "b", "2024-02")).toDF("k", "v", "month"), "k", "month")
+    // Simulate a crash between a partition's two renames: the live dir
+    // for 2024-02 is gone, the only copy sits under .merge_aside.
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, ".merge_aside"))
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(dir, "month=2024-02"),
+      new org.apache.hadoop.fs.Path(dir + "/.merge_aside", "month=2024-02")))
+    // Touching that partition again must first restore it, so the
+    // non-updated key 2 survives alongside the new key 3.
+    Sinks.upsertPartitioned(spark,
+      dir, Seq((3L, "c", "2024-02")).toDF("k", "v", "month"), "k", "month")
+    val out = spark.read.parquet(dir).select($"k", $"v").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "b", 3L -> "c"), s"restored rows must survive: $out")
+  }
+
+  test("upsertPartitioned: a null partition value merges instead of dropping the null partition") {
+    val dir = java.nio.file.Files.createTempDirectory("pupsert_null").toString + "/table"
+    val nullMonth = null.asInstanceOf[String]
+    Sinks.upsertPartitioned(spark,
+      dir, Seq((1L, "a", nullMonth), (2L, "b", "2024-01")).toDF("k", "v", "month"), "k", "month")
+    // isin(null) never matches: the old filter read ZERO live rows for
+    // the null partition, so key 1 vanished when key 3 arrived there.
+    Sinks.upsertPartitioned(spark,
+      dir, Seq((3L, "c", nullMonth)).toDF("k", "v", "month"), "k", "month")
+    val out = spark.read.parquet(dir).select($"k", $"v").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "b", 3L -> "c"), s"null-partition rows must survive: $out")
+  }
+
   test("compactPartitions: shrinks only oversized partitions, data identical, others untouched") {
     val dir = java.nio.file.Files.createTempDirectory("compact_spec").toString + "/table"
     // month 2024-01: 12 tiny files (oversized); 2024-02: 2 files (fine).

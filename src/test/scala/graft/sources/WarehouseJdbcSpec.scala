@@ -56,6 +56,23 @@ class WarehouseJdbcSpec extends AnyFunSuite {
     assert(count() == 4)
   }
 
+  test("exactly-once sink lands null column values (typed setNull, not a poison-pill batch)") {
+    val c = java.sql.DriverManager.getConnection(conn.url)
+    c.createStatement().executeUpdate(
+      "CREATE TABLE STREAM_NULLS (event_id BIGINT PRIMARY KEY, note VARCHAR(64), amount DOUBLE)")
+    c.close()
+    val sink = Warehouse.exactlyOnceSink(conn, "STREAM_NULLS")
+    // Derby rejects untyped setObject(i, null) — the old code died here
+    // on every replay of the same batch.
+    sink(Seq(
+      (1L, Some("ok"), Some(1.5)),
+      (2L, None, None)).toDF("event_id", "note", "amount"), 0L)
+    val back = Warehouse.readQuery(spark, conn,
+      "SELECT event_id, note, amount FROM STREAM_NULLS", sleep = _ => ())
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(back == Set((1L, Some("ok"), Some(1.5)), (2L, None, None)), s"got $back")
+  }
+
   test("JDBC append accumulates across batches (chunked load)") {
     val b1 = Seq((10L, "a", 1.0)).toDF("visit_id", "class", "approval_limit")
     val b2 = Seq((11L, "b", 2.0)).toDF("visit_id", "class", "approval_limit")

@@ -275,6 +275,33 @@ class StreamingSpec extends AnyFunSuite {
       s"stream should close all but at most one in-flight session per user (${streamed.size} vs ${batch.size} - $nUsers)")
   }
 
+  test("sessionization state absorbs a LATE cross-batch event without re-splitting") {
+    // Batch 1 delivers t=1000s; batch 2 delivers a LATE t=100s (within
+    // the 30-min gap of lastUs) and an on-time t=2500s. The late merge
+    // must move start down and KEEP lastUs at its max — naively
+    // rewinding lastUs to 100s would split at 2500s (2400s > gap) and
+    // report the wrong session_start.
+    val dir = java.nio.file.Files.createTempDirectory("late_sess")
+    def deliver(name: String, rows: Seq[(Long, Long, Double)]): Unit =
+      rows.toDF("user_id", "ts_us", "value").coalesce(1).write.parquet(s"$dir/$name")
+    deliver("b1", Seq((7L, 1000L * 1000000, 1.0)))
+    deliver("b2", Seq((7L, 100L * 1000000, 2.0), (7L, 2500L * 1000000, 4.0)))
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts_us", LongType), StructField("value", DoubleType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      .as[EventsStream.SessionEvent]
+    val q = EventsStream.sessionizeStream(src)
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // All three events are one session (every adjacent gap ≤ 30 min
+    // when processed in order), so NOTHING closes — an emitted row
+    // would mean the late event split the session.
+    assert(spark.table("late_sessions").isEmpty,
+      s"late event must not split the session: ${spark.table("late_sessions").collect().toSeq}")
+  }
+
   test("streaming LLM enrichment: exactly-once under replay, incremental batches call only new keys") {
     val base = java.nio.file.Files.createTempDirectory("enrich_stream").toString
     val claims = graft.tables.TestTables.lineitem(spark, "/root/testdata/sf0.001")
