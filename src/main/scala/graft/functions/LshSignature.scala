@@ -72,6 +72,13 @@ object LshSignature {
 
   /** Fused signature kernel (shared by eval and generated code). */
   def signature(vec: ArrayData, numPlanes: Int, table: Int): Long = {
+    // The signature is one long: planes past 64 would wrap `1L << i`
+    // (JVM shifts are mod 64) and silently OR plane 64+'s vote into
+    // plane 0's bit — correlated buckets with no error. Checked in the
+    // kernel so both eval and generated code reject, literal or not.
+    if (numPlanes < 1 || numPlanes > 64)
+      throw new IllegalArgumentException(
+        s"lsh_signature: numPlanes must be in [1, 64], got $numPlanes")
     val n = vec.numElements()
     var sig = 0L
     var i = 0

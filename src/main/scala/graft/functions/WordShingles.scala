@@ -65,6 +65,12 @@ object WordShingles {
 
   /** Fused kernel (shared by eval and generated code). */
   def make(words: ArrayData, n: Int): ArrayData = {
+    // n = 0 would emit size+1 EMPTY shingles (every document collides
+    // as a near-duplicate downstream — silent corpus-wide false dedup)
+    // and n < 0 dies deep in array allocation with no hint of the
+    // cause. Checked in the kernel so eval and codegen both reject.
+    if (n < 1)
+      throw new IllegalArgumentException(s"word_shingles: n must be >= 1, got $n")
     val sz = words.numElements()
     val count = sz - (n - 1)
     if (count <= 0) new GenericArrayData(Array[Any](joinRange(words, 0, sz)))

@@ -36,12 +36,19 @@ object Anomaly {
     */
   def madOutlierStats(df: DataFrame, group: Column, vq: Column, k: Int = 3): DataFrame = {
     // One corpus-sized shuffle; everything after runs on the histogram.
-    val hist = df.select(group.as("group_key"), vq.cast("long").as("__vq"))
-      .groupBy(col("group_key"), col("__vq")).agg(count(lit(1)).as("__cnt"))
+    // MATERIALIZED: the histogram feeds four consumers (median agg,
+    // deviation join, MAD agg, final agg) and broadcastIfSmall's eager
+    // counts execute two of them immediately — without the cut each
+    // consumer re-scans and re-shuffles the raw corpus, turning the
+    // documented one shuffle into ~four.
+    val hist = graft.util.Materialize.once(
+      df.select(group.as("group_key"), vq.cast("long").as("__vq"))
+        .groupBy(col("group_key"), col("__vq")).agg(count(lit(1)).as("__cnt")))
     val med = hist.groupBy(col("group_key"))
       .agg(expr("percentile(__vq, 0.5D, __cnt)").as("med"))
-    val dev = hist.join(Joins.broadcastIfSmall(med), "group_key")
-      .withColumn("__dev", abs(col("__vq") - col("med")))
+    val dev = graft.util.Materialize.once(
+      hist.join(Joins.broadcastIfSmall(med), "group_key")
+        .withColumn("__dev", abs(col("__vq") - col("med"))))
     val mad = dev.groupBy(col("group_key"))
       .agg(expr("percentile(__dev, 0.5D, __cnt)").as("mad"))
     dev.join(Joins.broadcastIfSmall(mad), "group_key")

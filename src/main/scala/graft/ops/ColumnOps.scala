@@ -50,7 +50,8 @@ object ColumnOps {
     * CASE, no lookup-table join or shuffle needed.
     */
   def caseMap(c: Column, mapping: Seq[(String, String)], default: String): Column =
-    mapping.foldLeft(null: Column) { case (acc, (k, v)) =>
+    if (mapping.isEmpty) lit(default) // a CASE with no branches IS its default (the fold would NPE)
+    else mapping.foldLeft(null: Column) { case (acc, (k, v)) =>
       if (acc == null) when(c === k, v) else acc.when(c === k, v)
     }.otherwise(default)
 
@@ -162,7 +163,11 @@ object ColumnOps {
   def resumeFilter(input: DataFrame, processed: DataFrame, key: String): DataFrame =
     input.join(processed.select(key).distinct(), Seq(key), "left_anti")
 
-  /** First-row-per-group as struct (B29) via min_by on an order column. */
-  def firstRowPerGroup(df: DataFrame, key: Column, order: Column, payload: Column): Column =
+  /** First-row-per-group aggregate (B29): min_by(payload, order) for
+    * use inside the caller's own groupBy. (It is an AGGREGATE column —
+    * the grouping key lives in the groupBy, not here; the old
+    * four-parameter signature took a DataFrame and key it never used.)
+    */
+  def firstRowPerGroup(order: Column, payload: Column): Column =
     min_by(payload, order)
 }

@@ -30,14 +30,31 @@ object Drift {
     */
   def tvd(a: DataFrame, b: DataFrame, cat: String,
           threshNum: Long, threshDen: Long): DataFrame = {
+    require(threshDen >= 1 && threshNum >= 0 && threshNum <= Long.MaxValue / 2,
+      s"threshold must be a ratio with threshDen >= 1, got $threshNum/$threshDen")
+    // Exact-long domain guard (same discipline as TimeSeries.ewmaScaled):
+    // every product this metric forms is bounded by n_a·n_b·k with
+    // k = max(threshDen, 2·threshNum), since c ≤ n and tvd_num ≤
+    // n_a·n_b. A snapshot pair past that bound must fail with a
+    // READABLE error — under ANSI the raw multiply dies as a cryptic
+    // mid-job ArithmeticException, and non-ANSI silently wraps into a
+    // garbage drift verdict. The check is division-based so the guard
+    // itself can't overflow.
+    val k = math.max(threshDen, 2 * threshNum).max(1L)
+    val limit = Long.MaxValue / k
     val ca = a.groupBy(col(cat)).agg(count(lit(1)).as("c_a"))
     val cb = b.groupBy(col(cat)).agg(count(lit(1)).as("c_b"))
     val na = a.agg(count(lit(1)).as("n_a"))
     val nb = b.agg(count(lit(1)).as("n_b"))
+    val guarded = when(col("n_a") > lit(limit) / greatest(col("n_b"), lit(1L)),
+      raise_error(concat(lit(s"Drift.tvd domain: n_a*n_b*$k exceeds Long range (n_a="),
+        col("n_a").cast("string"), lit(", n_b="), col("n_b").cast("string"),
+        lit(") — aggregate to coarser categories or pre-sample the snapshots"))))
     ca.join(cb, Seq(cat), "full_outer")
       .na.fill(0L, Seq("c_a", "c_b"))
       .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
-      .withColumn("tvd_num", abs(col("c_a") * col("n_b") - col("c_b") * col("n_a")))
+      .withColumn("tvd_num",
+        guarded.otherwise(abs(col("c_a") * col("n_b") - col("c_b") * col("n_a"))))
       .withColumn("drifted",
         col("tvd_num") * lit(threshDen) > lit(2L * threshNum) * col("n_a") * col("n_b"))
       .select(col(cat), col("c_a"), col("c_b"), col("n_a"), col("n_b"),

@@ -49,9 +49,14 @@ object Encodings {
                       priorNum: Long, priorDen: Long): DataFrame = {
     val stats = df.groupBy(col(catCol)).agg(
       sum(col(targetCol)).as("__sum"), count(lit(1)).as("__n"))
-    df.join(stats, Seq(catCol))
+      .withColumnRenamed(catCol, "__cat")
+    // Null-safe join: groupBy DOES produce a null-category stats row,
+    // but a plain equi-join can never match it — every null-category
+    // row would silently vanish from the feature table. <=> treats the
+    // null group like any other unseen-at-apply-time category.
+    df.join(stats, col(catCol) <=> col("__cat"))
       .withColumn("code_num", col("__sum") - col(targetCol) + lit(priorNum))
       .withColumn("code_den", col("__n") - 1 + lit(priorDen))
-      .drop("__sum", "__n")
+      .drop("__cat", "__sum", "__n")
   }
 }

@@ -145,6 +145,13 @@ object Joins {
     * `maxRows` defaults to ~the rows of a narrow key column that fit
     * the 10 MB spirit of autoBroadcastJoinThreshold on large executors.
     */
-  def broadcastIfSmall(df: DataFrame, maxRows: Long = 1000000L): DataFrame =
+  def broadcastIfSmall(df: DataFrame, maxRows: Long = 1000000L): DataFrame = {
+    // maxRows + 1 must survive the Int cast that limit() needs: past
+    // Int range the cast wraps (2^32 -> limit(1) would broadcast ANY
+    // table unconditionally; Int.MaxValue -> a negative limit throws).
+    // Rows beyond ~2 billion are never broadcastable anyway.
+    require(maxRows >= 0 && maxRows < Int.MaxValue,
+      s"maxRows must be in [0, ${Int.MaxValue - 1}], got $maxRows")
     if (df.limit((maxRows + 1).toInt).count() <= maxRows) broadcast(df) else df
+  }
 }

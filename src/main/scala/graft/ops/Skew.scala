@@ -35,6 +35,15 @@ object Skew {
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  saltSrc: Column, buckets: Int, joinType: String = "inner"): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    // Same guard as Joins.saltedJoin: the dim side is REPLICATED once
+    // per salt, so a dim-preserving join type (right/full) would emit
+    // every unmatched dim row `buckets` times — silently.
+    val allowed = Set("inner", "left", "leftouter", "left_outer",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(allowed.contains(joinType.toLowerCase),
+      s"saltedJoin supports fact-preserving join types ${allowed.toSeq.sorted.mkString(", ")}; " +
+        s"'$joinType' would emit replicated dim rows")
     val saltedFact = fact.withColumn("__salt", pmod(hash(saltSrc), lit(buckets)))
     val saltedDim = dim.withColumn("__salt", explode(sequence(lit(0), lit(buckets - 1))))
     saltedFact.join(saltedDim, Seq(key, "__salt"), joinType).drop("__salt")

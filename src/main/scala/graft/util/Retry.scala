@@ -16,9 +16,17 @@ object Retry {
     var lastError: Throwable = null
     var i = 0
     while (i < attempts) {
+      // NonFatal only: retrying an OutOfMemoryError/LinkageError hides
+      // a dying JVM behind minutes of backoff. And a cancellation
+      // (InterruptedException) must propagate immediately with the
+      // interrupt flag RE-ASSERTED — the old catch-all consumed it and
+      // put the "cancelled" driver thread to sleep for 5 minutes.
       try return action
       catch {
-        case e: Throwable =>
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw e
+        case scala.util.control.NonFatal(e) =>
           lastError = e
           i += 1
           if (i < attempts) { sleep(delay); delay = (delay * backoffFactor).toLong }

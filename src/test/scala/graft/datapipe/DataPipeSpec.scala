@@ -199,6 +199,14 @@ class DataPipeSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"multi-table LSH recall vs brute force too low: $recall")
   }
 
+  test("lsh_signature rejects numPlanes outside [1, 64] (shift would wrap into plane 0)") {
+    val vec = new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any](1.0, -2.0, 0.5))
+    intercept[IllegalArgumentException] { graft.functions.LshSignature.signature(vec, 0, 0) }
+    intercept[IllegalArgumentException] { graft.functions.LshSignature.signature(vec, 65, 0) }
+    // The full 64-plane signature is legal and uses the top bit.
+    graft.functions.LshSignature.signature(vec, 64, 0): Unit
+  }
+
   test("int8 quantization: bounded roundtrip error, high quantized-ANN recall") {
     val emb = graft.tables.TestTables.embeddings(spark, "/root/testdata/sf0.001")
     val q = Quantize.quantizeTable(emb, "vec_id", "embedding")

@@ -27,6 +27,11 @@ object WordShinglesProps extends Properties("WordShingles") {
   property("kernel equals the sliding-window reference") =
     Prop.forAll(wordsGen, nGen) { (ws, n) => kernel(ws, n) == reference(ws, n) }
 
+  property("n < 1 is rejected (n=0 would emit all-empty shingles — silent false dedup)") =
+    Prop.forAll(wordsGen, Gen.chooseNum(-3, 0)) { (ws, n) =>
+      Prop.throws(classOf[IllegalArgumentException])(kernel(ws, n))
+    }
+
   property("shingle count is max(len - n + 1, 1)") =
     Prop.forAll(wordsGen, nGen) { (ws, n) =>
       kernel(ws, n).length == math.max(ws.length - n + 1, 1)

@@ -32,6 +32,10 @@ class ColumnOpsSpec extends AnyFunSuite {
     val mapping = (0 to 15).map(i => i.toString -> ('A' + i).toChar.toString)
     val out = df.select(ColumnOps.caseMap($"code", mapping, "U").as("v")).as[String].collect()
     assert(out.toSeq == Seq("A", "P", "U"))
+    // A CASE with no branches IS its default (an empty tenant mapping
+    // used to NPE at plan-construction time).
+    val empty = df.select(ColumnOps.caseMap($"code", Seq.empty, "U").as("v")).as[String].collect()
+    assert(empty.toSeq == Seq("U", "U", "U"))
   }
 
   test("dedupKeepLast keeps the row with the greatest order value per key") {

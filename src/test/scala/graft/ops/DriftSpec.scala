@@ -20,6 +20,21 @@ class DriftSpec extends AnyFunSuite with Matchers {
     out("y") shouldBe ((1L, 1L, 0L, false))
   }
 
+  test("out-of-domain products fail with a readable error, not overflow") {
+    // A huge threshDen shrinks the guard's n_a*n_b*k budget to 4, so
+    // tiny snapshots exercise the exact raise_error path that a
+    // trillion-row pair would hit with the default threshold.
+    val ex = intercept[Exception] {
+      Drift.tvd(Seq("x", "x", "y").toDF("cat"), Seq("x", "y").toDF("cat"),
+        "cat", threshNum = 1, threshDen = Long.MaxValue / 4).collect()
+    }
+    val msg = Option(ex.getCause).map(_.toString).getOrElse("") + ex.toString
+    assert(msg.contains("Drift.tvd domain"), s"want the domain error, got $ex")
+    intercept[IllegalArgumentException] {
+      Drift.tvd(Seq("x").toDF("cat"), Seq("x").toDF("cat"), "cat", 1, 0)
+    }
+  }
+
   test("proportional scaling is not drift") {
     // B is A duplicated 3x: proportions identical -> numerators 0.
     val a = Seq("x", "x", "y")

@@ -32,4 +32,18 @@ class EncodingsSpec extends AnyFunSuite {
     // cat y: sum=1, n=1 → (1-1+1, 0+2)=(1,2): pure prior, no self-leak
     assert(out.contains(("y", 1L, 1L, 2L)))
   }
+
+  test("targetEncodeLoo keeps null-category rows as their own group") {
+    // groupBy produces a null-category stats row, but a plain
+    // equi-join can never match it — these rows used to vanish.
+    val df = Seq((Some("x"), 1L), (None, 1L), (None, 0L))
+      .toDF("cat", "t")
+    val out = Encodings.targetEncodeLoo(df, "cat", "t", priorNum = 1L, priorDen = 2L)
+      .select($"cat", $"t", $"code_num", $"code_den")
+      .as[(Option[String], Long, Long, Long)].collect().toSet
+    assert(out.size == 3, s"no row may vanish: $out")
+    // null group: sum=1, n=2 → t=1: (1-1+1, 2-1+2)=(1,3); t=0: (2,3)
+    assert(out.contains((None, 1L, 1L, 3L)), s"got $out")
+    assert(out.contains((None, 0L, 2L, 3L)), s"got $out")
+  }
 }

@@ -38,6 +38,25 @@ class JoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("broadcastIfSmall rejects maxRows past Int range (the +1 cast would wrap to limit(1))") {
+    val df = spark.range(5).toDF("k")
+    intercept[IllegalArgumentException] { Joins.broadcastIfSmall(df, maxRows = Int.MaxValue.toLong) }
+    intercept[IllegalArgumentException] { Joins.broadcastIfSmall(df, maxRows = 4294967296L) }
+    intercept[IllegalArgumentException] { Joins.broadcastIfSmall(df, maxRows = -1L) }
+    assert(Joins.broadcastIfSmall(df, maxRows = (Int.MaxValue - 1).toLong).count() == 5)
+  }
+
+  test("Skew.saltedJoin rejects dim-preserving join types like its Joins twin") {
+    val fact = Seq((1L, "a")).toDF("k", "f")
+    val dim = Seq((1L, "d")).toDF("k", "dv")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(fact, dim, "k", fact("f"), buckets = 4, joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(fact, dim, "k", fact("f"), buckets = 1)
+    }
+  }
+
   test("the hot key's rows actually spread across salt buckets") {
     // Re-derive the salted probe the way saltedJoin builds it and check
     // the spreading property: the 400 rows of key 1 land in ALL 8

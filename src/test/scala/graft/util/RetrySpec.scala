@@ -22,6 +22,23 @@ class RetrySpec extends AnyFunSuite {
     assert(out == "ok" && calls == 3 && sleeps == List(100L, 200L))
   }
 
+  test("withRetry propagates cancellation immediately and re-asserts the interrupt flag") {
+    var slept = 0L
+    intercept[InterruptedException] {
+      Retry.withRetry(3, 100, sleep = slept += _) { throw new InterruptedException("cancelled") }
+    }
+    assert(slept == 0, "a cancelled action must not back off and retry")
+    assert(Thread.interrupted(), "the interrupt flag must be re-asserted (and cleared here)")
+  }
+
+  test("withRetry does not retry fatal errors") {
+    var calls = 0
+    intercept[OutOfMemoryError] {
+      Retry.withRetry(3, 10, sleep = _ => ()) { calls += 1; throw new OutOfMemoryError("boom") }
+    }
+    assert(calls == 1, "a dying JVM must not be retried behind backoff")
+  }
+
   test("withRetry exhausts and wraps the last error") {
     var calls = 0
     val e = intercept[Retry.RetriesExhausted] {
