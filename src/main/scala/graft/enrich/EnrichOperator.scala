@@ -92,23 +92,30 @@ object EnrichOperator {
       val client = makeClient()
       val minIntervalNs =
         if (perPartitionRate > 0) (1e9 / perPartitionRate).toLong else 0L
-      var nextAllowedNs = 0L
+      // nanoTime has an ARBITRARY origin (may be negative): seed from
+      // it and compare only differences, or the first throttled row on
+      // a negative-origin platform sleeps for |now| milliseconds.
+      var nextAllowedNs = System.nanoTime()
       var failStreak = 0
+      // Every ATTEMPT consumes a rate slot — charging once per row
+      // would let retries fire back-to-back and multiply the
+      // documented global budget exactly when the service is failing.
+      def awaitRateSlot(): Unit = if (minIntervalNs > 0) {
+        val now = System.nanoTime()
+        if (now - nextAllowedNs < 0) Thread.sleep((nextAllowedNs - now) / 1000000L + 1)
+        nextAllowedNs = (if (now - nextAllowedNs > 0) now else nextAllowedNs) + minIntervalNs
+      }
       rows.map { row =>
         if (cfg.breakerThreshold > 0 && failStreak >= cfg.breakerThreshold) {
           Row.fromSeq(row.toSeq ++ Seq("skipped", null,
             s"circuit open after $failStreak consecutive failures"))
         } else {
-        if (minIntervalNs > 0) {
-          val now = System.nanoTime()
-          if (now < nextAllowedNs) Thread.sleep((nextAllowedNs - now) / 1000000L + 1)
-          nextAllowedNs = math.max(now, nextAllowedNs) + minIntervalNs
-        }
         val payload = Option(row.get(payloadIdx)).map(_.toString).getOrElse("")
         var attempt = 0
         var result: Either[String, String] = Left("not attempted")
         while (attempt < cfg.maxAttempts && (attempt == 0 || result.isLeft)) {
           if (attempt > 0 && cfg.backoffMs > 0) Thread.sleep(cfg.backoffMs)
+          awaitRateSlot()
           result = client.call(payload)
           attempt += 1
           metrics.foreach { m =>
@@ -137,25 +144,40 @@ object EnrichOperator {
                        cfg: Config = Config(), metrics: Option[Metrics] = None): DataFrame = {
     val keys = df.select(col(keyCol).cast("string").as(keyCol)).na.drop().distinct()
     val enriched = enrich(keys, keyCol, makeClient, cfg, metrics)
-    df.join(enriched.withColumnRenamed(keyCol, "__k"),
-        df(keyCol).cast("string") === col("__k"), "left")
-      .drop("__k")
+    // Cast the (key-count-sized) enriched side back to the fact key's
+    // type — casting the fact side per row would cost a row-wise cast
+    // AND break any pre-existing partitioning/bucketing on the key
+    // (the same reasoning as LlmFanout.predict's join-back).
+    val back = enriched.withColumn("__k",
+      col(keyCol).try_cast(df.schema(keyCol).dataType.sql)).drop(keyCol)
+    df.join(back, df(keyCol) === col("__k"), "left").drop("__k")
   }
 
-  /** C9: one filtered re-pass over the failed rows, then terminal
-    * marking. Returns ok-rows ∪ retried rows, failures labeled
-    * `terminalMessage` (reference src/predictions.py:299-314).
+  /** C9: one filtered re-pass over every NON-ok row — "error" AND
+    * "skipped" (circuit-broken rows are replayable by contract; the
+    * retry pass runs a fresh client with fresh breaker state) — then
+    * terminal marking. Returns ok-rows ∪ retried rows, exhausted
+    * failures labeled `terminalMessage` (reference
+    * src/predictions.py:299-314). Row count is PRESERVED: dropping
+    * skipped rows here once let an outage vanish visits from the
+    * output, which downstream default-labeling then auto-approved.
     */
   def withRetryPass(enriched: DataFrame, payloadCol: String, makeClient: () => ServiceClient,
-                    cfg: Config = Config(), terminalMessage: String = "Failed to reach LLM"): DataFrame = {
+                    cfg: Config = Config(), terminalMessage: String = "Failed to reach LLM",
+                    metrics: Option[Metrics] = None): DataFrame = {
     // Materialize the first pass before branching on it — the two
     // filters below would otherwise each recompute the mapPartitions
     // lineage and re-fire every call (SURVEY §7.5.2).
     val first = graft.util.Materialize.once(enriched)
     val ok = first.filter(col("status") === "ok")
-    val failed = first.filter(col("status") === "error").drop("status", "response", "message")
-    val retried = enrich(failed, payloadCol, makeClient, cfg)
-      .withColumn("message", when(col("status") === "error", terminalMessage).otherwise(col("message")))
+    val failed = first.filter(col("status") =!= "ok").drop("status", "response", "message")
+    // The retry stage is equally side-effecting: materialized too, so
+    // a caller running several actions over the union (count + write,
+    // gate + sink) can't re-fire the retry calls through bare lineage
+    // (or double-bill the metrics accumulators).
+    val retried = graft.util.Materialize.once(
+      enrich(failed, payloadCol, makeClient, cfg, metrics)
+        .withColumn("message", when(col("status") === "error", terminalMessage).otherwise(col("message"))))
     ok.unionByName(retried)
   }
 }

@@ -45,7 +45,8 @@ object LlmFanout {
       .withColumn("__payload", concat_ws("|", col(visitCol).cast("string"), col("__uids")))
 
     val called = EnrichOperator.enrich(perVisit, "__payload", makeClient, cfg, metrics)
-    val retried = EnrichOperator.withRetryPass(called, "__payload", makeClient, cfg)
+    val retried = EnrichOperator.withRetryPass(called, "__payload", makeClient, cfg,
+      metrics = metrics)
 
     val outSchema = StructType(Seq(
       StructField("__visit", StringType),

@@ -32,11 +32,16 @@ object Pipelines {
       EligibilityExtract.build(spark, dir).select(col("visit_id"), col("patient_id")))
 
     // transform_iqama (C1): per-unique-patient insurance lookup.
-    val iqama = EnrichOperator.enrichUniqueKeys(base, "patient_id",
-        () => new MockBeneficiaryClient(), enrichCfg)
-      .select(col("visit_id"),
-        FhirParser.apiStatus(col("response")).as("api_status"),
-        FhirParser.insuranceData(col("response")).getItem("Name").as("ins_name"))
+    // Materialized like the eligibility branch: this stage fires
+    // external calls, and a caller running more than one action over
+    // the returned frame (count + write, gate + sink) would otherwise
+    // re-execute the lookup per action through bare lineage.
+    val iqama = graft.util.Materialize.once(
+      EnrichOperator.enrichUniqueKeys(base, "patient_id",
+          () => new MockBeneficiaryClient(), enrichCfg)
+        .select(col("visit_id"),
+          FhirParser.apiStatus(col("response")).as("api_status"),
+          FhirParser.insuranceData(col("response")).getItem("Name").as("ins_name")))
 
     // transform_eligibility (C2+C3): per-visit FHIR submit + parse.
     val withPayload = base.withColumn("__payload", col("visit_id").cast("string"))

@@ -109,12 +109,20 @@ object TestTables {
   def tsNanos(t: java.sql.Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000000L + t.getNanos
 
-  /** Register every table as a temp view (for spark.sql / CTE queries). */
+  /** Register every table as a temp view (for spark.sql / CTE queries).
+    * Routed through the NAMED loaders so any normalization a loader
+    * gains (as events() did when the driver's ts encoding changed)
+    * reaches the views too — an inline re-read would silently diverge
+    * from the programmatic API.
+    */
   def registerAll(spark: SparkSession, dir: String): Unit = {
-    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
-      .foreach(t => spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t))
-    documents(spark, dir).createOrReplaceTempView("documents")
-    embeddings(spark, dir).createOrReplaceTempView("embeddings")
-    events(spark, dir).createOrReplaceTempView("events")
+    val loaders: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "region" -> region, "nation" -> nation, "customer" -> customer,
+      "supplier" -> supplier, "part" -> part, "orders" -> orders,
+      "lineitem" -> lineitem, "documents" -> documents,
+      "embeddings" -> embeddings, "events" -> events)
+    loaders.foreach { case (name, load) =>
+      load(spark, dir).createOrReplaceTempView(name)
+    }
   }
 }

@@ -120,6 +120,25 @@ class EnrichOperatorSpec extends AnyFunSuite {
     assert(msg.contains("circuit open"))
   }
 
+  test("withRetryPass preserves circuit-broken rows: skipped rows retry, none vanish") {
+    // First pass dies after 2 failures and skips the rest; the retry
+    // pass (healthy service) must pick the skipped rows up — the old
+    // error-only filter silently DROPPED them, and LlmFanout's default
+    // labeling then auto-approved the vanished visits.
+    val alwaysFail = () => new ServiceClient {
+      override def call(payload: String): Either[String, String] = Left("endpoint down")
+    }
+    val df = (1L to 10L).toDF("k").withColumn("__p", $"k".cast("string"))
+    val first = EnrichOperator.enrich(df, "__p", alwaysFail,
+      EnrichOperator.Config(parallelism = 1, maxAttempts = 1, breakerThreshold = 2))
+    val m = EnrichOperator.Metrics(df, "retrypass")
+    val out = EnrichOperator.withRetryPass(first, "__p", () => new MockBeneficiaryClient(0),
+      EnrichOperator.Config(parallelism = 1), metrics = Some(m))
+    assert(out.count() == 10, "every input row must survive the retry pass")
+    assert(out.filter($"status" === "ok").count() == 10, "healthy retry heals skipped AND error rows")
+    assert(m.calls.value == 10, "retry-pass calls must be billed to the metrics accumulators")
+  }
+
   test("a success resets the breaker streak") {
     // Client alternates fail/ok by an internal counter: failures can
     // never run consecutively, so threshold 2 must never trip in any

@@ -60,6 +60,37 @@ class Scd2Spec extends AnyFunSuite {
       "the ts=5 update would overlap the immutable [1,10) history row and must be discarded")
   }
 
+  test("a fully-closed key rejects updates inside its closed history") {
+    // Key 1 has ONLY closed rows (no open row). The old guard keyed on
+    // the open valid_from — null here — and admitted ts=5 INSIDE the
+    // immutable [1, 10) interval, creating overlapping validity.
+    val res = out(
+      cur((1L, 1, Some(10), "OLD")),
+      upd((1L, 5, "LATE"), (1L, 20, "B")))
+    assert(res == Set(
+      (1L, "OLD", 1, Some(10)),
+      (1L, "B", 20, None)),
+      s"ts=5 overlaps the closed [1,10) row and must be discarded: $res")
+  }
+
+  test("an update at exactly the open valid_from deterministically supersedes it") {
+    // ts == open valid_from: a same-instant restatement. The update
+    // must win (ordering by ts alone broke the tie arbitrarily per
+    // run), and the superseded zero-width [10,10) version must not
+    // pollute the history.
+    val res = out(cur((1L, 10, None, "A")), upd((1L, 10, "B")))
+    assert(res == Set((1L, "B", 10, None)), s"the same-instant update must win: $res")
+    // An identical same-instant restatement collapses to the open row.
+    val same = out(cur((1L, 10, None, "A")), upd((1L, 10, "A")))
+    assert(same == Set((1L, "A", 10, None)), s"identical restatement collapses: $same")
+  }
+
+  test("empty payload list is rejected with a readable message") {
+    intercept[IllegalArgumentException] {
+      Scd2.applyChanges(cur((1L, 10, None, "A")), upd((1L, 20, "B")), "k", "ts", Seq.empty)
+    }
+  }
+
   test("open+updates shuffle once: the three window passes share a single exchange") {
     val plan = Scd2.applyChanges(
         cur((1L, 10, None, "A")), upd((1L, 20, "B")), "k", "ts", Seq("seg"))

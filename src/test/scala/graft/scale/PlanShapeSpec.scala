@@ -230,7 +230,10 @@ class PlanShapeSpec extends AnyFunSuite {
       "q_pipeline_predictions" -> (3, 1),
       "q_resubmission_full" -> (7, 13),
       "q_pipeline_resubmission" -> (0, 0), // built on materialized inputs
-      "q_pipeline_eligibility" -> (6, 0),
+      // Re-pinned 6 -> 3 in r8: materializing the side-effecting iqama
+      // branch (exactly-once for its external calls) also replaces its
+      // derived-lineage exchanges with a materialized-table read.
+      "q_pipeline_eligibility" -> (3, 0),
       "q_eligibility_extract" -> (0, 5),   // star join: broadcasts only
       "q_set_ops_all" -> (2, 4),
       // Round 8: node-sized side tables (teleport, degree, r0)
