@@ -113,13 +113,18 @@ object Bench {
     // Warm-up failures are recorded too — a query that can't run at
     // sf0.001 must not silently bench as 0 s.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt.max(1)
-    val results: Seq[(String, Double, Seq[Double], Option[String])] = selected.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
+    val results: Seq[(String, Double, Seq[Double], Option[String])] = selected.map { name =>
+      SparkEntry.queries.get(name) match {
+        // A headline name missing from the registry (rename, typo) must
+        // surface as an ERROR row — flatMap-dropping it printed a
+        // smaller total with exit 0, indistinguishable from a speedup.
+        case None => (name, 0.0, Seq(0.0), Some("headline query not in SparkEntry.queries"))
+        case Some(fn) =>
         def runOnce(dir: String): Option[String] =
           try { fn(spark, dir).write.format("noop").mode("overwrite").save(); None }
           catch {
             case e: Throwable =>
-              Some(Option(e.getMessage).getOrElse(e.getClass.getName).replaceAll("[\"\\n\\r]", " ").take(300))
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(300))
           }
         runOnce("/root/testdata/sf0.001") // warm-up; error (if any) resurfaces below
         // Median of `passes` timed runs in one JVM: a single shared-box
@@ -144,8 +149,21 @@ object Bench {
     val spread = results.map { case (k, _, s, _) =>
       "\"" + k + "\":[" + r3(s.head) + "," + r3(s(s.length / 2)) + "," + r3(s.last) + "]"
     }.mkString("{", ",", "}")
+    // Full JSON string escape (same as Verify's): exception messages
+    // carry backslashes, tabs, and stack-trace fragments — stripping
+    // only quote/LF/CR once left the bench line unparseable, losing
+    // the round's evidence at exactly the moment a query failed.
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val errs = results.map { case (k, _, _, e) =>
-      "\"" + k + "\":" + e.map(m => "\"" + m + "\"").getOrElse("null")
+      "\"" + k + "\":" + e.map(jq).getOrElse("null")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"passes":$passes,"sf":"$sfDir"}"""

@@ -31,7 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier(JsonFindNumbers.fnName),
       new ExpressionInfo(classOf[JsonFindNumbers].getName, JsonFindNumbers.fnName),
-      checked(JsonFindNumbers.fnName, "json, key, maxMatches", 3)(
+      checked(JsonFindNumbers.fnName, "json, key, subfield", 3)(
         exprs => JsonFindNumbers(exprs(0), exprs(1), exprs(2)))))
     ext.injectFunction((
       FunctionIdentifier(CosineSimilarity.fnName),

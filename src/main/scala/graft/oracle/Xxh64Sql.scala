@@ -294,6 +294,10 @@ object PortableHashSql {
     * `cols` plus whatever else) to `<p>k` = srcCte's columns plus
     * `keyName` = `CAST(xxhash64(cols...) AS VARCHAR)` — Spark's
     * LongType seed-chain band key. One hashLong per column, staged.
+    * NULL parity with Spark's HashExpression: a NULL input SKIPS its
+    * fold step (the seed passes through unchanged) — naive arithmetic
+    * would instead poison the whole chain to NULL and report spurious
+    * mismatches for any nullable column.
     */
   def chainLongsCtes(prefix: String, srcCte: String, colGroups: Seq[(String, Seq[String])]): String = {
     val p = prefix
@@ -317,7 +321,11 @@ object PortableHashSql {
       ctes += s"${p}a$k AS MATERIALIZED (SELECT *,\n${a.mkString(",\n")}\n  FROM ${p}y$k)"
       val b = colGroups.indices.map(g => s"  ${mul(xor(s"a${g}_$k", shr(s"a${g}_$k", 29)), uP3)} AS b${g}_$k")
       ctes += s"${p}b$k AS MATERIALIZED (SELECT *,\n${b.mkString(",\n")}\n  FROM ${p}a$k)"
-      val c = colGroups.indices.map(g => s"  ${xor(s"b${g}_$k", shr(s"b${g}_$k", 32))} AS sd${g}_${k + 1}")
+      val c = colGroups.indices.map { g =>
+        val seed = if (k == 0) "CAST(42 AS HUGEINT)" else s"sd${g}_$k"
+        s"  CASE WHEN ${colGroups(g)._2(k)} IS NULL THEN $seed" +
+          s" ELSE ${xor(s"b${g}_$k", shr(s"b${g}_$k", 32))} END AS sd${g}_${k + 1}"
+      }
       ctes += s"${p}c$k AS MATERIALIZED (SELECT *,\n${c.mkString(",\n")}\n  FROM ${p}b$k)"
       from = s"${p}c$k"
     }

@@ -121,8 +121,14 @@ object FhirParser {
     * stage; no explode, no shuffle.
     */
   def benefitValue(bundle: Column, code: String): Column = {
-    val items = flatten(transform(responseResource(bundle).getField("insurance"), i => i.getField("item")))
-    val benefits = flatten(transform(items, i => i.getField("benefit")))
+    // filter-before-flatten is load-bearing: Spark's flatten returns
+    // NULL when ANY element is null, so one insurance entry without
+    // `item` (or one item without `benefit`) would null-poison the
+    // whole lookup even when the benefit is present elsewhere.
+    val items = flatten(filter(
+      transform(responseResource(bundle).getField("insurance"), i => i.getField("item")),
+      x => x.isNotNull))
+    val benefits = flatten(filter(transform(items, i => i.getField("benefit")), x => x.isNotNull))
     try_element_at(
       filter(benefits, b => exists(b.getField("type").getField("coding"), c => c.getField("code") === code)),
       lit(1)).getField("allowedMoney").getField("value")
@@ -132,9 +138,12 @@ object FhirParser {
     * (src/eligibility.py:595-610).
     */
   def namedItemBenefitValue(bundle: Column, itemName: String, code: String): Column = {
-    val items = flatten(transform(responseResource(bundle).getField("insurance"), i => i.getField("item")))
+    // Same null-poison guard as benefitValue.
+    val items = flatten(filter(
+      transform(responseResource(bundle).getField("insurance"), i => i.getField("item")),
+      x => x.isNotNull))
     val named = filter(items, i => i.getField("name") === itemName)
-    val benefits = flatten(transform(named, i => i.getField("benefit")))
+    val benefits = flatten(filter(transform(named, i => i.getField("benefit")), x => x.isNotNull))
     try_element_at(
       filter(benefits, b => exists(b.getField("type").getField("coding"), c => c.getField("code") === code)),
       lit(1)).getField("allowedMoney").getField("value")

@@ -25,6 +25,16 @@ import org.apache.spark.unsafe.types.UTF8String
 case class JsonFindNumbers(first: Expression, second: Expression, third: Expression)
   extends TernaryExpression {
 
+  // Checked input types make a wrong-typed call fail AT ANALYSIS with
+  // a readable message, instead of a ClassCastException (interpreted)
+  // or an opaque janino error (codegen) executor-side mid-job.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (children.forall(_.dataType == StringType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string, string, string), got " +
+          children.map(_.dataType.sql).mkString(", "))
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = true
 
@@ -53,32 +63,47 @@ case class JsonFindNumbers(first: Expression, second: Expression, third: Express
 object JsonFindNumbers {
   val fnName = "json_find_numbers"
 
+  // JsonFactory is thread-safe and designed to be shared: per-call
+  // construction would also discard its field-name canonicalization
+  // cache on the per-row hot path.
+  private val factory = new JsonFactory()
+
   /** Single-pass streaming scan (shared by eval and generated code).
     * Returns null on malformed JSON — errors are values (SURVEY §7.5.5).
+    *
+    * A boolean stack tracks, per open container, whether it is a match
+    * scope (an OBJECT that was the value of a `target` field). A number
+    * is collected when its name is `subfield` and the IMMEDIATELY
+    * enclosing container is a match scope — so a `target` object nested
+    * inside another `target` object opens its own scope and both
+    * occurrences are found, like the reference's recursive find_keys
+    * (a depth counter alone skipped the inner one).
     */
   def findNumbers(json: UTF8String, key: UTF8String, sub: UTF8String): ArrayData = {
     val target = key.toString
     val subfield = sub.toString
     val out = scala.collection.mutable.ArrayBuffer.empty[Double]
     try {
-      val parser = new JsonFactory().createParser(json.toString)
-      // Depth of nesting inside a matched `target` object; 0 = not inside.
-      var insideTarget = 0
+      val parser = factory.createParser(json.toString)
+      val scopes = scala.collection.mutable.ArrayBuffer.empty[Boolean]
       var fieldName: String = null
       var tok = parser.nextToken()
       while (tok != null) {
         tok match {
           case JsonToken.FIELD_NAME =>
             fieldName = parser.currentName()
-          case JsonToken.START_OBJECT | JsonToken.START_ARRAY =>
-            if (insideTarget > 0) insideTarget += 1
-            else if (tok == JsonToken.START_OBJECT && fieldName == target) insideTarget = 1
+          case JsonToken.START_OBJECT =>
+            scopes += (fieldName == target)
+            fieldName = null
+          case JsonToken.START_ARRAY =>
+            scopes += false
             fieldName = null
           case JsonToken.END_OBJECT | JsonToken.END_ARRAY =>
-            if (insideTarget > 0) insideTarget -= 1
+            if (scopes.nonEmpty) scopes.remove(scopes.length - 1)
             fieldName = null
           case JsonToken.VALUE_NUMBER_INT | JsonToken.VALUE_NUMBER_FLOAT =>
-            if (insideTarget == 1 && fieldName == subfield) out += parser.getDoubleValue
+            if (scopes.nonEmpty && scopes.last && fieldName == subfield)
+              out += parser.getDoubleValue
             fieldName = null
           case _ =>
             fieldName = null

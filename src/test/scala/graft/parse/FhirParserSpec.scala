@@ -220,4 +220,53 @@ class FhirParserSpec extends AnyFunSuite {
     assert(out(3L).contains(Seq.empty))
     assert(out(4L).isEmpty, "malformed json → null")
   }
+
+  test("json_find_numbers: a target nested inside another target opens its own scope") {
+    // The reference's recursive find_keys finds BOTH occurrences; a
+    // depth counter found only the outer one.
+    val j = Seq(
+      ("""{"allowedMoney": {"value": 1, "allowedMoney": {"value": 2}}}""", 1L),
+      ("""{"allowedMoney": {"allowedMoney": {"value": 5}}}""", 2L)
+    ).toDF("raw", "k")
+    val out = j.select($"k", JsonFindNumbers.of($"raw", "allowedMoney", "value").as("vals"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1L) == Seq(1.0, 2.0), s"both scopes must collect: ${out(1L)}")
+    assert(out(2L) == Seq(5.0), s"inner-only value found: ${out(2L)}")
+  }
+
+  test("json_find_numbers: wrong-typed argument fails at ANALYSIS, not executor-side") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1L, 2L)).toDF("a", "b")
+        .select(org.apache.spark.sql.functions.call_function(
+          JsonFindNumbers.fnName, $"a", org.apache.spark.sql.functions.array($"b"),
+          org.apache.spark.sql.functions.lit("v")))
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("type") || e.getMessage.contains("DATATYPE"),
+      s"want a type error at analysis: ${e.getMessage.take(200)}")
+  }
+
+  test("benefit lookup survives insurance entries without item/benefit (flatten null-poison)") {
+    // One inforce=false entry WITHOUT `item` next to the real entry:
+    // Spark's flatten returns NULL if any element is null, which used
+    // to nullify the whole lookup despite the benefit being present.
+    val bundle =
+      """{"status": "success", "response": {"entry": [{"resource": {
+        |  "resourceType": "CoverageEligibilityResponse",
+        |  "insurance": [
+        |    {"inforce": false},
+        |    {"inforce": true, "item": [
+        |      {"name": "Approval limit",
+        |       "benefit": [{"type": {"coding": [{"code": "approval-limit"}]},
+        |                    "allowedMoney": {"value": 777.0}}]},
+        |      {"name": "No benefits here"}
+        |    ]}
+        |  ]}}]}}""".stripMargin
+    val df = Seq((bundle, 1L)).toDF("response", "k")
+    val v = df.select(
+        FhirParser.approvalLimit($"response", org.apache.spark.sql.functions.lit("structured")).as("al"))
+      .collect().head
+    assert(!v.isNullAt(0) && v.getDouble(0) == 777.0,
+      s"null items must not poison the benefit lookup: $v")
+  }
 }
