@@ -91,6 +91,23 @@ object TextAnalysis {
       when(avgWordLen >= 3.0 && avgWordLen <= 9.0, 1.0).otherwise(-1.0)
   }
 
+  /** THE DuckDB twin of [[qualityScore]] — the single renderer every
+    * oracle uses (three hand-copied variants once coexisted across the
+    * registries; a formula change updated in one site would leave the
+    * others verifying a different score). Same pattern as
+    * Gopher.rulesSql / Markdown.toTextSql: formula and twin live
+    * side by side.
+    */
+  def qualityScoreSql: String = {
+    val stopwordsIn = stopwords.map(w => s"'$w'").mkString(", ")
+    s"""CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ($stopwordsIn))) AS DOUBLE)
+       |    / greatest(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS DOUBLE), 1.0) * CAST(2.0 AS DOUBLE)
+       |  - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+       |    / greatest(CAST(length(text) AS DOUBLE), 1.0) * CAST(4.0 AS DOUBLE)
+       |  + CASE WHEN CAST(length(text) AS DOUBLE) / greatest(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS DOUBLE), 1.0) BETWEEN 3.0 AND 9.0
+       |         THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END""".stripMargin
+  }
+
   /** Marker-word language ID. Counts hits from tiny per-language marker
     * sets over the padded text, argmax with a fixed precedence order —
     * the n-gram-heuristic shape of fastText-free language ID.

@@ -676,7 +676,9 @@ object QueriesAnalysis {
     // points. Spark's exact `percentile` buffers value->count maps —
     // scale-safe exactly when the measure's cardinality is bounded
     // (l_quantity has 50 values at any corpus size); the unbounded
-    // path is the GK sketch (q_sample_percentile_gate). Interpolation
+    // path is the GK sketch (Sampling.percentileGateApprox, rank-error
+    // bounded in SamplingSpec; the REGISTERED q_sample_percentile_gate
+    // runs the exact form so the oracle can replay it). Interpolation
     // hits exact binary fractions here, so DuckDB's quantile_cont
     // reproduces every double bit-for-bit.
     "q_group_quantiles" -> ((s, dir) => {

@@ -172,7 +172,7 @@ object QueriesData {
     // either direction.
     "q_dedup_containment" -> ((s, dir) => {
       val base = sampledDocs(s, dir).select(col("doc_id"), col("text"))
-      val prefixes = base.select((col("doc_id") + 10000L).as("doc_id"),
+      val prefixes = base.select((col("doc_id") + 10000000L).as("doc_id"),
         col("text").substr(lit(1), lit(200)).as("text"))
       Dedup.containmentPairs(base.unionByName(prefixes), "doc_id", "text",
           minNum = 4, minDen = 5, maxDf = 1000, shingle = 3)
@@ -594,7 +594,7 @@ object QueriesData {
     // scheme provably loses nothing within the Hamming radius).
     "q_dedup_simhash_md5" -> ((s, dir) => {
       val base = sampledDocs(s, dir).select(col("doc_id"), col("text"))
-      val twins = base.select((col("doc_id") + 10000L).as("doc_id"),
+      val twins = base.select((col("doc_id") + 10000000L).as("doc_id"),
         concat(col("text"), lit(" extraword")).as("text"))
       Dedup.simhashPairsMd5(base.unionByName(twins), "doc_id", "text", maxHamming = 10)
         .orderBy(col("doc_a"), col("doc_b"))
@@ -1092,12 +1092,15 @@ object QueriesData {
     // Multimodal metadata algebra: frame sampling + resize, no decode.
     "q_mm_metadata" -> ((s, dir) => {
       val media = Multimodal.asMedia(TestTables.documents(s, dir), "doc_id", "text", "n_chars")
+      // Bind the resize struct ONCE: both fields provably come from the
+      // same call, and the expression isn't computed twice per row.
+      val resized = Multimodal.resizeMeta(col("meta"), 224)
       media.select(
           col("media_id"),
           length(col("content")).cast("bigint").as("n_bytes"),
           size(Multimodal.frameSampleIndexes(col("meta"))).as("n_frames"),
-          Multimodal.resizeMeta(col("meta"), 224).getField("width").as("resized_w"),
-          Multimodal.resizeMeta(col("meta"), 224).getField("height").as("resized_h"),
+          resized.getField("width").as("resized_w"),
+          resized.getField("height").as("resized_h"),
           (col("meta.width").cast("double") / col("meta.height").cast("double")).as("aspect"))
         .orderBy(col("media_id"))
     }),
@@ -1476,14 +1479,9 @@ object QueriesData {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  private val qualitySql: String =
-    """CAST(len(list_filter(string_split_regex(lower(text), '\s+'), w -> w IN (%STOP%))) AS DOUBLE)
-      |    / greatest(CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE), 1.0) * CAST(2.0 AS DOUBLE)
-      |  - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
-      |    / greatest(CAST(length(text) AS DOUBLE), 1.0) * CAST(4.0 AS DOUBLE)
-      |  + CASE WHEN CAST(length(text) AS DOUBLE) / greatest(CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS DOUBLE), 1.0) BETWEEN 3.0 AND 9.0
-      |         THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END""".stripMargin
-      .replace("%STOP%", stopwordsIn)
+  // Single shared renderer — see TextAnalysis.qualityScoreSql (three
+  // hand-copied variants once risked silent formula drift).
+  private val qualitySql: String = TextAnalysis.qualityScoreSql
 
   /** The corpus-cleaning oracle: language gate → quality gate → exact
     * dedup → minhash near-dup removal, mirroring CorpusClean stage for
@@ -1755,7 +1753,7 @@ object QueriesData {
     "q_dedup_simhash_md5" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
         |docs AS (SELECT doc_id, text FROM base
-        |         UNION ALL SELECT doc_id + 10000, text || ' extraword' FROM base),
+        |         UNION ALL SELECT doc_id + 10000000, text || ' extraword' FROM base),
         |w AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
         |      FROM docs),
         |h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 16)) AS UBIGINT) AS h FROM w),
@@ -1776,7 +1774,7 @@ object QueriesData {
     "q_dedup_containment" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
         |docs AS (SELECT doc_id, text FROM base
-        |         UNION ALL SELECT doc_id + 10000, substr(text, 1, 200) FROM base),
+        |         UNION ALL SELECT doc_id + 10000000, substr(text, 1, 200) FROM base),
         |wl AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws FROM docs),
         |sh AS (SELECT doc_id,
         |  CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
@@ -2045,12 +2043,7 @@ object QueriesData {
          |  len(regexp_extract_all(text, '${TextAnalysis.bpeishPattern}')) AS n_tokens_bpe,
          |  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
          |  len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ($stopwordsIn))) AS n_stopwords,
-         |  CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ($stopwordsIn))) AS DOUBLE)
-         |    / greatest(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS DOUBLE), 1.0) * CAST(2.0 AS DOUBLE)
-         |  - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
-         |    / greatest(CAST(length(text) AS DOUBLE), 1.0) * CAST(4.0 AS DOUBLE)
-         |  + CASE WHEN CAST(length(text) AS DOUBLE) / greatest(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS DOUBLE), 1.0) BETWEEN 3.0 AND 9.0
-         |         THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS quality
+         |  ${TextAnalysis.qualityScoreSql} AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" -> {

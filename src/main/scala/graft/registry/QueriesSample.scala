@@ -22,16 +22,8 @@ object QueriesSample {
 
   private val stopwordsIn = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
 
-  /** DuckDB twin of TextAnalysis.qualityScore (same formula as the
-    * q_text_stats oracle).
-    */
-  private val qualitySql =
-    s"""CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), w -> w IN ($stopwordsIn))) AS DOUBLE)
-       |    / greatest(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS DOUBLE), 1.0) * CAST(2.0 AS DOUBLE)
-       |  - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
-       |    / greatest(CAST(length(text) AS DOUBLE), 1.0) * CAST(4.0 AS DOUBLE)
-       |  + CASE WHEN CAST(length(text) AS DOUBLE) / greatest(CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS DOUBLE), 1.0) BETWEEN 3.0 AND 9.0
-       |         THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END""".stripMargin
+  // Single shared renderer — see TextAnalysis.qualityScoreSql.
+  private val qualitySql = TextAnalysis.qualityScoreSql
 
   private val tokensWsSql =
     "len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))"

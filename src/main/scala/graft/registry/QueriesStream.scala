@@ -88,7 +88,11 @@ object QueriesStream {
     // Native session windows (Spark's own session_window operator, the
     // merging-window aggregation): 30-minute gap per user. The oracle
     // derives the same sessions by the INDEPENDENT lag/cumsum
-    // formulation — the two definitions must coincide exactly.
+    // formulation — the two definitions must coincide exactly. NOTE
+    // the boundary: session_window's end is EXCLUSIVE (an event at
+    // exactly +gap starts a new session, oracle uses >=), while
+    // EventsStream.sessionizeBatch keeps it (strict > split) — two
+    // deliberate formulations, not interchangeable at the boundary.
     "q_stream_session_window" -> ((s, dir) =>
       TestTables.events(s, dir)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
@@ -176,7 +180,13 @@ object QueriesStream {
       val q = graft.streaming.EnrichStream.predictSink(stream, s"$base/table", "uid",
         "visit_id", "uid", "part", s"$base/keys", s"$base/ckpt",
         () => new graft.enrich.MockLlmClient())
-      q.awaitTermination(300000)
+      // Fail LOUDLY on timeout: an unchecked false return would read
+      // the output table while the stream is still MERGE-ing into it —
+      // a flaky partial-result hash with the query left running.
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("q_stream_llm_enrich: stream did not drain in 300s")
+      }
       s.read.parquet(s"$base/table")
         .select(col("visit_id"), col("uid"), col("medical_prediction"), col("reason"))
         .orderBy(col("visit_id"), col("uid"))

@@ -17,17 +17,28 @@ object QueriesTemporal {
     TestTables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts_us"))
 
+  /** Shared probe/build preparation for the four as-of entries. The
+    * clicks pre-aggregation (one row per (user, ts), max event_id) is
+    * LOAD-BEARING for deterministic matches and must stay identical
+    * across every variant — four verbatim copies once risked a
+    * tie-break fix landing in some entries and not others.
+    */
+  private def asOfSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = slimEvents(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase").drop("event_type")
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("click_id"))
+      .withColumn("click_ts", col("ts_us"))
+    (purchases, clicks)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // For each purchase, the latest click by the same user at or before
     // it (clicks pre-aggregated to one row per (user, ts) so the match
     // is deterministic).
     "q_asof_join" -> ((s, dir) => {
-      val e = slimEvents(s, dir)
-      val purchases = e.filter(col("event_type") === "purchase").drop("event_type")
-      val clicks = e.filter(col("event_type") === "click")
-        .groupBy(col("user_id"), col("ts_us"))
-        .agg(max(col("event_id")).as("click_id"))
-        .withColumn("click_ts", col("ts_us"))
+      val (purchases, clicks) = asOfSides(s, dir)
       TemporalJoins.asOf(purchases, clicks, "user_id", "ts_us", Seq("click_id", "click_ts"))
         .orderBy(col("event_id"))
     }),
@@ -38,12 +49,7 @@ object QueriesTemporal {
     // but the physical plan is one exchange+sort PER SIDE and a
     // single-pass zip — no union, no window.
     "q_asof_native" -> ((s, dir) => {
-      val e = slimEvents(s, dir)
-      val purchases = e.filter(col("event_type") === "purchase").drop("event_type")
-      val clicks = e.filter(col("event_type") === "click")
-        .groupBy(col("user_id"), col("ts_us"))
-        .agg(max(col("event_id")).as("click_id"))
-        .withColumn("click_ts", col("ts_us"))
+      val (purchases, clicks) = asOfSides(s, dir)
       graft.plans.NativeAsOf.asOf(purchases, clicks, "user_id", "ts_us",
           Seq("click_id", "click_ts"))
         .orderBy(col("event_id"))
@@ -53,12 +59,7 @@ object QueriesTemporal {
     // the lookahead join of outcome labeling. Oracle: DuckDB native
     // ASOF with the inequality reversed.
     "q_asof_forward" -> ((s, dir) => {
-      val e = slimEvents(s, dir)
-      val purchases = e.filter(col("event_type") === "purchase").drop("event_type")
-      val clicks = e.filter(col("event_type") === "click")
-        .groupBy(col("user_id"), col("ts_us"))
-        .agg(max(col("event_id")).as("click_id"))
-        .withColumn("click_ts", col("ts_us"))
+      val (purchases, clicks) = asOfSides(s, dir)
       TemporalJoins.asOfDirected(purchases, clicks, "user_id", "ts_us",
           Seq("click_id", "click_ts"), "forward")
         .orderBy(col("event_id"))
@@ -68,12 +69,7 @@ object QueriesTemporal {
     // sweeps, one exchange + two sorts. Oracle composes BOTH native
     // ASOF directions and replays the tie-break.
     "q_asof_nearest" -> ((s, dir) => {
-      val e = slimEvents(s, dir)
-      val purchases = e.filter(col("event_type") === "purchase").drop("event_type")
-      val clicks = e.filter(col("event_type") === "click")
-        .groupBy(col("user_id"), col("ts_us"))
-        .agg(max(col("event_id")).as("click_id"))
-        .withColumn("click_ts", col("ts_us"))
+      val (purchases, clicks) = asOfSides(s, dir)
       TemporalJoins.asOfDirected(purchases, clicks, "user_id", "ts_us",
           Seq("click_id", "click_ts"), "nearest")
         .orderBy(col("event_id"))

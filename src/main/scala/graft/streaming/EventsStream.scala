@@ -93,6 +93,14 @@ object EventsStream {
   /** Batch sessionization (30-minute inactivity gap) with window
     * functions — lag flags session starts, a running sum numbers them.
     * This is the DuckDB-oracle-checkable twin of the stateful stream.
+    *
+    * Boundary semantics, stated explicitly: an event EXACTLY
+    * `sessionGapUs` after its predecessor stays in the SAME session
+    * here (strict `>` splits), whereas Spark's native
+    * `session_window` (q_stream_session_window / q_session_lengths)
+    * starts a NEW one (its window end is exclusive). The two operators
+    * are intentionally independent formulations; don't swap one for
+    * the other without accounting for the exact-boundary event.
     */
   def sessionizeBatch(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
