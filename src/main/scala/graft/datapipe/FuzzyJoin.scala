@@ -72,22 +72,33 @@ object FuzzyJoin {
       s"editDistanceJoin supports maxDist in {1, 2} (variant blowup is ~L^k), got $maxDist")
     // Internal names keep the join unambiguous whatever the callers
     // called their columns; output restores caller names (suffixing
-    // only on collision).
-    val leftOut = Set(leftKey, leftText)
-    def rightName(n: String) = if (leftOut(n)) n + "_r" else n
+    // only on collision). "dist" is reserved by the output contract —
+    // a left column of that name would be silently overwritten by the
+    // withColumn below, so refuse it loudly.
+    require(leftKey != "dist" && leftText != "dist",
+      "left columns may not be named 'dist' — it is the output distance column")
+    val taken = scala.collection.mutable.Set(leftKey, leftText, "dist")
+    def rightName(n: String): String = {
+      var out = n
+      while (taken(out)) out += "_r" // loop: a single suffix could still collide
+      taken += out
+      out
+    }
     val l = left.select(col(leftKey).as("__lk"), col(leftText).as("__lt"))
       .withColumn("__v", explode(deletionNeighborhood(col("__lt"), maxDist)))
     val r = right.select(col(rightKey).as("__rk"), col(rightText).as("__rt"))
       .withColumn("__v", explode(deletionNeighborhood(col("__rt"), maxDist)))
+    val rkOut = rightName(rightKey)
+    val rtOut = rightName(rightText)
     l.join(r, Seq("__v"))
       .select(col("__lk").as(leftKey), col("__lt").as(leftText),
-        col("__rk").as(rightName(rightKey)), col("__rt").as(rightName(rightText)))
+        col("__rk").as(rkOut), col("__rt").as(rtOut))
       .distinct()
       // Thresholded levenshtein: the kernel abandons a row the moment
       // the running minimum exceeds maxDist (returns -1) — on a
       // candidate set this is most comparisons; values ≤ maxDist are
       // exact, so results are unchanged.
-      .withColumn("dist", levenshtein(col(leftText), col(rightName(rightText)), maxDist))
+      .withColumn("dist", levenshtein(col(leftText), col(rtOut), maxDist))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 }

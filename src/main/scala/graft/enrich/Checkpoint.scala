@@ -22,11 +22,17 @@ final class Checkpoint(spark: SparkSession, path: String, keyCol: String) {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def hasDataFiles: Boolean = {
+      // Every PATH SEGMENT below the store root must be visible: a
+      // crashed first write leaves files only under _temporary/, which
+      // Spark's reader ignores — counting them would flip this probe
+      // to "has data", the read would fail schema inference, and every
+      // subsequent batch would wedge on the same debris.
+      val rootUri = fs.makeQualified(p).toUri.getPath
       val it = fs.listFiles(p, true)
       var found = false
       while (!found && it.hasNext) {
-        val n = it.next().getPath.getName
-        found = !n.startsWith("_") && !n.startsWith(".")
+        val rel = it.next().getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+        found = rel.split("/").forall(seg => !seg.startsWith("_") && !seg.startsWith("."))
       }
       found
     }

@@ -20,8 +20,6 @@ object QueriesSample {
   private def uniform01Sql(key: String, salt: String): String =
     s"CAST(CAST(('0x' || ${hashHexSql(key, salt)}) AS BIGINT) AS DOUBLE) / 4294967296.0"
 
-  private val stopwordsIn = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
-
   // Single shared renderer — see TextAnalysis.qualityScoreSql.
   private val qualitySql = TextAnalysis.qualityScoreSql
 

@@ -47,8 +47,11 @@ object ManifestTable {
   final case class Snapshot(version: Long, statsCol: String, entries: Seq[FileEntry],
                             lastBatchId: Long = -1L)
 
-  private def fs(spark: SparkSession): FileSystem =
-    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  // The TABLE ROOT's own filesystem, not fs.defaultFS: a
+  // scheme-qualified root (s3a:// on an HDFS-default cluster) would
+  // otherwise throw Wrong-FS on every manifest probe/rename.
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def manifestDir(root: String) = new Path(root, "manifests")
   private def manifestPath(root: String, v: Long) =
@@ -57,7 +60,7 @@ object ManifestTable {
   /** Highest committed version, or 0 if the table has none. */
   def latestVersion(spark: SparkSession, root: String): Long = {
     val dir = manifestDir(root)
-    val f = fs(spark)
+    val f = fs(spark, root)
     if (!f.exists(dir)) 0L
     else f.listStatus(dir).map(_.getPath.getName)
       .collect { case n if n.matches("v\\d{8}\\.manifest") => n.substring(1, 9).toLong }
@@ -66,7 +69,7 @@ object ManifestTable {
 
   /** Parse a committed snapshot. */
   def snapshot(spark: SparkSession, root: String, version: Long): Snapshot = {
-    val in = fs(spark).open(manifestPath(root, version))
+    val in = fs(spark, root).open(manifestPath(root, version))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val lines = text.split("\n").filter(_.nonEmpty)
     require(lines.head.startsWith("graft-manifest\t1\t"),
@@ -90,7 +93,7 @@ object ManifestTable {
   private[sink] def tryCommit(spark: SparkSession, root: String, statsCol: String,
                               entries: Seq[FileEntry], expected: Long,
                               lastBatchId: Long = -1L): Option[Long] = {
-    val f = fs(spark)
+    val f = fs(spark, root)
     f.mkdirs(manifestDir(root))
     val tmp = new Path(manifestDir(root), s".tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, true)
@@ -119,10 +122,10 @@ object ManifestTable {
     // candidate file; upsert can receive an empty update set): there
     // is nothing to list in the manifest and the stats read-back
     // would fail schema inference on a file-less directory.
-    val wrote = fs(spark).listStatus(new Path(root, batch))
+    val wrote = fs(spark, root).listStatus(new Path(root, batch))
       .exists(_.getPath.getName.endsWith(".parquet"))
     if (!wrote) return Seq.empty
-    val rootUri = fs(spark).makeQualified(new Path(root)).toUri.getPath
+    val rootUri = fs(spark, root).makeQualified(new Path(root)).toUri.getPath
     spark.read.parquet(new Path(root, batch).toString)
       .groupBy(input_file_name().as("f"))
       .agg(count(lit(1)).as("rows"), min(col(statsCol)).as("mn"), max(col(statsCol)).as("mx"))
@@ -352,8 +355,14 @@ object ManifestTable {
           .when(col("o_0___sig") === col("n_0___sig"), "unchanged")
           .otherwise("update"))
       .filter(col("change_type") =!= "unchanged")
+      // Pick the side by CHANGE TYPE, not per-column coalesce: an
+      // update that set a column to NULL must surface that NULL — a
+      // coalesce would fall back to the old value and a consumer
+      // applying the CDC row would re-assert what the update deleted.
       .select(col("change_type") +: col(key) +:
-        dataCols.map(c => coalesce(col(s"n_0_$c"), col(s"o_0_$c")).as(c)): _*)
+        dataCols.map(c =>
+          when(col("change_type") === "delete", col(s"o_0_$c"))
+            .otherwise(col(s"n_0_$c")).as(c)): _*)
   }
 
   /** Small-files maintenance as a LAYOUT-ONLY commit: files under
@@ -369,7 +378,7 @@ object ManifestTable {
   def compact(spark: SparkSession, root: String, minBytes: Long = 8L * 1024 * 1024,
               targetPartitions: Int = 1): Long =
     retrying(spark, root) { snap =>
-      val f = fs(spark)
+      val f = fs(spark, root)
       val (small, big) = snap.entries.partition { e =>
         f.getFileStatus(new Path(root, e.path)).getLen < minBytes
       }
@@ -384,7 +393,7 @@ object ManifestTable {
     * renamed) die here too.
     */
   def vacuum(spark: SparkSession, root: String, retainVersions: Int = 2): Seq[String] = {
-    val f = fs(spark)
+    val f = fs(spark, root)
     val latest = latestVersion(spark, root)
     val keepVs = (math.max(1, latest - retainVersions + 1) to latest)
     val referenced = keepVs.flatMap(v => snapshot(spark, root, v).entries.map(_.path)).toSet

@@ -39,8 +39,11 @@ object Sinks {
     * [[upsertPartitioned]], which prunes to the touched partitions.
     */
   def upsertParquet(spark: SparkSession, tablePath: String, updates: DataFrame, key: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // The PATH's own filesystem, not fs.defaultFS: a scheme-qualified
+    // tablePath (s3a:// on an HDFS-default cluster) would otherwise
+    // throw Wrong-FS on every probe/rename.
     val dst = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val aside = new org.apache.hadoop.fs.Path(tablePath + ".old")
     // Crash recovery FIRST: a previous run that died between the two
     // renames left the table only at `.old` — restore it before
@@ -121,8 +124,8 @@ object Sinks {
 
   def upsertPartitioned(spark: SparkSession, tablePath: String, updates: DataFrame,
                         key: String, partCol: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new org.apache.hadoop.fs.Path(tablePath + ".staging")
     if (fs.exists(table)) restoreAsidePartitions(fs, table)
 
@@ -188,8 +191,8 @@ object Sinks {
     */
   def compactPartitions(spark: SparkSession, tablePath: String, partCol: String,
                         maxFiles: Int = 8, targetBytes: Long = 128L << 20): Seq[String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(table)) return Seq.empty
     restoreAsidePartitions(fs, table)
     val oversized = fs.listStatus(table).filter { st =>

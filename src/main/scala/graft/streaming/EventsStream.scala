@@ -137,17 +137,24 @@ object EventsStream {
           val closed = Seq.newBuilder[SessionOut]
           sorted.foreach { e =>
             cur match {
+              case Some(s) if e.ts_us < s.startUs - sessionGapUs =>
+                // An event more than the gap BEFORE the session's start
+                // cannot belong to it. Emit it as its own CLOSED past
+                // session — exactly what the batch twin produces for an
+                // isolated late event — and leave the current session's
+                // state untouched. Residual cross-batch limit, stated
+                // honestly: if OTHER late events near it arrive in yet
+                // later batches, the batch twin would merge them while
+                // this emits them separately (state holds one window
+                // per user); bound such lateness with a watermark.
+                closed += SessionOut(user, e.ts_us, 1, e.value)
               case Some(s) if e.ts_us - s.lastUs <= sessionGapUs =>
-                // min/max, not assignment: a LATE event from a later
-                // micro-batch (ts below lastUs) merges here, and naively
-                // setting lastUs backward would wrongly re-split the
-                // session for the next on-time event while keeping a
-                // too-late session_start. Residual cross-batch limit,
-                // stated honestly: an event more than the gap BELOW
-                // lastUs still closes the current session (state holds
-                // one window per user — it cannot retro-bridge sessions
-                // the way the global-sort batch twin can); bound such
-                // lateness upstream with a watermark.
+                // min/max, not assignment: a moderately LATE event from
+                // a later micro-batch (ts within the gap below lastUs —
+                // possibly extending the session backward) merges here,
+                // and naively setting lastUs backward would wrongly
+                // re-split the session for the next on-time event while
+                // keeping a too-late session_start.
                 cur = Some(s.copy(
                   startUs = math.min(s.startUs, e.ts_us),
                   lastUs = math.max(s.lastUs, e.ts_us),

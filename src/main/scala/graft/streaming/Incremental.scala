@@ -25,8 +25,12 @@ final class Incremental(spark: SparkSession, stateDir: String, tsCol: String,
 
   private val statePath = s"$stateDir/hwm.parquet"
 
+  // The STATE PATH's own filesystem, not fs.defaultFS: a
+  // scheme-qualified stateDir (s3a:// on an HDFS-default cluster)
+  // would otherwise throw Wrong-FS on every probe.
   private def hadoopFs(): org.apache.hadoop.fs.FileSystem =
-    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Restore the compaction aside if a crash between its two renames
     * left no live store — without this, the missing store would read
@@ -94,7 +98,7 @@ final class Incremental(spark: SparkSession, stateDir: String, tsCol: String,
     * still safe between compactions, the aside swap is not.
     */
   private def maybeCompact(): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = hadoopFs()
     val dir = new org.apache.hadoop.fs.Path(statePath)
     val dataFiles =
       try fs.listStatus(dir).count(s => s.isFile && !s.getPath.getName.startsWith("_"))

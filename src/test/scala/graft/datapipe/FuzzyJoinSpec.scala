@@ -54,6 +54,21 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L, 1)), s"got $got")
   }
 
+  test("output-name guards: reserved 'dist' rejected, suffixing loops past chained collisions") {
+    val a = Seq((1L, "kitten")).toDF("id", "dist")
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.editDistanceJoin(a, "id", "dist", a.toDF("id", "w"), "id", "w", 1)
+    }
+    // rightText collides with leftText AND the suffixed name collides
+    // with rightKey ("text_r"): the loop must find a THIRD name.
+    val l = Seq((1L, "kitten")).toDF("id", "text")
+    val r = Seq((10L, "sitten")).toDF("text_r", "text")
+    val out = FuzzyJoin.editDistanceJoin(l, "id", "text", r, "text_r", "text", 1)
+    assert(out.columns.toSeq == Seq("id", "text", "text_r", "text_r_r", "dist"),
+      s"chained collision must keep all columns distinct: ${out.columns.toSeq}")
+    assert(out.count() == 1)
+  }
+
   test("dist column is the exact levenshtein distance") {
     val got = FuzzyJoin.editDistanceJoin(df("l"), "l_id", "l_w", df("r"), "r_id", "r_w", 2)
       .as[(Long, String, Long, String, Int)].collect()

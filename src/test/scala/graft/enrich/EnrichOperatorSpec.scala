@@ -84,6 +84,26 @@ class EnrichOperatorSpec extends AnyFunSuite {
     assert(ckpt.filterNew(all).count() == 0)
   }
 
+  test("checkpoint store with only _temporary crash debris reads as empty, not wedged") {
+    // A first record() that crashed mid-write leaves files only under
+    // _temporary/ — Spark's reader ignores them, so the probe must
+    // classify the store as empty instead of attempting a read that
+    // fails schema inference on every subsequent batch.
+    val tmp = java.nio.file.Files.createTempDirectory("ckpt_debris").toString
+    // An underscore-prefixed dir distinct from the live committer's
+    // own _temporary, so the later REAL write can't collide with the
+    // planted debris (the probe treats any hidden segment the same).
+    val debris = java.nio.file.Paths.get(tmp, "_abandoned_attempt", "0")
+    java.nio.file.Files.createDirectories(debris)
+    java.nio.file.Files.writeString(debris.resolve("part-00000.parquet"), "not parquet")
+    val ckpt = new Checkpoint(spark, tmp, "id")
+    assert(ckpt.filterNew((1L to 5L).toDF("id")).count() == 5,
+      "crash debris must read as an empty store")
+    // A real record afterwards works normally.
+    ckpt.record((1L to 2L).toDF("id"), "run1")
+    assert(ckpt.filterNew((1L to 5L).toDF("id")).as[Long].collect().toSet == (3L to 5L).toSet)
+  }
+
   test("LlmFanout.predict: rejection map exploded and joined back to claims") {
     val claims = Seq((1L, 10L), (1L, 11L), (2L, 25L), (97L, 970L))
       .toDF("visit_id", "uid")

@@ -152,6 +152,19 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(!rows.exists(t => t._2 != 2L && t._1 == "update"), s"phantom updates: $rows")
   }
 
+  test("changes surfaces a column an update set to NULL (no stale coalesce fallback)") {
+    val r = root()
+    ManifestTable.create(spark, r, mk(1 to 4, "a"), "id")
+    // Key 2's update NULLs tag while changing v: the CDC row must show
+    // tag = NULL — the old per-column coalesce re-asserted "a".
+    ManifestTable.upsert(spark, r,
+      Seq((2L, null.asInstanceOf[String], 999)).toDF("id", "tag", "v"))
+    val row = ManifestTable.changes(spark, r, 1L, 2L)
+      .filter($"id" === 2L).select($"change_type", $"tag", $"v").head()
+    assert(row.getString(0) == "update" && row.isNullAt(1) && row.getInt(2) == 999,
+      s"the nulled column must surface as NULL: $row")
+  }
+
   test("changes reads only files that differ between the manifests") {
     val r = root()
     ManifestTable.create(spark, r, mk(1 to 100, "a").repartition(1), "id")

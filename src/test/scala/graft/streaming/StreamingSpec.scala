@@ -302,6 +302,32 @@ class StreamingSpec extends AnyFunSuite {
       s"late event must not split the session: ${spark.table("late_sessions").collect().toSeq}")
   }
 
+  test("sessionization: an event far BEFORE the session's start becomes its own closed session") {
+    // Batch 1 opens [3600s]; batch 2 delivers t=100s — more than the
+    // 30-min gap below the session START, so it can't belong to it.
+    // It must come out as its own closed past session (what the batch
+    // twin yields for an isolated late event), leaving state intact —
+    // merging it would fabricate one session spanning 100s..3600s.
+    val dir = java.nio.file.Files.createTempDirectory("verylate_sess")
+    def deliver(name: String, rows: Seq[(Long, Long, Double)]): Unit =
+      rows.toDF("user_id", "ts_us", "value").coalesce(1).write.parquet(s"$dir/$name")
+    deliver("b1", Seq((9L, 3600L * 1000000, 1.0)))
+    deliver("b2", Seq((9L, 100L * 1000000, 2.0)))
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts_us", LongType), StructField("value", DoubleType)))
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      .as[EventsStream.SessionEvent]
+    val q = EventsStream.sessionizeStream(src)
+      .writeStream.format("memory").queryName("verylate_sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("verylate_sessions")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq((9L, 100L * 1000000, 1)),
+      s"the very-late event must close alone without touching state: $got")
+  }
+
   test("streaming LLM enrichment: exactly-once under replay, incremental batches call only new keys") {
     val base = java.nio.file.Files.createTempDirectory("enrich_stream").toString
     val claims = graft.tables.TestTables.lineitem(spark, "/root/testdata/sf0.001")
