@@ -238,24 +238,58 @@ object Classifier {
        |${stage.mkString(",\n")}""".stripMargin
   }
 
+  /** The [[hashedLinearScore]] replay as one DuckDB expression over a
+    * word-list column — shared by [[scoreDocsSql]] and the eval
+    * oracles so the scoring replay exists in exactly one rendering.
+    */
+  def scoreExprSql(weights: Seq[Long], salt: String, wordsExpr: String = "words"): String = {
+    val warr = weights.mkString("[", ", ", "]")
+    val d = weights.size
+    s"CAST(coalesce(list_sum(list_apply($wordsExpr, " +
+      s"t -> $warr[CAST(('0x' || substr(md5('$salt' || '|' || t), 1, 8)) AS BIGINT) % $d + 1])), 0) AS BIGINT)"
+  }
+
   /** DuckDB twin of [[scoreDocs]] (fixture generator renders the same
     * weight vector into a list literal): exact integer replay of the
     * bucket hash and the fold.
     */
   def scoreDocsSql(weights: Seq[Long], salt: String, threshold: Long): String = {
-    val warr = weights.mkString("[", ", ", "]")
-    val d = weights.size
+    val score = scoreExprSql(weights, salt)
     s"""WITH w AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), x -> x <> '') AS words
        |  FROM documents)
        |SELECT doc_id,
        |  CAST(len(words) AS BIGINT) AS n_tokens,
-       |  CAST(coalesce(list_sum(list_apply(words,
-       |    t -> $warr[CAST(('0x' || substr(md5('$salt' || '|' || t), 1, 8)) AS BIGINT) % $d + 1])), 0) AS BIGINT) AS score,
-       |  CAST(coalesce(list_sum(list_apply(words,
-       |    t -> $warr[CAST(('0x' || substr(md5('$salt' || '|' || t), 1, 8)) AS BIGINT) % $d + 1])), 0) > $threshold AS BOOLEAN) AS keep
+       |  $score AS score,
+       |  CAST($score > $threshold AS BOOLEAN) AS keep
        |FROM w
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Train-then-EVALUATE oracle: the [[trainOracleSql]] chain, the
+    * learned-weight scoring of the SAME labeled corpus (tdocs — the
+    * resubstitution check the reference notebook runs), then
+    * [[graft.ops.Eval.binaryEvalTailSql]]'s confusion + exact-rational
+    * AUC verdict — the whole train→score→evaluate loop as one
+    * hash-compared statement.
+    */
+  def trainEvalOracleSql(docsSql: String, dim: Int, salt: String, iters: Int,
+                         q: Long = 4096L, marginScale: Long = 4096L,
+                         gDiv: Long = 8L, threshold: Long = 0L): String =
+    s"""WITH ${trainCtes(docsSql, dim, salt, iters, q, marginScale, gDiv)},
+       |sw AS MATERIALIZED (
+       |  SELECT doc_id, y,
+       |    list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), x -> x <> '') AS words
+       |  FROM tdocs),
+       |sb AS MATERIALIZED (
+       |  SELECT sw.doc_id,
+       |    CAST(('0x' || substr(md5('$salt' || '|' || t), 1, 8)) AS BIGINT) % $dim AS b
+       |  FROM sw, unnest(words) AS u(t)),
+       |ssum AS MATERIALIZED (
+       |  SELECT sb.doc_id, CAST(sum(w.w) AS BIGINT) AS score
+       |  FROM sb JOIN w$iters w USING (b) GROUP BY sb.doc_id),
+       |evald AS (
+       |  SELECT CAST(coalesce(s.score, 0) AS BIGINT) AS score, d.y
+       |  FROM sw d LEFT JOIN ssum s USING (doc_id))${graft.ops.Eval.binaryEvalTailSql("evald", threshold)}""".stripMargin
 }

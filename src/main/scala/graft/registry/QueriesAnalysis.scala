@@ -747,6 +747,47 @@ object QueriesAnalysis {
       graft.ops.Cohorts.funnel(graft.tables.TestTables.events(s, dir), "user_id", "event_type", "ts_us",
           Seq("signup", "view", "purchase"))
         .orderBy(col("stage_idx"))),
+
+    // Binary-classifier evaluation of the FIXED quality scorer against
+    // the planted parity labels: confusion quadrant at threshold 0 plus
+    // ROC AUC as the exact rational auc2_num/auc2_den (Mann–Whitney
+    // with average-rank ties, doubled onto the integer grid). The
+    // synthetic weights are uncorrelated with parity, so this verdict
+    // IS the near-0.5 null baseline an eval harness must reproduce
+    // exactly — the oracle replays score granularity, the inclusive
+    // prefix count, and the doubled rank statistic token for token.
+    "q_eval_auc" -> ((s, dir) => {
+      val scored = graft.datapipe.Classifier.scoreDocs(
+          graft.tables.TestTables.documents(s, dir), "doc_id", "text",
+          graft.datapipe.Classifier.syntheticWeights(64), salt = "cls0", threshold = 0L)
+        .withColumn("y", (col("doc_id") % 2 === 0).cast("long"))
+      graft.ops.Eval.binaryEval(scored, "score", "y", threshold = 0L)
+    }),
+
+    // The full train→score→EVALUATE loop (the reference validates its
+    // predictions model against labeled visits — test_for_samy.ipynb,
+    // predictions.py:79-127): train the quality classifier on the
+    // planted corpus, score that same labeled corpus with the learned
+    // vector, and emit the confusion + exact-rational-AUC verdict. The
+    // oracle chains the 6-iteration training replay into the scoring
+    // replay into the eval tail — one hash-compared statement; the
+    // planted classes separate, so AUC must land exactly 1.
+    "q_eval_auc_trained" -> ((s, dir) => {
+      val marked = graft.tables.TestTables.documents(s, dir).select(
+        col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 2 === 0, lit(" qualgood qualgood qualgood"))
+            .otherwise(lit(" qualbad qualbad qualbad"))).as("text"),
+        (col("doc_id") % 2 === 0).cast("long").as("y"))
+      val w = graft.datapipe.Classifier.train(marked, "text", col("y"),
+        dim = 64, salt = "clstr", iters = 6)
+      val scored = marked.select(
+        graft.datapipe.Classifier.hashedLinearScore(
+          graft.datapipe.TextAnalysis.words(coalesce(col("text"), lit(""))),
+          w, salt = "clstr").as("score"),
+        col("y"))
+      graft.ops.Eval.binaryEval(scored, "score", "y", threshold = 0L)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1304,5 +1345,23 @@ object QueriesAnalysis {
          |GROUP BY visit_id, svc
          |HAVING count(*) > 1
          |ORDER BY visit_id, svc""".stripMargin,
+
+    "q_eval_auc" -> graft.ops.Eval.binaryEvalSql(
+      s"""SELECT
+         |    ${graft.datapipe.Classifier.scoreExprSql(
+               graft.datapipe.Classifier.syntheticWeights(64), salt = "cls0",
+               wordsExpr =
+                 "list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), x -> x <> '')")} AS score,
+         |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS y
+         |  FROM documents""".stripMargin,
+      threshold = 0L),
+
+    "q_eval_auc_trained" -> graft.datapipe.Classifier.trainEvalOracleSql(
+      """SELECT doc_id,
+        |    coalesce(text, '') || CASE WHEN doc_id % 2 = 0
+        |      THEN ' qualgood qualgood qualgood' ELSE ' qualbad qualbad qualbad' END AS text,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM documents""".stripMargin,
+      dim = 64, salt = "clstr", iters = 6, threshold = 0L),
   )
 }

@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.datapipe.{Boilerplate, Bpe, Classifier, Gopher, Decontam, Dedup, DupSpans, FuzzyJoin, GraphRank, Html, IncrementalDedup, Keywords, LmScore, Markdown, Multimodal, Quantize, Retrieval, SemDedup, Similarity, TextAnalysis, Urls, Vocab}
+import graft.datapipe.{Boilerplate, Bpe, Classifier, Gopher, Decontam, Dedup, DupSpans, FuzzyJoin, GraphRank, Html, IncrementalDedup, Keywords, LmScore, Markdown, Multimodal, Quantize, Retrieval, SemDedup, ShortestPaths, Similarity, TextAnalysis, Urls, Vocab}
 import graft.functions.SubwordTokenize
 import graft.tables.TestTables
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -421,6 +421,26 @@ object QueriesData {
       e1.unionByName(e2).unionByName(e3).distinct()
         .groupBy(col("src")).agg(count(lit(1)).as("n_reachable"))
         .orderBy(col("src"))
+    }),
+
+    // Multi-source weighted shortest paths (Bellman–Ford, 4 relaxation
+    // rounds) on the SAME irregular link graph as PageRank, weights
+    // 1 + (src + dst) % 7 so parallel paths genuinely compete. Seeds
+    // are every 50th doc; output is every reached node's exact long
+    // distance. The oracle unrolls the identical 4 rounds as chained
+    // CTEs — a drift in the relax/min fold or the round count fails
+    // the hash.
+    "q_graph_sssp" -> ((s, dir) => {
+      val docs = TestTables.documents(s, dir).select(col("doc_id"))
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"), col("__n"),
+          explode(sequence(lit(1), (lit(1) + col("doc_id") % 3).cast("int"))).as("k"))
+        .select(col("src"), ((col("src") * 31 + col("k") * 97) % col("__n")).as("dst"))
+        .withColumn("w", lit(1L) + (col("src") + col("dst")) % 7)
+      val sources = docs.filter(col("doc_id") % 50 === 0)
+      ShortestPaths.distances(sources, "doc_id", edges, "src", "dst", "w", iters = 4)
+        .orderBy(col("node"))
     }),
 
     // Markdown -> text extraction: a deterministic markdown wrapper
@@ -1608,9 +1628,31 @@ object QueriesData {
          |SELECT node, r FROM r10 ORDER BY node""".stripMargin
   }
 
+  private val ssspOracle: String = {
+    def round(i: Int) =
+      s"""d$i AS (
+         |  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.dist + e.w AS dist
+         |    FROM d${i - 1} p JOIN edges e ON p.node = e.src)
+         |  GROUP BY node)""".stripMargin
+    s"""WITH nn AS (SELECT count(*) AS c FROM documents),
+       |edges AS (
+       |  SELECT src, dst, 1 + (src + dst) % 7 AS w FROM (
+       |    SELECT doc_id AS src, (doc_id * 31 + 97 * k.k) % (SELECT c FROM nn) AS dst
+       |    FROM documents, (SELECT unnest([1, 2, 3]) AS k) k
+       |    WHERE k.k <= 1 + doc_id % 3)),
+       |d0 AS (SELECT doc_id AS node, CAST(0 AS BIGINT) AS dist
+       |  FROM documents WHERE doc_id % 50 = 0),
+       |${(1 to 4).map(round).mkString(",\n")}
+       |SELECT node, dist FROM d4 ORDER BY node""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_graph_pagerank" -> pagerankOracle,
     "q_graph_pagerank_bucketed" -> pagerankOracle,
+    "q_graph_sssp" -> ssspOracle,
     "q_dedup_minhash" -> minhashXxhOracle,
     "q_dedup_minhash_shingled" -> minhashShingledXxhOracle,
     "q_dedup_simhash" -> simhashXxhOracle,
