@@ -312,6 +312,19 @@ object Dedup {
     simhashPairsFromSketches(sh, maxHamming, maxBucket)
   }
 
+  /** Hamming near-dup pairs over ANY precomputed 64-bit sketch table
+    * `(doc, sh)` — the public face of the SimHash candidate machinery
+    * for other sketch families (e.g. [[Multimodal.dhashBmp]]'s image
+    * perceptual hashes): same pigeonhole recall guarantee (lossless at
+    * Hamming ≤ maxHamming), same `maxBucket` star cap on the
+    * quadratic term.
+    */
+  def sketchHammingPairs(sketches: DataFrame, idCol: String, sketchCol: String,
+                         maxHamming: Int, maxBucket: Int = Int.MaxValue): DataFrame =
+    simhashPairsFromSketches(
+      sketches.select(col(idCol).as("doc"), col(sketchCol).as("sh")),
+      maxHamming, maxBucket)
+
   /** Candidate machinery over precomputed sketches `(doc, sh)` — split
     * out so the pigeonhole recall guarantee is property-testable on
     * planted bit-flip pairs without going through text.

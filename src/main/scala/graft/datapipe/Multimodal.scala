@@ -232,6 +232,53 @@ object Multimodal {
     }(enc)
   }
 
+  /** Frame-level audio features over the real codec — the audio twin
+    * of [[sampleAviFrames]]: decode, split the PCM16 stream into
+    * fixed-length frames of `frameLen` samples (the 20 ms-at-8 kHz
+    * analysis window of classical speech front-ends; the partial tail
+    * frame is dropped, documented and oracle-mirrored), and emit per
+    * frame the exact integer features every VAD/segmentation pass
+    * starts from: energy (Σ s²), peak (max |s|), and zero crossings
+    * (adjacent strict sign products < 0 — WITHIN the frame only, so a
+    * frame is a self-contained unit any engine reproduces). One row
+    * per frame, batch-shaped like every decode op here.
+    */
+  def wavFrameFeatures(media: DataFrame, frameLen: Int, batchSize: Int = 32): DataFrame = {
+    require(frameLen >= 2, s"frameLen must be >= 2, got $frameLen")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("sum_sq", LongType),
+      StructField("peak", LongType),
+      StructField("n_zc", LongType)))
+    val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val (_, samples) = decodeWavPcm16(r.getAs[Array[Byte]](contentIdx))
+          val id = r.getLong(idIdx)
+          val nFrames = samples.length / frameLen
+          (0 until nFrames).map { f =>
+            val start = f * frameLen
+            var sumSq = 0L; var peak = 0L; var zc = 0L
+            var i = start
+            val end = start + frameLen
+            while (i < end) {
+              val v = samples(i).toLong
+              sumSq += v * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              if (i > start && samples(i - 1).toLong * v < 0L) zc += 1
+              i += 1
+            }
+            Row(id, f, sumSq, peak, zc)
+          }
+        }
+      }
+    }(enc)
+  }
+
   // ---------------------------------------------------------------
   // REAL image codec: 24-bit uncompressed BMP is, like RIFF/WAVE, a
   // pure container — fixed headers plus raw pixels — so the image
@@ -409,6 +456,88 @@ object Multimodal {
           val n = rgb.length
           val mean = if (n == 0) 0.0 else (sr + sg + sb).toDouble / n.toDouble
           Row(r.getLong(idIdx), w, h, (w.toLong * h), sr, sg, sb, wsum, mean)
+        }
+      }
+    }(enc)
+  }
+
+  /** Synthesize a NEAR-DUPLICATE image pair per row: media 2·id is
+    * [[synthBmp]]'s closed form, media 2·id+1 the same image with one
+    * retouched pixel — channel c of pixel (0,0) becomes
+    * (id·13 + c·5) % 256. One pixel touches at most the two top-left
+    * cells of the dHash sample grid (only width 8 aliases grid columns
+    * 0 and 1 onto source column 0), so a planted pair differs in at
+    * most 2 of 64 hash bits — the fixture that makes a Hamming-3
+    * near-dup pass provably non-empty while distinct ids stay far.
+    */
+  def synthBmpPair(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType), StructField("content", BinaryType)))
+    val enc = Encoders.row(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val w = (8 + id % 9).toInt
+        val h = (8 + id % 7).toInt
+        val base = Array.tabulate(w * h * 3)(i => ((id * 31 + i * 7) % 256).toByte)
+        val retouched = base.clone()
+        var c = 0
+        while (c < 3) {
+          retouched(c) = ((id * 13 + c * 5) % 256).toByte
+          c += 1
+        }
+        Seq(Row(id * 2, encodeBmp24(w, h, base)),
+          Row(id * 2 + 1, encodeBmp24(w, h, retouched)))
+      }
+    }(enc)
+  }
+
+  /** Perceptual difference hash (dHash — Krawetz's public average/
+    * difference-hash family) over the real BMP codec: decode, sample a
+    * 9×8 grid of channel-sum grays by the same truncating
+    * nearest-neighbor map as [[resizeBmp]] (`gx·w/9`, `gy·h/8` — pure
+    * integer division, engine-replayable), and set bit `gy·8+gx` iff
+    * the right neighbor's gray strictly exceeds the left's. All
+    * integer — no luminance weights, no float resize kernels — so the
+    * 64-bit hash is bit-reproducible by any engine and a value-level
+    * oracle recomputes it from the pixel closed form in SQL. Near-dup
+    * search over the hashes rides [[Dedup.sketchHammingPairs]]'
+    * pigeonhole candidate machinery, exactly like SimHash text dedup.
+    */
+  def dhashBmp(media: DataFrame, batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("dhash", LongType)))
+    val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val (w, h, rgb) = decodeBmp24(r.getAs[Array[Byte]](contentIdx))
+          val g = Array.ofDim[Int](8, 9)
+          var gy = 0
+          while (gy < 8) {
+            val sy = gy * h / 8
+            var gx = 0
+            while (gx < 9) {
+              val sx = gx * w / 9
+              val p = (sy * w + sx) * 3
+              g(gy)(gx) = (rgb(p) & 0xFF) + (rgb(p + 1) & 0xFF) + (rgb(p + 2) & 0xFF)
+              gx += 1
+            }
+            gy += 1
+          }
+          var hash = 0L
+          var i = 0
+          while (i < 64) {
+            if (g(i / 8)(i % 8 + 1) > g(i / 8)(i % 8)) hash |= (1L << i)
+            i += 1
+          }
+          Row(r.getLong(idIdx), w, h, hash)
         }
       }
     }(enc)

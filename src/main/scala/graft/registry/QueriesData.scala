@@ -1172,6 +1172,51 @@ object QueriesData {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    // Frame-level audio analysis over the real codec: 160-sample
+    // (20 ms at 8 kHz) frames of each synthesized clip, per frame the
+    // exact integer energy / peak / zero-crossing features a VAD pass
+    // starts from; the partial tail frame is dropped on both sides.
+    // The oracle recomputes every sample from the closed form and
+    // replays the framing, the Σs², the max|s|, and the strict
+    // sign-product crossing rule.
+    // (Sampled on % 7 — a % 10 sample would pin id % 5 = 0 and every
+    // clip to the same 400-sample length; % 7 exercises all 5 lengths
+    // and tail-drop remainders.)
+    "q_mm_audio_frames" -> ((s, dir) => {
+      val media = Multimodal.synthWav(
+        TestTables.documents(s, dir).filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id")), "doc_id")
+      Multimodal.wavFrameFeatures(media, frameLen = 160)
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // Perceptual image hashing over the real codec: every 10th doc
+    // yields a closed-form BMP plus a one-pixel retouch; dHash samples
+    // a 9×8 gray grid (truncating nearest-neighbor) and bits compare
+    // horizontal neighbors. The oracle recomputes every grid sample,
+    // comparison, and bit weight from the pixel formula in SQL — a
+    // decode, sampling-map, or bit-order bug fails the hash.
+    "q_mm_dhash" -> ((s, dir) => {
+      val media = Multimodal.synthBmpPair(
+        sampledDocs(s, dir).select(col("doc_id")), "doc_id")
+      Multimodal.dhashBmp(media).orderBy(col("media_id"))
+    }),
+
+    // Image near-dup pass over those hashes: the SimHash pigeonhole
+    // candidate machinery (4 chunks ⇒ lossless at Hamming ≤ 3) finds
+    // each planted retouch pair; the oracle brute-forces all pairs —
+    // the candidate scheme must lose nothing and add nothing. Media
+    // set pinned to replica 0 (vacuous at driver SFs): the oracle's
+    // brute-force pair term is quadratic in the media count.
+    "q_mm_dhash_dedup" -> ((s, dir) => {
+      val docs = TestTables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 0 && col("doc_id") < 1000000000L)
+      val media = Multimodal.synthBmpPair(docs.select(col("doc_id")), "doc_id")
+      Dedup.sketchHammingPairs(
+          Multimodal.dhashBmp(media), "media_id", "dhash", maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // REAL COMPRESSED-format roundtrip — closes the boundary the
     // earlier rounds stubbed: synthesize closed-form grayscale
     // patterns built to force BOTH RLE8 token families (constant runs
@@ -1628,6 +1673,81 @@ object QueriesData {
          |SELECT node, r FROM r10 ORDER BY node""".stripMargin
   }
 
+  /** Closed-form dHash recompute shared by both q_mm_dhash oracles:
+    * per (doc, variant) media, the 9×8 nearest-neighbor gray grid from
+    * the synthBmpPair pixel formula, horizontal-neighbor comparison
+    * bits, and the 64-bit assembly (bit 63 spelled as the min-long
+    * literal — DuckDB refuses `1 << 63`). Yields CTE `dmedia`
+    * (media_id, width, height, dhash).
+    */
+  private def dhashOracleCtes(pinned: Boolean): String = {
+    val pin = if (pinned) " AND doc_id < 1000000000" else ""
+    val grayChannel = (c: Int) =>
+      s"(CASE WHEN v = 1 AND sx = 0 AND sy = 0 THEN (id * 13 + $c * 5) % 256 " +
+        s"ELSE (id * 31 + ((sy * w + sx) * 3 + $c) * 7) % 256 END)"
+    s"""dm AS (
+       |  SELECT doc_id AS id, vv.v FROM documents, (SELECT unnest([0, 1]) AS v) vv
+       |  WHERE doc_id % 10 = 0$pin),
+       |ddims AS (SELECT id, v, 8 + id % 9 AS w, 8 + id % 7 AS h FROM dm),
+       |dcells AS (
+       |  SELECT id, v, w, h, xx.gx, yy.gy, (xx.gx * w) // 9 AS sx, (yy.gy * h) // 8 AS sy
+       |  FROM ddims, (SELECT unnest(range(0, 9)) AS gx) xx,
+       |    (SELECT unnest(range(0, 8)) AS gy) yy),
+       |dgray AS (
+       |  SELECT id, v, gx, gy,
+       |    ${grayChannel(0)} + ${grayChannel(1)} + ${grayChannel(2)} AS g
+       |  FROM dcells),
+       |dbits AS (
+       |  SELECT l.id, l.v, l.gy * 8 + l.gx AS idx,
+       |    CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+       |  FROM dgray l JOIN dgray r
+       |    ON r.id = l.id AND r.v = l.v AND r.gy = l.gy AND r.gx = l.gx + 1
+       |  WHERE l.gx < 8),
+       |dmedia AS (
+       |  SELECT id * 2 + v AS media_id,
+       |    CAST(8 + id % 9 AS INT) AS width, CAST(8 + id % 7 AS INT) AS height,
+       |    CAST(sum(CASE WHEN bit = 0 THEN 0
+       |      WHEN idx = 63 THEN -9223372036854775808
+       |      ELSE (CAST(1 AS BIGINT) << CAST(idx AS INT)) END) AS BIGINT) AS dhash
+       |  FROM dbits GROUP BY id, v)""".stripMargin
+  }
+
+  private val audioFramesOracle: String =
+    """WITH am AS (
+      |  SELECT doc_id AS id, 400 + (doc_id % 5) * 200 AS n
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |sidx AS (
+      |  SELECT id, ii.i FROM am, (SELECT unnest(range(0, 1200)) AS i) ii
+      |  WHERE ii.i < n),
+      |smp AS (
+      |  SELECT id, i, ((id * 31 + i * 7) % 2048) - 1024 AS s, i // 160 AS f
+      |  FROM sidx),
+      |full_frames AS (
+      |  SELECT id, f FROM smp GROUP BY id, f HAVING count(*) = 160),
+      |feats AS (
+      |  SELECT s.id, s.f,
+      |    CAST(sum(s.s * s.s) AS BIGINT) AS sum_sq,
+      |    CAST(max(abs(s.s)) AS BIGINT) AS peak,
+      |    CAST(sum(CASE WHEN p.s * s.s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zc
+      |  FROM smp s LEFT JOIN smp p ON p.id = s.id AND p.i = s.i - 1 AND p.f = s.f
+      |  GROUP BY s.id, s.f)
+      |SELECT t.id AS media_id, CAST(t.f AS INT) AS frame_idx,
+      |  t.sum_sq, t.peak, t.n_zc
+      |FROM feats t JOIN full_frames k ON k.id = t.id AND k.f = t.f
+      |ORDER BY media_id, frame_idx""".stripMargin
+
+  private val dhashOracle: String =
+    s"""WITH ${dhashOracleCtes(pinned = false)}
+       |SELECT media_id, width, height, dhash FROM dmedia ORDER BY media_id""".stripMargin
+
+  private val dhashDedupOracle: String =
+    s"""WITH ${dhashOracleCtes(pinned = true)}
+       |SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+       |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+       |FROM dmedia a JOIN dmedia b ON a.media_id < b.media_id
+       |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   private val ssspOracle: String = {
     def round(i: Int) =
       s"""d$i AS (
@@ -1653,6 +1773,9 @@ object QueriesData {
     "q_graph_pagerank" -> pagerankOracle,
     "q_graph_pagerank_bucketed" -> pagerankOracle,
     "q_graph_sssp" -> ssspOracle,
+    "q_mm_dhash" -> dhashOracle,
+    "q_mm_dhash_dedup" -> dhashDedupOracle,
+    "q_mm_audio_frames" -> audioFramesOracle,
     "q_dedup_minhash" -> minhashXxhOracle,
     "q_dedup_minhash_shingled" -> minhashShingledXxhOracle,
     "q_dedup_simhash" -> simhashXxhOracle,

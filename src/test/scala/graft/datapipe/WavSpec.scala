@@ -93,4 +93,28 @@ class WavSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("not divisible") ||
       Option(ex.getCause).exists(_.getMessage.contains("not divisible")))
   }
+
+  test("frame features: hand-computed energy, peak, and in-frame zero crossings") {
+    // frameLen 4 over 10 samples: frames [3,-2,5,0] [0,-1,1,-1]; the
+    // 2-sample tail [7,7] drops. Crossings are STRICT sign products:
+    // frame 0 has 3*-2<0 and -2*5<0 (5*0 is not), frame 1 has
+    // -1*1<0 and 1*-1<0 (0*-1 is not — boundary 0 never crosses).
+    val samples = Array[Short](3, -2, 5, 0, 0, -1, 1, -1, 7, 7)
+    val media = Seq((9L, Multimodal.encodeWavPcm16(samples, 8000))).toDF("media_id", "content")
+    val got = Multimodal.wavFrameFeatures(media, frameLen = 4)
+      .as[(Long, Int, Long, Long, Long)].collect().sortBy(_._2)
+    assert(got.length == 2)
+    assert(got(0) == ((9L, 0, 9L + 4L + 25L + 0L, 5L, 2L)))
+    assert(got(1) == ((9L, 1, 0L + 1L + 1L + 1L, 1L, 2L)))
+  }
+
+  test("frame features: a frame boundary never counts a cross-frame crossing") {
+    // samples ..., -8 | 8, ...: adjacent across the frame boundary with
+    // opposite signs — must NOT count in either frame.
+    val samples = Array[Short](1, -8, 8, 1)
+    val media = Seq((1L, Multimodal.encodeWavPcm16(samples, 8000))).toDF("media_id", "content")
+    val got = Multimodal.wavFrameFeatures(media, frameLen = 2)
+      .as[(Long, Int, Long, Long, Long)].collect().sortBy(_._2)
+    assert(got.map(_._5).toSeq == Seq(1L, 0L))
+  }
 }
