@@ -79,7 +79,15 @@ object Bench {
     // and the bucketed-edge PageRank twin (pays the bucketed write,
     // then every iteration's edge join is exchange-free on that side).
     "q_classifier_train",
-    "q_graph_pagerank_bucketed")
+    "q_graph_pagerank_bucketed",
+    // Late round-8 additions: the train→score→evaluate loop (exact
+    // rational AUC), multi-source weighted shortest paths (the second
+    // message-passing family), perceptual-hash image dedup over the
+    // real BMP codec, and frame-level audio features.
+    "q_eval_auc_trained",
+    "q_graph_sssp",
+    "q_mm_dhash_dedup",
+    "q_mm_audio_frames")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -72,4 +72,50 @@ object GlobalIndex {
     }
     sorted.sparkSession.createDataFrame(withTotals, schema)
   }
+
+  /** Running (prefix) MAX over a TOTAL order — same two-pass recipe as
+    * [[withRunningTotal]] (per-partition maxes to the driver, prefix-
+    * combined offsets broadcast back, offset-seeded local scans), for
+    * `max(x) OVER (ORDER BY …)` shapes that must not funnel through
+    * one task. `inclusive = false` gives the EXCLUSIVE prefix (max of
+    * strictly preceding rows; NULL when none exist — the dominance
+    * test of [[Skyline]]). NULL values are skipped, matching SQL MAX.
+    */
+  def withRunningMax(df: DataFrame, orderCols: Seq[Column], valueCol: String,
+                     outCol: String = "running_max",
+                     numPartitions: Int = 0,
+                     inclusive: Boolean = true): DataFrame = {
+    val ranged =
+      if (numPartitions > 0) df.repartitionByRange(numPartitions, orderCols: _*)
+      else df.repartitionByRange(orderCols: _*)
+    val sorted = graft.util.Materialize.once(
+      ranged.sortWithinPartitions(orderCols: _*))
+    val valIdx = sorted.schema.fieldIndex(valueCol)
+    require(sorted.schema(valIdx).dataType == LongType,
+      s"withRunningMax requires LongType $valueCol")
+    val partMaxes = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var m = Option.empty[Long]
+      it.foreach { r =>
+        if (!r.isNullAt(valIdx))
+          m = Some(m.fold(r.getLong(valIdx))(math.max(_, r.getLong(valIdx))))
+      }
+      Iterator((pid, m))
+    }.collect().toMap
+    val offsets: IndexedSeq[Option[Long]] =
+      (0 until sorted.rdd.getNumPartitions).scanLeft(Option.empty[Long]) { (acc, pid) =>
+        (acc.toSeq ++ partMaxes.getOrElse(pid, None).toSeq)
+          .reduceOption((a: Long, b: Long) => math.max(a, b))
+      }.toIndexedSeq
+    val schema = sorted.schema.add(outCol, LongType, nullable = true)
+    val withMaxes = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = offsets(pid)
+      it.map { r =>
+        val pre = run
+        if (!r.isNullAt(valIdx))
+          run = Some(run.fold(r.getLong(valIdx))(math.max(_, r.getLong(valIdx))))
+        Row.fromSeq(r.toSeq :+ (if (inclusive) run.orNull else pre.orNull))
+      }
+    }
+    sorted.sparkSession.createDataFrame(withMaxes, schema)
+  }
 }

@@ -748,6 +748,44 @@ object QueriesAnalysis {
           Seq("signup", "view", "purchase"))
         .orderBy(col("stage_idx"))),
 
+    // 2-D Pareto skyline over lineitem: the undominated
+    // (quantity, price) rows — maximize both, exact ties all kept.
+    // Never the quadratic pairwise test: collapse to per-quantity max
+    // price, exclusive running max descending (the scalable prefix
+    // scan, not a global window), join the frontier back. The oracle
+    // replays the same collapse + prefix max + equality join.
+    "q_skyline" -> ((s, dir) => {
+      val pts = graft.tables.TestTables.lineitem(s, dir).select(
+        floor(col("l_quantity")).cast("long").as("qty"),
+        floor(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      graft.ops.Skyline.frontier2d(pts, "qty", "price_cents")
+        .orderBy(col("qty"), col("price_cents"), col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"))
+    }),
+
+    // Row-level migration diff (the companion of q_audit_fingerprint):
+    // a planted after-snapshot of orders removes every 97th key,
+    // rewrites every 13th-mod-5 status, and re-inserts every
+    // 101st-mod-7 row under a shifted key; the diff must label exactly
+    // those keys added/removed/changed and NOTHING else. The oracle
+    // replays the length-prefixed md5 row hash and the full outer
+    // join token for token.
+    "q_table_diff" -> ((s, dir) => {
+      val before = graft.tables.TestTables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_orderpriority"))
+      val after = before
+        .filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 13 === 5, lit("X")).otherwise(col("o_orderstatus")))
+        .unionByName(before.filter(col("o_orderkey") % 101 === 7)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+      graft.ops.TableDiff.diff(before, after, Seq("o_orderkey"),
+          Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Binary-classifier evaluation of the FIXED quality scorer against
     // the planted parity labels: confusion quadrant at threshold 0 plus
     // ROC AUC as the exact rational auc2_num/auc2_den (Mann–Whitney
@@ -1345,6 +1383,52 @@ object QueriesAnalysis {
          |GROUP BY visit_id, svc
          |HAVING count(*) > 1
          |ORDER BY visit_id, svc""".stripMargin,
+
+    "q_skyline" ->
+      """WITH pts AS (
+        |  SELECT CAST(floor(l_quantity) AS BIGINT) AS qty,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |    l_orderkey, l_linenumber, l_partkey
+        |  FROM lineitem),
+        |g AS (SELECT qty, CAST(max(price_cents) AS BIGINT) AS m FROM pts GROUP BY qty),
+        |pm AS (
+        |  SELECT qty, m,
+        |    max(m) OVER (ORDER BY qty DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM g),
+        |f AS (SELECT qty, m FROM pm WHERE pmax IS NULL OR pmax < m)
+        |SELECT p.qty, p.price_cents, p.l_orderkey, p.l_linenumber, p.l_partkey
+        |FROM pts p JOIN f ON p.qty = f.qty AND p.price_cents = f.m
+        |ORDER BY p.qty, p.price_cents, p.l_orderkey, p.l_linenumber, p.l_partkey""".stripMargin,
+
+    "q_table_diff" -> {
+      val h = graft.ops.TableDiff.rowHashSql(
+        Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+      s"""WITH before_t AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority FROM orders),
+         |after_t AS (
+         |  SELECT o_orderkey, o_custkey,
+         |    CASE WHEN o_orderkey % 13 = 5 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         |    o_orderpriority
+         |  FROM before_t WHERE o_orderkey % 97 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_orderpriority
+         |  FROM before_t WHERE o_orderkey % 101 = 7),
+         |a AS (SELECT o_orderkey, $h AS hash_before FROM before_t),
+         |b AS (SELECT o_orderkey, $h AS hash_after FROM after_t),
+         |j AS (
+         |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         |    hash_before, hash_after
+         |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+         |SELECT o_orderkey,
+         |  CASE WHEN hash_before IS NULL THEN 'added'
+         |       WHEN hash_after IS NULL THEN 'removed'
+         |       WHEN hash_before <> hash_after THEN 'changed' END AS status,
+         |  hash_before, hash_after
+         |FROM j
+         |WHERE hash_before IS NULL OR hash_after IS NULL OR hash_before <> hash_after
+         |ORDER BY o_orderkey""".stripMargin
+    },
 
     "q_eval_auc" -> graft.ops.Eval.binaryEvalSql(
       s"""SELECT

@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.SharedSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class TableDiffSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SharedSpark.spark
+  import spark.implicits._
+
+  test("labels added, removed, and changed; unchanged rows never surface") {
+    val before = Seq(
+      (1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L))
+      .toDF("k", "s", "v")
+    val after = Seq(
+      (1L, "a", 10L),            // unchanged
+      (2L, "B", 20L),            // changed
+      (4L, "d", 40L), (5L, "e", 50L)) // 3 removed, 5 added
+      .toDF("k", "s", "v")
+    val got = TableDiff.diff(before, after, Seq("k"), Seq("s", "v"))
+      .select("k", "status").as[(Long, String)].collect().toMap
+    got shouldBe Map(2L -> "changed", 3L -> "removed", 5L -> "added")
+  }
+
+  test("NULL-vs-value and NULL-vs-empty-string differences are seen (prefix-free encoding)") {
+    val before = Seq((1L, Option("x")), (2L, Option.empty[String])).toDF("k", "s")
+    val after = Seq((1L, Option.empty[String]), (2L, Option(""))).toDF("k", "s")
+    val got = TableDiff.diff(before, after, Seq("k"), Seq("s"))
+      .select("k", "status").as[(Long, String)].collect().toMap
+    got shouldBe Map(1L -> "changed", 2L -> "changed")
+  }
+
+  test("concatenation cannot alias across column boundaries") {
+    // ("ab", "c") vs ("a", "bc") — a naive concat hash would collide.
+    val before = Seq((1L, "ab", "c")).toDF("k", "x", "y")
+    val after = Seq((1L, "a", "bc")).toDF("k", "x", "y")
+    val got = TableDiff.diff(before, after, Seq("k"), Seq("x", "y"))
+      .select("status").as[String].collect()
+    got.toSeq shouldBe Seq("changed")
+  }
+
+  test("duplicate keys fail loud on either side") {
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("k", "s")
+    val ok = Seq((1L, "a")).toDF("k", "s")
+    val e = intercept[Exception] {
+      TableDiff.diff(dup, ok, Seq("k"), Seq("s")).collect()
+    }
+    e.getMessage should include("duplicate key")
+    val e2 = intercept[Exception] {
+      TableDiff.diff(ok, dup, Seq("k"), Seq("s")).collect()
+    }
+    e2.getMessage should include("duplicate key")
+  }
+
+  test("NULL keys fail loud instead of double-counting as added+removed") {
+    val withNullKey = spark.sql("SELECT CAST(NULL AS BIGINT) AS k, 'a' AS s")
+    val ok = Seq((1L, "a")).toDF("k", "s")
+    val e = intercept[Exception] {
+      TableDiff.diff(withNullKey, ok, Seq("k"), Seq("s")).collect()
+    }
+    e.getMessage should include("NULL key")
+  }
+
+  test("composite keys diff correctly") {
+    val before = Seq((1L, 1L, "x"), (1L, 2L, "y")).toDF("k1", "k2", "s")
+    val after = Seq((1L, 1L, "x"), (1L, 2L, "Z")).toDF("k1", "k2", "s")
+    val got = TableDiff.diff(before, after, Seq("k1", "k2"), Seq("s"))
+      .select("k1", "k2", "status").as[(Long, Long, String)].collect()
+    got.toSeq shouldBe Seq((1L, 2L, "changed"))
+  }
+
+  test("plan: one exchange per side, the full outer join reuses both — never a third") {
+    // Parquet-backed inputs so the optimizer cannot constant-fold the
+    // fixture into a LocalRelation (vacuous-plan trap).
+    val dir = java.nio.file.Files.createTempDirectory("tablediff_plan").toString
+    spark.range(0, 1000).select(col("id").as("k"), (col("id") % 7).cast("string").as("s"))
+      .write.mode("overwrite").parquet(s"$dir/before")
+    spark.range(500, 1500).select(col("id").as("k"), (col("id") % 5).cast("string").as("s"))
+      .write.mode("overwrite").parquet(s"$dir/after")
+    val diff = TableDiff.diff(
+      spark.read.parquet(s"$dir/before"), spark.read.parquet(s"$dir/after"),
+      Seq("k"), Seq("s"))
+    val plan = diff.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2,
+      s"one per-side groupBy exchange each; the join must reuse them, found $exchanges:\n$plan")
+    assert(diff.count() > 0)
+  }
+}
