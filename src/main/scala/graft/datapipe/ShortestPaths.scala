@@ -51,12 +51,24 @@ object ShortestPaths {
       lit(s"ShortestPaths: $wCol must be a non-negative integer, got "),
       coalesce(col(wCol).cast("string"), lit("NULL")))))
     val e = edges.select(col(srcCol).as("node"), col(dstCol).as("__dst"), w.as("__w"))
+    // Zero-weight self-loops on every node the frontier can ever hold
+    // (sources ∪ edge destinations) make "keep the old distance" part
+    // of the relax join itself, so each round references `dist` exactly
+    // ONCE — a `dist ∪ relax(dist)` union would clone the dist subtree
+    // twice per round and the plan (and any recompute) would grow 2^k.
+    // The loop table is node-sized and static: it materializes once,
+    // the PageRank `base` pattern; the caller's EDGE table stays a
+    // plain per-round reference so a bucketed-by-src layout carries it.
+    val loops = graft.util.Materialize.once(
+      sources.select(col(srcNodeCol).as("node"))
+        .unionByName(edges.select(col(dstCol).as("node")))
+        .distinct()
+        .select(col("node"), col("node").as("__dst"), lit(0L).as("__w")))
     var dist = sources.select(col(srcNodeCol).as("node")).distinct()
       .select(col("node"), lit(0L).as("dist"))
     for (i <- 1 to iters) {
-      val relaxed = dist.join(e, Seq("node"))
+      dist = dist.join(e.unionByName(loops), Seq("node"))
         .select(col("__dst").as("node"), (col("dist") + col("__w")).as("dist"))
-      dist = dist.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
       if (i % checkpointEvery == 0 && i < iters)
         dist = graft.util.Materialize.once(dist)

@@ -748,6 +748,21 @@ object QueriesAnalysis {
           Seq("signup", "view", "purchase"))
         .orderBy(col("stage_idx"))),
 
+    // Sweep-line concurrency profile: every 20th user's events spawn
+    // half-open activity intervals of 1 + id % 7 minutes; the output
+    // is the full step function (boundary instant, active count) —
+    // the "concurrent visits" capacity question. The engine never
+    // funnels: boundary collapse + the range-partitioned prefix scan;
+    // the oracle replays it with a plain window.
+    "q_interval_concurrency" -> ((s, dir) => {
+      val iv = graft.tables.TestTables.events(s, dir)
+        .filter(col("user_id") % 20 === 0)
+        .select(col("ts_us").as("start_us"),
+          (col("ts_us") + (lit(1L) + col("event_id") % 7) * 60000000L).as("end_us"))
+      graft.ops.Intervals.concurrency(iv, "start_us", "end_us")
+        .orderBy(col("t"))
+    }),
+
     // 2-D Pareto skyline over lineitem: the undominated
     // (quantity, price) rows — maximize both, exact ties all kept.
     // Never the quadratic pairwise test: collapse to per-quantity max
@@ -1383,6 +1398,21 @@ object QueriesAnalysis {
          |GROUP BY visit_id, svc
          |HAVING count(*) > 1
          |ORDER BY visit_id, svc""".stripMargin,
+
+    "q_interval_concurrency" ->
+      """WITH iv AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS s_us,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) + (1 + event_id % 7) * 60000000 AS e_us
+        |  FROM events WHERE user_id % 20 = 0),
+        |deltas AS (
+        |  SELECT t, CAST(sum(d) AS BIGINT) AS net FROM (
+        |    SELECT s_us AS t, 1 AS d FROM iv
+        |    UNION ALL
+        |    SELECT e_us AS t, -1 AS d FROM iv)
+        |  GROUP BY t)
+        |SELECT t, CAST(sum(net) OVER (ORDER BY t
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_active
+        |FROM deltas ORDER BY t""".stripMargin,
 
     "q_skyline" ->
       """WITH pts AS (

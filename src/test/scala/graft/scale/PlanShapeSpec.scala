@@ -262,7 +262,23 @@ class PlanShapeSpec extends AnyFunSuite {
       // everything else is one. A higher count means raw rows shuffled.
       "q_bitmap_rollup" -> (2, 1),
       "q_countmin_rollup" -> (2, 2), // 2nd scan = the probe-key side
-      "q_ts_ewma" -> (1, 0)) // daily counts materialized once; 1 = the window sort exchange
+      "q_ts_ewma" -> (1, 0), // daily counts materialized once; 1 = the window sort exchange
+      // Late round-8 additions. sssp: 4 relaxation rounds reference
+      // dist ONCE each (zero-weight self-loops fold "keep the old
+      // distance" into the relax join — a dist∪relax union would
+      // clone the dist subtree 2^k; the first cut of this query
+      // planned 31 exchanges/16 scans, this pins the fix at 5/1).
+      "q_graph_sssp" -> (5, 1),
+      // diff: one groupBy exchange per side, the full outer join
+      // reuses both; 3 scans = before + the two planted after branches.
+      "q_table_diff" -> (2, 3),
+      // dhash dedup: sketches materialize once; the one exchange is
+      // the chunk-bucket candidate join key.
+      "q_mm_dhash_dedup" -> (1, 2),
+      // skyline: frontier collapse + prefix max execute inside the
+      // running-max materialization; the visible plan is the one
+      // broadcast join back onto the single points scan.
+      "q_skyline" -> (0, 1))
     def counts(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
       val s = df.queryExecution.executedPlan.toString
       ("Exchange hashpartitioning".r.findAllIn(s).length,
