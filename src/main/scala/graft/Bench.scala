@@ -87,7 +87,10 @@ object Bench {
     "q_eval_auc_trained",
     "q_graph_sssp",
     "q_mm_dhash_dedup",
-    "q_mm_audio_frames")
+    "q_mm_audio_frames",
+    // Migration diff: two key-granularity shuffles whose partitioning
+    // the full outer join reuses — the reconciliation shape.
+    "q_table_diff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

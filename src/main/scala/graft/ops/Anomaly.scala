@@ -59,4 +59,38 @@ object Anomaly {
         min(col("mad")).as("mad"),
         sum(when(col("__dev") > lit(k) * col("mad"), col("__cnt")).otherwise(0L)).as("n_outliers"))
   }
+
+  /** One-sided CUSUM drift detector (Page 1954) — the cumulative
+    * companion of [[madOutlierStats]]' spot outliers and
+    * q_spike_detect's trailing-mean spikes: a SMALL persistent uplift
+    * no single day's test notices accumulates here until it alarms.
+    * The textbook recursion s_t = max(0, s_{t-1} + (x_t − k)) is
+    * sequential; the distributed form uses the reflection identity
+    * (Lindley's recursion):
+    *
+    *   s_t = S_t − min(0, min_{j≤t} S_j),   S = prefix sum of (x − k)
+    *
+    * i.e. one running SUM plus one running MIN — both ride
+    * [[GlobalIndex]]'s range-partitioned two-pass scans (the min as a
+    * running max of −S), so every value is an exact long and the whole
+    * trajectory is engine-reproducible. NULL values fail loud; the sum
+    * scan's addExact makes overflow loud too.
+    *
+    * Returns one row per input row: (orderCol, valueCol, cusum,
+    * alarm = cusum > h). `orderCol` must be a total order.
+    */
+  def cusum(df: DataFrame, orderCol: String, valueCol: String,
+            k: Long, h: Long): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val checked = when(v.isNotNull, v).otherwise(raise_error(
+      lit(s"cusum: NULL $valueCol — the drift statistic needs every point")))
+    val pre = df.select(col(orderCol), checked.as(valueCol),
+      (checked - lit(k)).as("__dev"))
+    val withS = GlobalIndex.withRunningTotal(pre, Seq(col(orderCol)), "__dev", "__S")
+      .withColumn("__negS", -col("__S"))
+    val withMin = GlobalIndex.withRunningMax(withS, Seq(col(orderCol)), "__negS", "__negMin")
+    withMin.select(col(orderCol), col(valueCol),
+        (col("__S") - least(-col("__negMin"), lit(0L))).as("cusum"))
+      .withColumn("alarm", col("cusum") > lit(h))
+  }
 }

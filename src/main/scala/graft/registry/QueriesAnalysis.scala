@@ -748,6 +748,27 @@ object QueriesAnalysis {
           Seq("signup", "view", "purchase"))
         .orderBy(col("stage_idx"))),
 
+    // CUSUM drift monitor over the daily event volume: cumulative
+    // excess over k=335/day, alarm above h=60 — the small persistent
+    // uplift q_spike_detect's per-day trailing test cannot see. A
+    // planted +15/day shift from Jan 23 on (≈4.5% — inside the daily
+    // noise band, max single day stays unremarkable) must walk the
+    // statistic over the threshold within the week, and ONLY there.
+    // The distributed form is the reflection identity (prefix sum −
+    // prefix min, both range-partitioned scans); the oracle replays it
+    // with plain windows, so a drift in either scan or the reflection
+    // fails the hash.
+    "q_ts_cusum" -> ((s, dir) => {
+      val daily = graft.tables.TestTables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("__raw"))
+        .select(col("day"),
+          (col("__raw") + when(col("day") >= lit("2024-01-23").cast("date"), 15L)
+            .otherwise(0L)).as("n"))
+      graft.ops.Anomaly.cusum(daily, "day", "n", k = 335L, h = 60L)
+        .orderBy(col("day"))
+    }),
+
     // Sweep-line concurrency profile: every 20th user's events spawn
     // half-open activity intervals of 1 + id % 7 minutes; the output
     // is the full step function (boundary instant, active count) —
@@ -1398,6 +1419,22 @@ object QueriesAnalysis {
          |GROUP BY visit_id, svc
          |HAVING count(*) > 1
          |ORDER BY visit_id, svc""".stripMargin,
+
+    "q_ts_cusum" ->
+      """WITH daily AS (
+        |  SELECT day, CAST(raw + CASE WHEN day >= DATE '2024-01-23' THEN 15 ELSE 0 END AS BIGINT) AS n
+        |  FROM (SELECT CAST(ts AS DATE) AS day, count(*) AS raw FROM events GROUP BY 1)),
+        |s AS (
+        |  SELECT day, n, CAST(sum(n - 335) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS S
+        |  FROM daily),
+        |m AS (
+        |  SELECT day, n, S, min(S) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS minS
+        |  FROM s)
+        |SELECT day, n, CAST(S - least(minS, 0) AS BIGINT) AS cusum,
+        |  S - least(minS, 0) > 60 AS alarm
+        |FROM m ORDER BY day""".stripMargin,
 
     "q_interval_concurrency" ->
       """WITH iv AS (

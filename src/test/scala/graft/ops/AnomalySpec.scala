@@ -44,4 +44,35 @@ class AnomalySpec extends AnyFunSuite {
     val s = stats(Seq(1L, 1L, 1L, 2L, 3L).map(("d", _)))("d")
     assert(s._2 == 5 && s._3 == 1.0 && s._4 == 0.0 && s._5 == 2)
   }
+
+  private def cusumOf(vals: Seq[Long], k: Long, h: Long): Seq[(Long, Long, Boolean)] =
+    Anomaly.cusum(
+        vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("t", "v").repartition(4),
+        "t", "v", k, h)
+      .orderBy("t").select("t", "cusum", "alarm")
+      .as[(Long, Long, Boolean)].collect().toSeq
+
+  test("cusum matches the sequential max(0, s+d) recursion exactly") {
+    val vals = (0 until 200).map(i => (i * 37 % 23).toLong)
+    val k = 11L
+    val got = cusumOf(vals, k, h = 20L).map(_._2)
+    var s = 0L
+    val expect = vals.map { x => s = math.max(0L, s + (x - k)); s }
+    assert(got == expect)
+  }
+
+  test("cusum resets to zero after deficits and re-accumulates; alarm is strict >") {
+    // k=5: deltas (+5, -5, -5, +3, +2): s = 5, 0, 0, 3, 5
+    val got = cusumOf(Seq(10L, 0L, 0L, 8L, 7L), k = 5L, h = 5L)
+    assert(got.map(_._2) == Seq(5L, 0L, 0L, 3L, 5L))
+    assert(got.map(_._3) == Seq(false, false, false, false, false),
+      "h=5 with cusum exactly 5 must NOT alarm (strict >)")
+  }
+
+  test("cusum fails loud on NULL values") {
+    val df = spark.sql("SELECT 1L AS t, CAST(NULL AS BIGINT) AS v")
+    val e = intercept[Exception] { Anomaly.cusum(df, "t", "v", 0L, 1L).collect() }
+    assert(e.getMessage.contains("NULL v") ||
+      Option(e.getCause).exists(_.getMessage.contains("NULL v")))
+  }
 }
