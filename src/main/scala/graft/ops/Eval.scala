@@ -73,6 +73,39 @@ object Eval {
         col("tn"), col("auc2_num"), col("auc2_den"))
   }
 
+  /** Reliability (calibration) table: equal-frequency score bins with
+    * exact per-bin label counts — the "is a higher score actually more
+    * positive" diagnostic that accompanies AUC. Bins are rank deciles
+    * over the TOTAL order (score, y): including the label in the order
+    * makes tied scores interchangeable within a (score, y) class, so
+    * per-bin counts are deterministic even when a tie group spans a
+    * bin boundary — without it, which tied row lands in which bin
+    * would depend on partition order and the bin sums would flap.
+    * Ranks ride [[GlobalIndex.withGlobalIndex]]'s range-partitioned
+    * zipWithIndex, never a single-partition window; bin = rank·bins/n
+    * by integer division (the q_score_ranks cut rule).
+    *
+    * Returns `bins` rows: (bin, n, n_pos, min_score, max_score).
+    */
+  def calibrationBins(scored: DataFrame, scoreCol: String, labelCol: String,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    val yRaw = col(labelCol).cast("long")
+    val y = when(yRaw === 0L || yRaw === 1L, yRaw).otherwise(raise_error(concat(
+      lit(s"calibrationBins: $labelCol must be 0 or 1, got "),
+      coalesce(col(labelCol).cast("string"), lit("NULL")))))
+    val base = scored.select(col(scoreCol).cast("long").as("score"), y.as("y"))
+    val ranked = GlobalIndex.withGlobalIndex(
+      base, Seq(col("score"), col("y")), "__rank")
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .select(expr(s"(__rank * $bins) div __n").as("bin"),
+        col("score"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+  }
+
   /** DuckDB twin of [[binaryEval]]: `scoredSql` must yield
     * (score BIGINT, y BIGINT with y ∈ {0,1}); the eval tail replays
     * the score-level aggregation, the inclusive prefix count, and the

@@ -838,6 +838,20 @@ object QueriesAnalysis {
       graft.ops.Eval.binaryEval(scored, "score", "y", threshold = 0L)
     }),
 
+    // Reliability table for the same scorer/labels as q_eval_auc:
+    // rank-decile bins over the TOTAL (score, y) order (label in the
+    // order makes tie-spanning bins deterministic), exact per-bin
+    // counts. The oracle replays row_number over the same order and
+    // the same integer-division cut.
+    "q_eval_calibration" -> ((s, dir) => {
+      val scored = graft.datapipe.Classifier.scoreDocs(
+          graft.tables.TestTables.documents(s, dir), "doc_id", "text",
+          graft.datapipe.Classifier.syntheticWeights(64), salt = "cls0", threshold = 0L)
+        .withColumn("y", (col("doc_id") % 2 === 0).cast("long"))
+      graft.ops.Eval.calibrationBins(scored, "score", "y", bins = 10)
+        .orderBy(col("bin"))
+    }),
+
     // The full train→score→EVALUATE loop (the reference validates its
     // predictions model against labeled visits — test_for_samy.ipynb,
     // predictions.py:79-127): train the quality classifier on the
@@ -1506,6 +1520,26 @@ object QueriesAnalysis {
          |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS y
          |  FROM documents""".stripMargin,
       threshold = 0L),
+
+    "q_eval_calibration" -> {
+      val score = graft.datapipe.Classifier.scoreExprSql(
+        graft.datapipe.Classifier.syntheticWeights(64), salt = "cls0",
+        wordsExpr =
+          "list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), x -> x <> '')")
+      s"""WITH sc AS (
+         |  SELECT $score AS score,
+         |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS y
+         |  FROM documents),
+         |nn AS (SELECT count(*) AS n FROM sc),
+         |r AS (SELECT score, y,
+         |  row_number() OVER (ORDER BY score, y) - 1 AS rnk FROM sc)
+         |SELECT CAST(rnk * 10 // (SELECT n FROM nn) AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(y) AS BIGINT) AS n_pos,
+         |  CAST(min(score) AS BIGINT) AS min_score,
+         |  CAST(max(score) AS BIGINT) AS max_score
+         |FROM r GROUP BY 1 ORDER BY bin""".stripMargin
+    },
 
     "q_eval_auc_trained" -> graft.datapipe.Classifier.trainEvalOracleSql(
       """SELECT doc_id,

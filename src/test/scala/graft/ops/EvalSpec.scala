@@ -62,6 +62,28 @@ class EvalSpec extends AnyFunSuite with Matchers {
     e2.getMessage should include("must be 0 or 1")
   }
 
+  test("calibration bins: equal-frequency, deterministic under heavy ties, counts match brute force") {
+    val rows = (0 until 403).map { i =>
+      ((i * 37 % 11).toLong, (i * 31 % 3 == 0): Boolean)
+    }.map { case (s, b) => (s, if (b) 1L else 0L) }
+    val df = rows.toDF("score", "y").repartition(6)
+    val got = Eval.calibrationBins(df, "score", "y", bins = 10)
+      .orderBy("bin")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    got.map(_._2).sum shouldBe 403L
+    // equal-frequency: sizes differ by at most 1
+    (got.map(_._2).max - got.map(_._2).min) should be <= 1L
+    // brute force: sort by (score, y), cut at rank*10/n
+    val sorted = rows.sortBy(identity)
+    val expect = sorted.zipWithIndex
+      .groupBy { case (_, r) => r.toLong * 10 / 403 }
+      .map { case (bin, xs) =>
+        (bin, xs.size.toLong, xs.map(_._1._2).sum,
+          xs.map(_._1._1).min, xs.map(_._1._1).max)
+      }.toSeq.sortBy(_._1)
+    got.toSeq shouldBe expect
+  }
+
   test("matches a brute-force pair count on irregular data across partitions") {
     val rows = (0 until 400).map { i =>
       val score = (i * 37 % 23).toLong // heavy ties
