@@ -93,4 +93,29 @@ object Anomaly {
         (col("__S") - least(-col("__negMin"), lit(0L))).as("cusum"))
       .withColumn("alarm", col("cusum") > lit(h))
   }
+
+  /** Per-group [[cusum]] — drift monitored independently per segment
+    * (service, clinic, language). Here plain PARTITIONED windows are
+    * the right tool: partitioning by the group key distributes the
+    * scan (only an unpartitioned global window funnels), and both
+    * reflection scans (prefix sum, prefix min) share ONE (partition,
+    * order) spec — a single exchange + sort. Same exact-integer
+    * reflection identity, same loud NULL contract.
+    */
+  def cusumByGroup(df: DataFrame, groupCol: String, orderCol: String,
+                   valueCol: String, k: Long, h: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("long")
+    val checked = when(v.isNotNull, v).otherwise(raise_error(
+      lit(s"cusumByGroup: NULL $valueCol — the drift statistic needs every point")))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withS = df.select(col(groupCol), col(orderCol), checked.as(valueCol))
+      .withColumn("__S", sum(col(valueCol) - lit(k)).over(w))
+    withS
+      .withColumn("__minS", min(col("__S")).over(w))
+      .select(col(groupCol), col(orderCol), col(valueCol),
+        (col("__S") - least(col("__minS"), lit(0L))).as("cusum"))
+      .withColumn("alarm", col("cusum") > lit(h))
+  }
 }

@@ -769,6 +769,19 @@ object QueriesAnalysis {
         .orderBy(col("day"))
     }),
 
+    // Per-segment CUSUM: the same reflection identity per event type
+    // (partitioned windows distribute; both scans share one window
+    // spec). Per-type daily volumes sit near 67/day — k=68, h=25:
+    // purchase/error stay quiet, the planted-free natural drift of the
+    // busier types shows as small excursions. Window-replay oracle.
+    "q_ts_cusum_by_type" -> ((s, dir) => {
+      val daily = graft.tables.TestTables.events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.ops.Anomaly.cusumByGroup(daily, "event_type", "day", "n", k = 68L, h = 25L)
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Sweep-line concurrency profile: every 20th user's events spawn
     // half-open activity intervals of 1 + id % 7 minutes; the output
     // is the full step function (boundary instant, active count) —
@@ -1449,6 +1462,24 @@ object QueriesAnalysis {
         |SELECT day, n, CAST(S - least(minS, 0) AS BIGINT) AS cusum,
         |  S - least(minS, 0) > 60 AS alarm
         |FROM m ORDER BY day""".stripMargin,
+
+    "q_ts_cusum_by_type" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, day, n,
+        |    CAST(sum(n - 68) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS S
+        |  FROM daily),
+        |m AS (
+        |  SELECT event_type, day, n, S,
+        |    min(S) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS minS
+        |  FROM s)
+        |SELECT event_type, day, n, CAST(S - least(minS, 0) AS BIGINT) AS cusum,
+        |  S - least(minS, 0) > 25 AS alarm
+        |FROM m ORDER BY event_type, day""".stripMargin,
 
     "q_interval_concurrency" ->
       """WITH iv AS (

@@ -69,6 +69,31 @@ class AnomalySpec extends AnyFunSuite {
       "h=5 with cusum exactly 5 must NOT alarm (strict >)")
   }
 
+  test("grouped cusum runs the recursion independently per group") {
+    val rows = for (g <- Seq("a", "b", "c"); t <- 0 until 50)
+      yield (g, t.toLong, ((t * 37 + g.hashCode.abs) % 19).toLong)
+    val got = Anomaly.cusumByGroup(rows.toDF("g", "t", "v").repartition(5),
+        "g", "t", "v", k = 9L, h = 10L)
+      .select("g", "t", "cusum").as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (g, xs) => g -> xs.sortBy(_._2).map(_._3).toSeq }
+    rows.groupBy(_._1).foreach { case (g, xs) =>
+      var s = 0L
+      val expect = xs.sortBy(_._2).map { case (_, _, v) => s = math.max(0L, s + (v - 9L)); s }
+      assert(got(g) == expect, s"group $g diverged")
+    }
+  }
+
+  test("grouped cusum on one group equals the global-scan cusum") {
+    val vals = (0 until 80).map(i => (i.toLong, (i * 41 % 13).toLong))
+    val grouped = Anomaly.cusumByGroup(
+        vals.map { case (t, v) => ("only", t, v) }.toDF("g", "t", "v"),
+        "g", "t", "v", k = 6L, h = 4L)
+      .orderBy("t").select("cusum", "alarm").as[(Long, Boolean)].collect().toSeq
+    val global = Anomaly.cusum(vals.toDF("t", "v"), "t", "v", k = 6L, h = 4L)
+      .orderBy("t").select("cusum", "alarm").as[(Long, Boolean)].collect().toSeq
+    assert(grouped == global)
+  }
+
   test("cusum fails loud on NULL values") {
     val df = spark.sql("SELECT 1L AS t, CAST(NULL AS BIGINT) AS v")
     val e = intercept[Exception] { Anomaly.cusum(df, "t", "v", 0L, 1L).collect() }
