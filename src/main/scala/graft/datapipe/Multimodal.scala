@@ -279,6 +279,74 @@ object Multimodal {
     }(enc)
   }
 
+  /** Synthesize a NEAR-DUPLICATE audio pair per row: media 2·id is
+    * [[synthWav]]'s closed form, media 2·id+1 the same clip with
+    * sample 0 raised by one LSB — a sub-audible retouch that can move
+    * only the first frame's energy, so the planted pair's
+    * [[wavFingerprint]]s differ in at most one bit (the audio twin of
+    * [[synthBmpPair]]).
+    */
+  def synthWavPair(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType), StructField("content", BinaryType)))
+    val enc = Encoders.row(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val n = (400 + (id % 5) * 200).toInt
+        val base = Array.tabulate(n)(i => (((id * 31 + i * 7) % 2048) - 1024).toShort)
+        val retouched = base.clone()
+        retouched(0) = (retouched(0) + 1).toShort
+        Seq(Row(id * 2, encodeWavPcm16(base, 8000)),
+          Row(id * 2 + 1, encodeWavPcm16(retouched, 8000)))
+      }
+    }(enc)
+  }
+
+  /** 64-bit audio fingerprint over the real codec — the
+    * Haitsma–Kalker energy-delta scheme reduced to its exact-integer
+    * core: bit i is set iff frame i+1's energy (Σ s², [[wavFrameFeatures]]'
+    * framing, partial tail dropped) strictly exceeds frame i's, for the
+    * first 64 deltas (shorter clips leave high bits 0). Loudness-scale
+    * invariances are deliberately NOT applied (no IEEE normalization —
+    * the fingerprint is a deterministic long any engine reproduces);
+    * near-dup search rides [[graft.datapipe.Dedup.sketchHammingPairs]].
+    */
+  def wavFingerprint(media: DataFrame, frameLen: Int, batchSize: Int = 32): DataFrame = {
+    require(frameLen >= 1, s"frameLen must be positive, got $frameLen")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_frames", IntegerType),
+      StructField("fingerprint", LongType)))
+    val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val (_, samples) = decodeWavPcm16(r.getAs[Array[Byte]](contentIdx))
+          val nFrames = samples.length / frameLen
+          val energy = Array.tabulate(nFrames) { f =>
+            var e = 0L
+            var i = f * frameLen
+            val end = i + frameLen
+            while (i < end) { val v = samples(i).toLong; e += v * v; i += 1 }
+            e
+          }
+          var fp = 0L
+          var i = 0
+          val nBits = math.min(64, math.max(0, nFrames - 1))
+          while (i < nBits) {
+            if (energy(i + 1) > energy(i)) fp |= (1L << i)
+            i += 1
+          }
+          Row(r.getLong(idIdx), nFrames, fp)
+        }
+      }
+    }(enc)
+  }
+
   // ---------------------------------------------------------------
   // REAL image codec: 24-bit uncompressed BMP is, like RIFF/WAVE, a
   // pure container — fixed headers plus raw pixels — so the image
@@ -505,6 +573,32 @@ object Multimodal {
     * search over the hashes rides [[Dedup.sketchHammingPairs]]'
     * pigeonhole candidate machinery, exactly like SimHash text dedup.
     */
+  /** The 9×8-grid difference hash of one top-down row-major RGB
+    * raster — shared by the BMP and per-AVI-frame dHash paths.
+    */
+  private def dhashOfRgb(w: Int, h: Int, rgb: Array[Byte]): Long = {
+    val g = Array.ofDim[Int](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      val sy = gy * h / 8
+      var gx = 0
+      while (gx < 9) {
+        val sx = gx * w / 9
+        val p = (sy * w + sx) * 3
+        g(gy)(gx) = (rgb(p) & 0xFF) + (rgb(p + 1) & 0xFF) + (rgb(p + 2) & 0xFF)
+        gx += 1
+      }
+      gy += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (g(i / 8)(i % 8 + 1) > g(i / 8)(i % 8)) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
   def dhashBmp(media: DataFrame, batchSize: Int = 32): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
@@ -518,26 +612,36 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val (w, h, rgb) = decodeBmp24(r.getAs[Array[Byte]](contentIdx))
-          val g = Array.ofDim[Int](8, 9)
-          var gy = 0
-          while (gy < 8) {
-            val sy = gy * h / 8
-            var gx = 0
-            while (gx < 9) {
-              val sx = gx * w / 9
-              val p = (sy * w + sx) * 3
-              g(gy)(gx) = (rgb(p) & 0xFF) + (rgb(p + 1) & 0xFF) + (rgb(p + 2) & 0xFF)
-              gx += 1
-            }
-            gy += 1
+          Row(r.getLong(idIdx), w, h, dhashOfRgb(w, h, rgb))
+        }
+      }
+    }(enc)
+  }
+
+  /** Per-frame dHash over the real AVI codec — the video member of the
+    * near-dup family: a clip's frame-hash set is its visual signature
+    * (shot-level dedup compares frame hashes, not pixels), and each
+    * hash rides the same [[graft.datapipe.Dedup.sketchHammingPairs]]
+    * machinery as text SimHash and image dHash. Every `everyNth` frame
+    * (the [[sampleAviFrames]] cadence), same 9×8 integer grid.
+    */
+  def dhashAviFrames(media: DataFrame, everyNth: Int = 1, batchSize: Int = 32): DataFrame = {
+    require(everyNth >= 1, s"everyNth must be positive, got $everyNth")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("dhash", LongType)))
+    val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val contentIdx = media.schema.fieldIndex("content")
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val (w, h, _, frames) = decodeAvi(r.getAs[Array[Byte]](contentIdx))
+          val id = r.getLong(idIdx)
+          frames.indices.collect {
+            case f if f % everyNth == 0 => Row(id, f, dhashOfRgb(w, h, frames(f)))
           }
-          var hash = 0L
-          var i = 0
-          while (i < 64) {
-            if (g(i / 8)(i % 8 + 1) > g(i / 8)(i % 8)) hash |= (1L << i)
-            i += 1
-          }
-          Row(r.getLong(idIdx), w, h, hash)
         }
       }
     }(enc)

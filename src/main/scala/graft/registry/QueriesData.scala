@@ -1223,6 +1223,45 @@ object QueriesData {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Per-frame video dHash over the real AVI codec: every frame of
+    // each synthesized clip hashes through the same 9×8 integer grid
+    // as the image path — the shot-level visual signature a video
+    // dedup compares. The oracle recomputes every frame's grid and
+    // bit weights from the per-frame pixel formula.
+    "q_mm_video_dhash" -> ((s, dir) => {
+      val media = Multimodal.synthAvi(
+        sampledDocs(s, dir).select(col("doc_id")), "doc_id")
+      Multimodal.dhashAviFrames(media, everyNth = 1)
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // 64-bit audio fingerprints (Haitsma–Kalker energy deltas on the
+    // exact-integer grid): each %7-sampled doc yields a clip and a
+    // one-LSB retouch twin; frame energies over 16-sample frames,
+    // bit i = energy rises from frame i to i+1. The oracle replays
+    // sample synthesis, framing, energies, and bit assembly.
+    "q_mm_audio_fingerprint" -> ((s, dir) => {
+      val media = Multimodal.synthWavPair(
+        TestTables.documents(s, dir).filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id")), "doc_id")
+      Multimodal.wavFingerprint(media, frameLen = 16)
+        .orderBy(col("media_id"))
+    }),
+
+    // Audio near-dup pass over those fingerprints: the pigeonhole
+    // candidate machinery must find each planted retouch pair (≤ 1 bit
+    // apart) and nothing the brute-force oracle doesn't. Pinned to
+    // replica 0 — the oracle pair term is quadratic in the media count.
+    "q_mm_audio_dedup" -> ((s, dir) => {
+      val docs = TestTables.documents(s, dir)
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 1000000000L)
+      val media = Multimodal.synthWavPair(docs.select(col("doc_id")), "doc_id")
+      Dedup.sketchHammingPairs(
+          Multimodal.wavFingerprint(media, frameLen = 16),
+          "media_id", "fingerprint", maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // REAL COMPRESSED-format roundtrip — closes the boundary the
     // earlier rounds stubbed: synthesize closed-form grayscale
     // patterns built to force BOTH RLE8 token families (constant runs
@@ -1742,6 +1781,91 @@ object QueriesData {
       |FROM feats t JOIN full_frames k ON k.id = t.id AND k.f = t.f
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  /** Closed-form per-frame video dHash recompute: the synthAvi pixel
+    * formula through the same 9×8 grid and bit assembly as the image
+    * oracle.
+    */
+  private val videoDhashOracle: String = {
+    val grayChannel = (c: Int) =>
+      s"(id * 31 + f * 11 + ((sy * w + sx) * 3 + $c) * 7) % 256"
+    s"""WITH vm AS (
+       |  SELECT doc_id AS id, 8 + doc_id % 6 AS w, 6 + doc_id % 5 AS h,
+       |    2 + doc_id % 4 AS nf
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |vf AS (
+       |  SELECT id, w, h, ff.f FROM vm, (SELECT unnest(range(0, 6)) AS f) ff
+       |  WHERE ff.f < nf),
+       |vc AS (
+       |  SELECT id, w, h, f, xx.gx, yy.gy, (xx.gx * w) // 9 AS sx, (yy.gy * h) // 8 AS sy
+       |  FROM vf, (SELECT unnest(range(0, 9)) AS gx) xx,
+       |    (SELECT unnest(range(0, 8)) AS gy) yy),
+       |vg AS (
+       |  SELECT id, f, gx, gy,
+       |    ${grayChannel(0)} + ${grayChannel(1)} + ${grayChannel(2)} AS g
+       |  FROM vc),
+       |vb AS (
+       |  SELECT l.id, l.f, l.gy * 8 + l.gx AS idx,
+       |    CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+       |  FROM vg l JOIN vg r
+       |    ON r.id = l.id AND r.f = l.f AND r.gy = l.gy AND r.gx = l.gx + 1
+       |  WHERE l.gx < 8)
+       |SELECT id AS media_id, CAST(f AS INT) AS frame_idx,
+       |  CAST(sum(CASE WHEN bit = 0 THEN 0
+       |    WHEN idx = 63 THEN -9223372036854775808
+       |    ELSE (CAST(1 AS BIGINT) << CAST(idx AS INT)) END) AS BIGINT) AS dhash
+       |FROM vb GROUP BY id, f
+       |ORDER BY media_id, frame_idx""".stripMargin
+  }
+
+  /** Closed-form audio-fingerprint CTE chain shared by the fingerprint
+    * and dedup oracles: sample synthesis (with the variant's one-LSB
+    * retouch on sample 0), 16-sample framing, full-frame energies, and
+    * the energy-delta bit assembly. Yields CTE `afp`
+    * (media_id, n_frames, fingerprint).
+    */
+  private def audioFpCtes(pinned: Boolean): String = {
+    val pin = if (pinned) " AND doc_id < 1000000000" else ""
+    s"""afm AS (
+       |  SELECT doc_id AS id, vv.v, 400 + (doc_id % 5) * 200 AS n
+       |  FROM documents, (SELECT unnest([0, 1]) AS v) vv
+       |  WHERE doc_id % 7 = 0$pin),
+       |afs AS (
+       |  SELECT id, v, ii.i FROM afm, (SELECT unnest(range(0, 1200)) AS i) ii
+       |  WHERE ii.i < n),
+       |afsm AS (
+       |  SELECT id, v, i,
+       |    ((id * 31 + i * 7) % 2048) - 1024
+       |      + CASE WHEN v = 1 AND i = 0 THEN 1 ELSE 0 END AS s,
+       |    i // 16 AS f
+       |  FROM afs),
+       |afe AS (
+       |  SELECT id, v, f, CAST(sum(s * s) AS BIGINT) AS e
+       |  FROM afsm GROUP BY 1, 2, 3 HAVING count(*) = 16),
+       |afb AS (
+       |  SELECT a.id, a.v, a.f AS i, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+       |  FROM afe a JOIN afe b ON b.id = a.id AND b.v = a.v AND b.f = a.f + 1
+       |  WHERE a.f < 64),
+       |afp AS (
+       |  SELECT id * 2 + v AS media_id,
+       |    CAST((SELECT m.n FROM afm m WHERE m.id = afb.id AND m.v = afb.v) // 16 AS INT) AS n_frames,
+       |    CAST(sum(CASE WHEN bit = 0 THEN 0
+       |      WHEN i = 63 THEN -9223372036854775808
+       |      ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END) AS BIGINT) AS fingerprint
+       |  FROM afb GROUP BY afb.id, afb.v)""".stripMargin
+  }
+
+  private val audioFingerprintOracle: String =
+    s"""WITH ${audioFpCtes(pinned = false)}
+       |SELECT media_id, n_frames, fingerprint FROM afp ORDER BY media_id""".stripMargin
+
+  private val audioDedupOracle: String =
+    s"""WITH ${audioFpCtes(pinned = true)}
+       |SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+       |  CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INT) AS hamming
+       |FROM afp a JOIN afp b ON a.media_id < b.media_id
+       |WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   private val dhashOracle: String =
     s"""WITH ${dhashOracleCtes(pinned = false)}
        |SELECT media_id, width, height, dhash FROM dmedia ORDER BY media_id""".stripMargin
@@ -1782,6 +1906,9 @@ object QueriesData {
     "q_mm_dhash" -> dhashOracle,
     "q_mm_dhash_dedup" -> dhashDedupOracle,
     "q_mm_audio_frames" -> audioFramesOracle,
+    "q_mm_video_dhash" -> videoDhashOracle,
+    "q_mm_audio_fingerprint" -> audioFingerprintOracle,
+    "q_mm_audio_dedup" -> audioDedupOracle,
     "q_dedup_minhash" -> minhashXxhOracle,
     "q_dedup_minhash_shingled" -> minhashShingledXxhOracle,
     "q_dedup_simhash" -> simhashXxhOracle,

@@ -50,6 +50,24 @@ class DhashSpec extends AnyFunSuite {
     }
   }
 
+  test("video frames hash independently; everyNth sampling keeps only the cadence") {
+    val media = Multimodal.synthAvi(Seq(3L, 6L).toDF("doc_id"), "doc_id")
+    val all = Multimodal.dhashAviFrames(media, everyNth = 1)
+      .as[(Long, Int, Long)].collect()
+    // synthAvi: nf = 2 + id % 4 -> id 3 has 5 frames, id 6 has 4.
+    assert(all.count(_._1 == 3L) == 5 && all.count(_._1 == 6L) == 4)
+    // consecutive frames shift every byte by 11 — hashes must differ
+    val byClip = all.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq)
+    byClip.foreach { case (id, hs) =>
+      assert(hs.distinct.size > 1, s"clip $id frames all hashed identically")
+    }
+    val sampled = Multimodal.dhashAviFrames(media, everyNth = 2)
+      .as[(Long, Int, Long)].collect()
+    assert(sampled.forall(_._2 % 2 == 0))
+    // sampled hashes must be exactly the even-index subset of the full set
+    assert(sampled.toSet == all.filter(_._2 % 2 == 0).toSet)
+  }
+
   test("grid sampling matches a hand-computed hash on a tiny synthetic image") {
     // 9x8 image: gray strictly increases left to right on every row, so
     // every comparison bit is 1 except none — hash = all 64 bits set.

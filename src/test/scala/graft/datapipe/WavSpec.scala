@@ -117,4 +117,24 @@ class WavSpec extends AnyFunSuite {
       .as[(Long, Int, Long, Long, Long)].collect().sortBy(_._2)
     assert(got.map(_._5).toSeq == Seq(1L, 0L))
   }
+
+  test("fingerprint: hand-computed energy-delta bits; rises set, falls and ties clear") {
+    // frameLen 2, frames: [3,0] e=9, [4,0] e=16, [2,0] e=4, [2,0] e=4, tail [9] drops.
+    // deltas: 9->16 rise (bit0), 16->4 fall, 4->4 tie -> fp = 1.
+    val samples = Array[Short](3, 0, 4, 0, 2, 0, 2, 0, 9)
+    val media = Seq((1L, Multimodal.encodeWavPcm16(samples, 8000))).toDF("media_id", "content")
+    val got = Multimodal.wavFingerprint(media, frameLen = 2)
+      .as[(Long, Int, Long)].collect().head
+    assert(got._2 == 4 && got._3 == 1L)
+  }
+
+  test("fingerprint: the planted one-LSB retouch pair differs by at most one bit") {
+    val hashes = Multimodal.wavFingerprint(
+        Multimodal.synthWavPair((0L until 20L).toDF("doc_id"), "doc_id"), frameLen = 16)
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> r._3).toMap
+    (0L until 20L).foreach { id =>
+      val d = java.lang.Long.bitCount(hashes(id * 2) ^ hashes(id * 2 + 1))
+      assert(d <= 1, s"id $id: retouch moved $d bits")
+    }
+  }
 }
