@@ -50,7 +50,12 @@ object ShortestPaths {
     val w = when(wRaw >= 0L, wRaw).otherwise(raise_error(concat(
       lit(s"ShortestPaths: $wCol must be a non-negative integer, got "),
       coalesce(col(wCol).cast("string"), lit("NULL")))))
-    val e = edges.select(col(srcCol).as("node"), col(dstCol).as("__dst"), w.as("__w"))
+    // NULL endpoints fail loud: a NULL src would silently drop the edge
+    // in the equi-join and a NULL dst would mint a NULL "node" with a
+    // distance — both are malformed input, not graph semantics.
+    def endpoint(c: String) = when(col(c).isNotNull, col(c)).otherwise(
+      raise_error(lit(s"ShortestPaths: NULL $c — edges need both endpoints")))
+    val e = edges.select(endpoint(srcCol).as("node"), endpoint(dstCol).as("__dst"), w.as("__w"))
     // Zero-weight self-loops on every node the frontier can ever hold
     // (sources ∪ edge destinations) make "keep the old distance" part
     // of the relax join itself, so each round references `dist` exactly
@@ -61,7 +66,7 @@ object ShortestPaths {
     // plain per-round reference so a bucketed-by-src layout carries it.
     val loops = graft.util.Materialize.once(
       sources.select(col(srcNodeCol).as("node"))
-        .unionByName(edges.select(col(dstCol).as("node")))
+        .unionByName(edges.select(endpoint(dstCol).as("node")))
         .distinct()
         .select(col("node"), col("node").as("__dst"), lit(0L).as("__w")))
     var dist = sources.select(col(srcNodeCol).as("node")).distinct()

@@ -67,6 +67,20 @@ class ShortestPathsSpec extends AnyFunSuite with Matchers {
     got shouldBe expect
   }
 
+  test("NULL edge endpoints fail loud instead of dropping edges or minting NULL nodes") {
+    val sources = Seq(Tuple1(0L)).toDF("n")
+    val nullDst = spark.sql("SELECT 0L AS s, CAST(NULL AS BIGINT) AS d, 1L AS w")
+    val e = intercept[Exception] {
+      ShortestPaths.distances(sources, "n", nullDst, "s", "d", "w", iters = 1).collect()
+    }
+    e.getMessage should include("NULL d")
+    val nullSrc = spark.sql("SELECT CAST(NULL AS BIGINT) AS s, 1L AS d, 1L AS w")
+    val e2 = intercept[Exception] {
+      ShortestPaths.distances(sources, "n", nullSrc, "s", "d", "w", iters = 1).collect()
+    }
+    e2.getMessage should include("NULL s")
+  }
+
   test("negative or NULL weights fail loud") {
     val sources = Seq(Tuple1(0L)).toDF("n")
     val neg = Seq((0L, 1L, -1L)).toDF("s", "d", "w")
