@@ -38,6 +38,17 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
+  /** Scores order both statistics, and NULL orders differently across
+    * engines (Spark nulls-first vs DuckDB nulls-last) — so a NULL
+    * score is rejected loudly rather than silently skewing the rank
+    * statistic in an engine-specific way.
+    */
+  private def checkedScore(scoreCol: String, op: String) = {
+    val s = col(scoreCol).cast("long")
+    when(s.isNotNull, s).otherwise(raise_error(
+      lit(s"$op: NULL $scoreCol — every row needs a score")))
+  }
+
   /** Evaluate integer `scoreCol` against 0/1 `labelCol`.
     *
     * Returns ONE row:
@@ -53,7 +64,7 @@ object Eval {
       lit(s"binaryEval: $labelCol must be 0 or 1, got "),
       coalesce(col(labelCol).cast("string"), lit("NULL")))))
     val byScore = scored
-      .select(col(scoreCol).cast("long").as("score"), y.as("y"))
+      .select(checkedScore(scoreCol, "binaryEval").as("score"), y.as("y"))
       .groupBy(col("score"))
       .agg(sum(col("y")).as("n_pos"), sum(lit(1L) - col("y")).as("n_neg"))
     val withCum = GlobalIndex.withRunningTotal(
@@ -94,7 +105,7 @@ object Eval {
     val y = when(yRaw === 0L || yRaw === 1L, yRaw).otherwise(raise_error(concat(
       lit(s"calibrationBins: $labelCol must be 0 or 1, got "),
       coalesce(col(labelCol).cast("string"), lit("NULL")))))
-    val base = scored.select(col(scoreCol).cast("long").as("score"), y.as("y"))
+    val base = scored.select(checkedScore(scoreCol, "calibrationBins").as("score"), y.as("y"))
     val ranked = GlobalIndex.withGlobalIndex(
       base, Seq(col("score"), col("y")), "__rank")
     val n = ranked.agg(count(lit(1)).as("__n"))

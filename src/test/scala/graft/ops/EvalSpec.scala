@@ -49,6 +49,16 @@ class EvalSpec extends AnyFunSuite with Matchers {
     r.getAs[Long]("tn") shouldBe 1L // score 0, y 0
   }
 
+  test("NULL scores fail loud (cross-engine NULL ordering would skew the rank statistic)") {
+    val withNull = spark.sql("SELECT CAST(NULL AS BIGINT) AS score, 1L AS y")
+    val e = intercept[Exception] { Eval.binaryEval(withNull, "score", "y").collect() }
+    e.getMessage should include("NULL score")
+    val e2 = intercept[Exception] {
+      Eval.calibrationBins(withNull, "score", "y").collect()
+    }
+    e2.getMessage should include("NULL score")
+  }
+
   test("labels outside {0,1} and NULL labels fail loud") {
     val bad = Seq((1L, 2L)).toDF("score", "y")
     val e = intercept[Exception] {
