@@ -306,12 +306,19 @@ object Multimodal {
 
   /** 64-bit audio fingerprint over the real codec — the
     * Haitsma–Kalker energy-delta scheme reduced to its exact-integer
-    * core: bit i is set iff frame i+1's energy (Σ s², [[wavFrameFeatures]]'
-    * framing, partial tail dropped) strictly exceeds frame i's, for the
-    * first 64 deltas (shorter clips leave high bits 0). Loudness-scale
-    * invariances are deliberately NOT applied (no IEEE normalization —
-    * the fingerprint is a deterministic long any engine reproduces);
-    * near-dup search rides [[graft.datapipe.Dedup.sketchHammingPairs]].
+    * core: the clip's energy-delta signs (frame i+1's Σ s² strictly
+    * exceeds frame i's; [[wavFrameFeatures]]' framing, partial tail
+    * dropped) CYCLED across all 64 bits — bit i carries delta
+    * `i mod (nFrames−1)`. The cycling is a repetition code, and it is
+    * load-bearing for the candidate machinery: "first 64 deltas" would
+    * leave every short clip's high bits structurally zero, making one
+    * [[graft.datapipe.Dedup.sketchHammingPairs]] chunk bucket hold the
+    * WHOLE corpus (the quadratic blowup the pigeonhole scheme exists
+    * to avoid); cycled, every 16-bit chunk carries signal for every
+    * clip length. A single-delta retouch moves at most
+    * ceil(64/(nFrames−1)) bits. Loudness-scale invariances are
+    * deliberately NOT applied (no IEEE normalization — the fingerprint
+    * is a deterministic long any engine reproduces).
     */
   def wavFingerprint(media: DataFrame, frameLen: Int, batchSize: Int = 32): DataFrame = {
     require(frameLen >= 1, s"frameLen must be positive, got $frameLen")
@@ -335,11 +342,14 @@ object Multimodal {
             e
           }
           var fp = 0L
-          var i = 0
-          val nBits = math.min(64, math.max(0, nFrames - 1))
-          while (i < nBits) {
-            if (energy(i + 1) > energy(i)) fp |= (1L << i)
-            i += 1
+          if (nFrames >= 2) {
+            val nDeltas = nFrames - 1
+            var i = 0
+            while (i < 64) {
+              val d = i % nDeltas
+              if (energy(d + 1) > energy(d)) fp |= (1L << i)
+              i += 1
+            }
           }
           Row(r.getLong(idIdx), nFrames, fp)
         }

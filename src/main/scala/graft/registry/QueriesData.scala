@@ -1841,17 +1841,23 @@ object QueriesData {
        |afe AS (
        |  SELECT id, v, f, CAST(sum(s * s) AS BIGINT) AS e
        |  FROM afsm GROUP BY 1, 2, 3 HAVING count(*) = 16),
+       |afnf AS (SELECT id, v, n // 16 AS nf FROM afm),
+       |afd AS (
+       |  SELECT a.id, a.v, a.f AS d, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+       |  FROM afe a JOIN afe b ON b.id = a.id AND b.v = a.v AND b.f = a.f + 1),
        |afb AS (
-       |  SELECT a.id, a.v, a.f AS i, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
-       |  FROM afe a JOIN afe b ON b.id = a.id AND b.v = a.v AND b.f = a.f + 1
-       |  WHERE a.f < 64),
+       |  SELECT f.id, f.v, bb.i, d.bit
+       |  FROM afnf f
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) bb
+       |  JOIN afd d ON d.id = f.id AND d.v = f.v AND d.d = bb.i % (f.nf - 1)),
        |afp AS (
-       |  SELECT id * 2 + v AS media_id,
-       |    CAST((SELECT m.n FROM afm m WHERE m.id = afb.id AND m.v = afb.v) // 16 AS INT) AS n_frames,
-       |    CAST(sum(CASE WHEN bit = 0 THEN 0
-       |      WHEN i = 63 THEN -9223372036854775808
-       |      ELSE (CAST(1 AS BIGINT) << CAST(i AS INT)) END) AS BIGINT) AS fingerprint
-       |  FROM afb GROUP BY afb.id, afb.v)""".stripMargin
+       |  SELECT nf.id * 2 + nf.v AS media_id,
+       |    CAST(nf.nf AS INT) AS n_frames,
+       |    CAST(sum(CASE WHEN b.bit = 0 THEN 0
+       |      WHEN b.i = 63 THEN -9223372036854775808
+       |      ELSE (CAST(1 AS BIGINT) << CAST(b.i AS INT)) END) AS BIGINT) AS fingerprint
+       |  FROM afnf nf JOIN afb b ON b.id = nf.id AND b.v = nf.v
+       |  GROUP BY nf.id, nf.v, nf.nf)""".stripMargin
   }
 
   private val audioFingerprintOracle: String =

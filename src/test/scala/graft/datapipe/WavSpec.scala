@@ -118,23 +118,42 @@ class WavSpec extends AnyFunSuite {
     assert(got.map(_._5).toSeq == Seq(1L, 0L))
   }
 
-  test("fingerprint: hand-computed energy-delta bits; rises set, falls and ties clear") {
+  test("fingerprint: hand-computed cycled energy-delta bits; rises set, falls and ties clear") {
     // frameLen 2, frames: [3,0] e=9, [4,0] e=16, [2,0] e=4, [2,0] e=4, tail [9] drops.
-    // deltas: 9->16 rise (bit0), 16->4 fall, 4->4 tie -> fp = 1.
+    // deltas: 9->16 rise, 16->4 fall, 4->4 tie. Cycled: bit i = delta
+    // (i mod 3) -> every i ≡ 0 (mod 3) is set, others clear.
     val samples = Array[Short](3, 0, 4, 0, 2, 0, 2, 0, 9)
     val media = Seq((1L, Multimodal.encodeWavPcm16(samples, 8000))).toDF("media_id", "content")
     val got = Multimodal.wavFingerprint(media, frameLen = 2)
       .as[(Long, Int, Long)].collect().head
-    assert(got._2 == 4 && got._3 == 1L)
+    var expect = 0L
+    for (i <- 0 until 64 if i % 3 == 0) expect |= 1L << i
+    assert(got._2 == 4 && got._3 == expect)
   }
 
-  test("fingerprint: the planted one-LSB retouch pair differs by at most one bit") {
+  test("fingerprint: every 16-bit chunk carries signal for the SHORTEST clip (no degenerate buckets)") {
+    // n=400 -> 25 frames -> 24 deltas; cycling must populate all four
+    // chunks (a 'first 64 deltas' scheme would zero bits 24-63 and
+    // collapse the candidate buckets at corpus scale).
+    val hashes = Multimodal.wavFingerprint(
+        Multimodal.synthWav((0L until 40L by 5L).toDF("doc_id"), "doc_id"), frameLen = 16)
+      .as[(Long, Int, Long)].collect()
+    val shortClips = hashes.filter(_._2 == 25)
+    assert(shortClips.nonEmpty, "fixture must include 400-sample clips")
+    (0 until 4).foreach { chunk =>
+      val varied = shortClips.map(h => (h._3 >>> (chunk * 16)) & 0xFFFFL).distinct
+      assert(varied.size > 1, s"chunk $chunk is constant across short clips — degenerate bucket")
+    }
+  }
+
+  test("fingerprint: the planted one-LSB retouch pair stays within the Hamming-3 recall bound") {
     val hashes = Multimodal.wavFingerprint(
         Multimodal.synthWavPair((0L until 20L).toDF("doc_id"), "doc_id"), frameLen = 16)
       .as[(Long, Int, Long)].collect().map(r => r._1 -> r._3).toMap
     (0L until 20L).foreach { id =>
       val d = java.lang.Long.bitCount(hashes(id * 2) ^ hashes(id * 2 + 1))
-      assert(d <= 1, s"id $id: retouch moved $d bits")
+      // one delta moved, cycled at most ceil(64/24) = 3 times
+      assert(d <= 3, s"id $id: retouch moved $d bits")
     }
   }
 }
