@@ -277,11 +277,25 @@ object Classifier {
   def trainEvalOracleSql(docsSql: String, dim: Int, salt: String, iters: Int,
                          q: Long = 4096L, marginScale: Long = 4096L,
                          gDiv: Long = 8L, threshold: Long = 0L): String =
-    s"""WITH ${trainCtes(docsSql, dim, salt, iters, q, marginScale, gDiv)},
+    trainEvalHoldoutOracleSql(docsSql, "SELECT doc_id, y, text FROM tdocs",
+      dim, salt, iters, q, marginScale, gDiv, threshold)
+
+  /** [[trainEvalOracleSql]] with a SEPARATE evaluation corpus — the
+    * leakage-safe form: train on `trainDocsSql`, score and judge
+    * `evalDocsSql` (both must yield (doc_id, text, y); the eval side
+    * may reference `tdocs` to reuse the training chain's input).
+    */
+  def trainEvalHoldoutOracleSql(trainDocsSql: String, evalDocsSql: String,
+                                dim: Int, salt: String, iters: Int,
+                                q: Long = 4096L, marginScale: Long = 4096L,
+                                gDiv: Long = 8L, threshold: Long = 0L): String =
+    s"""WITH ${trainCtes(trainDocsSql, dim, salt, iters, q, marginScale, gDiv)},
+       |edocs AS MATERIALIZED (
+       |  $evalDocsSql),
        |sw AS MATERIALIZED (
        |  SELECT doc_id, y,
        |    list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), x -> x <> '') AS words
-       |  FROM tdocs),
+       |  FROM edocs),
        |sb AS MATERIALIZED (
        |  SELECT sw.doc_id,
        |    CAST(('0x' || substr(md5('$salt' || '|' || t), 1, 8)) AS BIGINT) % $dim AS b

@@ -782,6 +782,32 @@ object QueriesAnalysis {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // The LEAKAGE-SAFE form of the trained eval: train on the %3≠0
+    // split, evaluate on the held-out %3=0 split the model never saw —
+    // the train/validation discipline behind the reference's
+    // prediction validation. The planted markers generalize (same
+    // hash buckets), so holdout AUC still lands exactly 1; the oracle
+    // chains the training replay into holdout scoring into the eval
+    // tail as one statement.
+    "q_eval_auc_holdout" -> ((s, dir) => {
+      val marked = graft.tables.TestTables.documents(s, dir).select(
+        col("doc_id"),
+        concat(coalesce(col("text"), lit("")),
+          when(col("doc_id") % 2 === 0, lit(" qualgood qualgood qualgood"))
+            .otherwise(lit(" qualbad qualbad qualbad"))).as("text"),
+        (col("doc_id") % 2 === 0).cast("long").as("y"))
+      val w = graft.datapipe.Classifier.train(
+        marked.filter(col("doc_id") % 3 =!= 0), "text", col("y"),
+        dim = 64, salt = "clstr", iters = 6)
+      val holdout = marked.filter(col("doc_id") % 3 === 0)
+      val scored = holdout.select(
+        graft.datapipe.Classifier.hashedLinearScore(
+          graft.datapipe.TextAnalysis.words(coalesce(col("text"), lit(""))),
+          w, salt = "clstr").as("score"),
+        col("y"))
+      graft.ops.Eval.binaryEval(scored, "score", "y", threshold = 0L)
+    }),
+
     // Sweep-line concurrency profile: every 20th user's events spawn
     // half-open activity intervals of 1 + id % 7 minutes; the output
     // is the full step function (boundary instant, active count) —
@@ -1571,6 +1597,19 @@ object QueriesAnalysis {
          |  CAST(max(score) AS BIGINT) AS max_score
          |FROM r GROUP BY 1 ORDER BY bin""".stripMargin
     },
+
+    "q_eval_auc_holdout" -> graft.datapipe.Classifier.trainEvalHoldoutOracleSql(
+      """SELECT doc_id,
+        |    coalesce(text, '') || CASE WHEN doc_id % 2 = 0
+        |      THEN ' qualgood qualgood qualgood' ELSE ' qualbad qualbad qualbad' END AS text,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE doc_id % 3 <> 0""".stripMargin,
+      """SELECT doc_id,
+        |    coalesce(text, '') || CASE WHEN doc_id % 2 = 0
+        |      THEN ' qualgood qualgood qualgood' ELSE ' qualbad qualbad qualbad' END AS text,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+      dim = 64, salt = "clstr", iters = 6, threshold = 0L),
 
     "q_eval_auc_trained" -> graft.datapipe.Classifier.trainEvalOracleSql(
       """SELECT doc_id,
