@@ -28,8 +28,6 @@ object Skyline {
     * non-NULL (a NULL has no dominance order; fails loud).
     */
   def frontier2d(df: DataFrame, d1: String, d2: String): DataFrame = {
-    def checked(c: String) = when(col(c).isNotNull, col(c)).otherwise(
-      raise_error(lit(s"Skyline: NULL $c — dominance needs both dimensions present")))
     val pts = df.withColumn(d1, checked(d1)).withColumn(d2, checked(d2))
     val grouped = pts.groupBy(col(d1)).agg(max(col(d2)).as("__m"))
     val withPrefix = GlobalIndex.withRunningMax(
@@ -40,4 +38,33 @@ object Skyline {
     pts.join(frontier, pts(d1) === frontier(d1) && pts(d2) === frontier("__m"))
       .select(pts.columns.map(pts(_)): _*)
   }
+
+  /** Per-group frontier (the per-category "best tradeoffs" form). Here
+    * plain PARTITIONED windows are the right tool — partitioning by
+    * the group key distributes the dominance scan (only an
+    * unpartitioned window funnels), and the (d1, max-d2) collapse
+    * bounds the window input at |group| × |distinct d1| rows. Same
+    * exact-long semantics and NULL contract as [[frontier2d]].
+    */
+  def frontier2dByGroup(df: DataFrame, groupCol: String, d1: String, d2: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.withColumn(d1, checked(d1)).withColumn(d2, checked(d2))
+    val grouped = pts.groupBy(col(groupCol), col(d1)).agg(max(col(d2)).as("__m"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(d1).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // Renamed join keys: unlike frontier2d (whose running-max pass
+    // breaks lineage), this frontier shares pts' attributes — a raw
+    // self-join would be ambiguous.
+    val frontier = grouped
+      .withColumn("__pm", max(col("__m")).over(w))
+      .filter(col("__pm").isNull || col("__pm") < col("__m"))
+      .select(col(groupCol).as("__fg"), col(d1).as("__fd1"), col("__m"))
+    pts.join(frontier,
+        pts(groupCol) === col("__fg") && pts(d1) === col("__fd1") &&
+          pts(d2) === col("__m"))
+      .select(pts.columns.map(pts(_)): _*)
+  }
+
+  private def checked(c: String) = when(col(c).isNotNull, col(c)).otherwise(
+    raise_error(lit(s"Skyline: NULL $c — dominance needs both dimensions present")))
 }

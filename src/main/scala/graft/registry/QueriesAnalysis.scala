@@ -839,6 +839,20 @@ object QueriesAnalysis {
           col("l_linenumber"), col("l_partkey"))
     }),
 
+    // Per-group skyline: the quantity×price frontier per return flag —
+    // partitioned windows distribute the dominance scan (the grouped
+    // twin of q_skyline, like cusum's). Window-replay oracle.
+    "q_skyline_by_group" -> ((s, dir) => {
+      val pts = graft.tables.TestTables.lineitem(s, dir).select(
+        col("l_returnflag"),
+        floor(col("l_quantity")).cast("long").as("qty"),
+        floor(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      graft.ops.Skyline.frontier2dByGroup(pts, "l_returnflag", "qty", "price_cents")
+        .orderBy(col("l_returnflag"), col("qty"), col("price_cents"),
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+    }),
+
     // Row-level migration diff (the companion of q_audit_fingerprint):
     // a planted after-snapshot of orders removes every 97th key,
     // rewrites every 13th-mod-5 status, and re-inserts every
@@ -1538,6 +1552,27 @@ object QueriesAnalysis {
         |SELECT p.qty, p.price_cents, p.l_orderkey, p.l_linenumber, p.l_partkey
         |FROM pts p JOIN f ON p.qty = f.qty AND p.price_cents = f.m
         |ORDER BY p.qty, p.price_cents, p.l_orderkey, p.l_linenumber, p.l_partkey""".stripMargin,
+
+    "q_skyline_by_group" ->
+      """WITH pts AS (
+        |  SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS qty,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_cents,
+        |    l_orderkey, l_linenumber, l_partkey
+        |  FROM lineitem),
+        |g AS (SELECT l_returnflag, qty, CAST(max(price_cents) AS BIGINT) AS m
+        |  FROM pts GROUP BY 1, 2),
+        |pm AS (
+        |  SELECT l_returnflag, qty, m,
+        |    max(m) OVER (PARTITION BY l_returnflag ORDER BY qty DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM g),
+        |f AS (SELECT l_returnflag, qty, m FROM pm WHERE pmax IS NULL OR pmax < m)
+        |SELECT p.l_returnflag, p.qty, p.price_cents,
+        |  p.l_orderkey, p.l_linenumber, p.l_partkey
+        |FROM pts p JOIN f ON p.l_returnflag = f.l_returnflag
+        |  AND p.qty = f.qty AND p.price_cents = f.m
+        |ORDER BY p.l_returnflag, p.qty, p.price_cents,
+        |  p.l_orderkey, p.l_linenumber, p.l_partkey""".stripMargin,
 
     "q_table_diff" -> {
       val h = graft.ops.TableDiff.rowHashSql(

@@ -45,6 +45,21 @@ class SkylineSpec extends AnyFunSuite with Matchers {
       .count() shouldBe 3L
   }
 
+  test("per-group frontier equals the global frontier run per group") {
+    val rows = (0 until 200).map { i =>
+      (s"g${i % 3}", (i * 37 % 20).toLong, (i * 53 % 17).toLong, i.toLong)
+    }
+    val got = Skyline.frontier2dByGroup(
+        rows.toDF("g", "d1", "d2", "id").repartition(5), "g", "d1", "d2")
+      .select("id").as[Long].collect().toSet
+    val expect = rows.groupBy(_._1).values.flatMap { grp =>
+      grp.filter { case (_, x, y, _) =>
+        !grp.exists { case (_, x2, y2, _) => x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+      }.map(_._4)
+    }.toSet
+    got shouldBe expect
+  }
+
   test("NULL dimensions fail loud") {
     val withNull = spark.sql("SELECT 1L AS d1, CAST(NULL AS BIGINT) AS d2")
     val e = intercept[Exception] {
