@@ -50,6 +50,60 @@ object TableDiff {
     s"md5(${parts.mkString(" || ")})"
   }
 
+  /** Orderless per-partition fingerprints of the (key, compared-row)
+    * content: (partition, n_rows, xor_check, sum_check) — one scan
+    * with map-side partials, output = #partitions rows. The same
+    * xor + duplicate-sensitive modular sum pairing as
+    * [[Audit.columnFingerprints]], over the keyed row encoding.
+    */
+  def partitionFingerprints(df: DataFrame, partitionCol: String,
+                            keys: Seq[String], compareCols: Seq[String]): DataFrame = {
+    // Engine-internal rendering (fingerprints compare before-vs-after
+    // INSIDE Spark; only the final diff output faces an oracle).
+    def canonicalSql(c: String): String =
+      s"CASE WHEN `$c` IS NULL THEN 'n;' " +
+        s"ELSE concat('v', length(cast(`$c` as string)), ':', cast(`$c` as string), ';') END"
+    val rowSql = (keys ++ compareCols).map(canonicalSql).mkString("concat(", ", ", ")")
+    val h60Sql = s"cast(conv(substring(md5($rowSql), 1, 15), 16, 10) as bigint)"
+    df.groupBy(col(partitionCol))
+      .agg(count(lit(1)).as("n_rows"),
+        expr(s"bit_xor($h60Sql)").as("xor_check"),
+        sum(expr(h60Sql) % 1000000L).as("sum_check"))
+  }
+
+  /** [[diff]] with fingerprint pruning — the rsync discipline at
+    * warehouse scale: compare cheap per-partition fingerprints first
+    * (one scan per side, partition-count-sized output), then run the
+    * row-level diff ONLY over partitions whose fingerprints disagree —
+    * the partition filter reaches the parquet scan, so a 10 000-
+    * partition table with three touched partitions re-reads three.
+    * The dirty set rides a broadcast semi-join, never a collect.
+    *
+    * Pruning is semantically transparent up to fingerprint collision:
+    * a clean verdict needs simultaneous 60-bit-xor AND modular-sum AND
+    * count agreement on differing content — the same astronomically
+    * unlikely class every fingerprint-based sync accepts (documented,
+    * not hidden). The oracle story is exactly that transparency: the
+    * pruned diff must hash-equal the plain diff.
+    */
+  def prunedDiff(before: DataFrame, after: DataFrame, partitionCol: String,
+                 keys: Seq[String], compareCols: Seq[String]): DataFrame = {
+    val fb = partitionFingerprints(before, partitionCol, keys, compareCols)
+      .select(col(partitionCol), col("n_rows").as("__nb"),
+        col("xor_check").as("__xb"), col("sum_check").as("__sb"))
+    val fa = partitionFingerprints(after, partitionCol, keys, compareCols)
+      .select(col(partitionCol), col("n_rows").as("__na"),
+        col("xor_check").as("__xa"), col("sum_check").as("__sa"))
+    val dirty = fb.join(fa, Seq(partitionCol), "full_outer")
+      .filter(!(col("__nb") <=> col("__na")) || !(col("__xb") <=> col("__xa")) ||
+        !(col("__sb") <=> col("__sa")))
+      .select(col(partitionCol))
+    diff(
+      before.join(broadcast(dirty), Seq(partitionCol), "left_semi"),
+      after.join(broadcast(dirty), Seq(partitionCol), "left_semi"),
+      keys, compareCols)
+  }
+
   /** Diff `after` against `before` on primary key `keys`, comparing
     * `compareCols`. Returns (keys…, status, hash_before, hash_after)
     * for keys that were added, removed, or changed — never the

@@ -875,6 +875,30 @@ object QueriesAnalysis {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Fingerprint-PRUNED migration diff (the rsync discipline): the
+    // planted after-snapshot touches only partitions 3 (status
+    // rewrites), 7 (removals), and 11 (shifted-key re-inserts) of the
+    // 20 o_orderkey%20 partitions — per-partition fingerprints find
+    // exactly those, and the row-level diff runs over them alone. The
+    // oracle is the UNPRUNED diff replay: pruning must change nothing.
+    "q_table_diff_pruned" -> ((s, dir) => {
+      val base = graft.tables.TestTables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .withColumn("part", col("o_orderkey") % 20)
+      val after = base
+        .filter(!(col("o_orderkey") % 20 === 7 && col("o_orderkey") % 5 === 0))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 20 === 3 && col("o_orderkey") % 3 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        .unionByName(base
+          .filter(col("o_orderkey") % 20 === 11 && col("o_orderkey") % 7 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+      graft.ops.TableDiff.prunedDiff(base, after, "part", Seq("o_orderkey"),
+          Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Binary-classifier evaluation of the FIXED quality scorer against
     // the planted parity labels: confusion quadrant at threshold 0 plus
     // ROC AUC as the exact rational auc2_num/auc2_den (Mann–Whitney
@@ -1587,6 +1611,36 @@ object QueriesAnalysis {
          |  UNION ALL
          |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_orderpriority
          |  FROM before_t WHERE o_orderkey % 101 = 7),
+         |a AS (SELECT o_orderkey, $h AS hash_before FROM before_t),
+         |b AS (SELECT o_orderkey, $h AS hash_after FROM after_t),
+         |j AS (
+         |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         |    hash_before, hash_after
+         |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+         |SELECT o_orderkey,
+         |  CASE WHEN hash_before IS NULL THEN 'added'
+         |       WHEN hash_after IS NULL THEN 'removed'
+         |       WHEN hash_before <> hash_after THEN 'changed' END AS status,
+         |  hash_before, hash_after
+         |FROM j
+         |WHERE hash_before IS NULL OR hash_after IS NULL OR hash_before <> hash_after
+         |ORDER BY o_orderkey""".stripMargin
+    },
+
+    "q_table_diff_pruned" -> {
+      val h = graft.ops.TableDiff.rowHashSql(
+        Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+      s"""WITH before_t AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority FROM orders),
+         |after_t AS (
+         |  SELECT o_orderkey, o_custkey,
+         |    CASE WHEN o_orderkey % 20 = 3 AND o_orderkey % 3 = 0
+         |      THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         |    o_orderpriority
+         |  FROM before_t WHERE NOT (o_orderkey % 20 = 7 AND o_orderkey % 5 = 0)
+         |  UNION ALL
+         |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_orderpriority
+         |  FROM before_t WHERE o_orderkey % 20 = 11 AND o_orderkey % 7 = 0),
          |a AS (SELECT o_orderkey, $h AS hash_before FROM before_t),
          |b AS (SELECT o_orderkey, $h AS hash_after FROM after_t),
          |j AS (

@@ -70,6 +70,56 @@ class TableDiffSpec extends AnyFunSuite with Matchers {
     got.toSeq shouldBe Seq((1L, 2L, "changed"))
   }
 
+  test("pruned diff equals plain diff on messy data; the dirty set is exactly the touched partitions") {
+    val before = (0 until 500).map { i =>
+      (i.toLong % 10, i.toLong, s"v${i % 13}")
+    }.toDF("part", "k", "s")
+    // touch partitions 2 (change), 5 (remove), 8 (add); 7 stay clean
+    val after = before
+      .filter(!(col("part") === 5 && col("k") % 3 === 0))
+      .withColumn("s", when(col("part") === 2 && col("k") % 4 === 0, lit("CHANGED"))
+        .otherwise(col("s")))
+      .unionByName(before.filter(col("part") === 8 && col("k") % 7 === 0)
+        .withColumn("k", col("k") + 10000L))
+    val plain = TableDiff.diff(before, after, Seq("k"), Seq("s"))
+      .select("k", "status").as[(Long, String)].collect().toSet
+    val pruned = TableDiff.prunedDiff(before, after, "part", Seq("k"), Seq("s"))
+      .select("k", "status").as[(Long, String)].collect().toSet
+    pruned shouldBe plain
+    assert(plain.nonEmpty)
+    // dirty set: fingerprints must disagree exactly on {2, 5, 8}
+    val fb = TableDiff.partitionFingerprints(before, "part", Seq("k"), Seq("s"))
+    val fa = TableDiff.partitionFingerprints(after, "part", Seq("k"), Seq("s"))
+    val dirty = fb.as("a").join(fa.as("b"), col("a.part") === col("b.part"), "full_outer")
+      .filter(!(col("a.n_rows") <=> col("b.n_rows")) ||
+        !(col("a.xor_check") <=> col("b.xor_check")) ||
+        !(col("a.sum_check") <=> col("b.sum_check")))
+      .select(coalesce(col("a.part"), col("b.part"))).as[Long].collect().toSet
+    dirty shouldBe Set(2L, 5L, 8L)
+  }
+
+  test("pruned diff: a partition present on only one side is dirty, not skipped") {
+    val before = Seq((1L, 1L, "a"), (2L, 2L, "b")).toDF("part", "k", "s")
+    val after = Seq((1L, 1L, "a")).toDF("part", "k", "s") // partition 2 vanished
+    val got = TableDiff.prunedDiff(before, after, "part", Seq("k"), Seq("s"))
+      .select("k", "status").as[(Long, String)].collect().toMap
+    got shouldBe Map(2L -> "removed")
+  }
+
+  test("pruned diff: a key that MOVES partitions dirties both and surfaces like plain diff") {
+    val before = Seq((1L, 7L, "x"), (2L, 8L, "y")).toDF("part", "k", "s")
+    val after = Seq((2L, 7L, "x"), (2L, 8L, "y")).toDF("part", "k", "s") // key 7 moved 1 -> 2
+    val plain = TableDiff.diff(before, after, Seq("k"), Seq("s"))
+      .select("k", "status").as[(Long, String)].collect().toSet
+    val pruned = TableDiff.prunedDiff(before, after, "part", Seq("k"), Seq("s"))
+      .select("k", "status").as[(Long, String)].collect().toSet
+    pruned shouldBe plain
+    // moving between partitions changes neither key set nor row content
+    // at key granularity: the diff is rightly EMPTY — the point is the
+    // pruned form must not invent added+removed rows either.
+    pruned shouldBe Set.empty[(Long, String)]
+  }
+
   test("plan: one exchange per side, the full outer join reuses both — never a third") {
     // Parquet-backed inputs so the optimizer cannot constant-fold the
     // fixture into a LocalRelation (vacuous-plan trap).
