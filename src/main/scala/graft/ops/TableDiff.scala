@@ -88,10 +88,18 @@ object TableDiff {
     */
   def prunedDiff(before: DataFrame, after: DataFrame, partitionCol: String,
                  keys: Seq[String], compareCols: Seq[String]): DataFrame = {
-    val fb = partitionFingerprints(before, partitionCol, keys, compareCols)
+    // A NULL partition value never equi-joins: its rows would pass the
+    // fingerprint stage as "dirty" but VANISH from the semi-joined
+    // drill-down — the silent-loss class. Fail loud instead.
+    def checkedPart(df: DataFrame) = df.withColumn(partitionCol,
+      when(col(partitionCol).isNotNull, col(partitionCol)).otherwise(raise_error(
+        lit(s"prunedDiff: NULL $partitionCol — partition pruning needs every row placed"))))
+    val before2 = checkedPart(before)
+    val after2 = checkedPart(after)
+    val fb = partitionFingerprints(before2, partitionCol, keys, compareCols)
       .select(col(partitionCol), col("n_rows").as("__nb"),
         col("xor_check").as("__xb"), col("sum_check").as("__sb"))
-    val fa = partitionFingerprints(after, partitionCol, keys, compareCols)
+    val fa = partitionFingerprints(after2, partitionCol, keys, compareCols)
       .select(col(partitionCol), col("n_rows").as("__na"),
         col("xor_check").as("__xa"), col("sum_check").as("__sa"))
     val dirty = fb.join(fa, Seq(partitionCol), "full_outer")
@@ -99,8 +107,8 @@ object TableDiff {
         !(col("__sb") <=> col("__sa")))
       .select(col(partitionCol))
     diff(
-      before.join(broadcast(dirty), Seq(partitionCol), "left_semi"),
-      after.join(broadcast(dirty), Seq(partitionCol), "left_semi"),
+      before2.join(broadcast(dirty), Seq(partitionCol), "left_semi"),
+      after2.join(broadcast(dirty), Seq(partitionCol), "left_semi"),
       keys, compareCols)
   }
 

@@ -106,6 +106,15 @@ class TableDiffSpec extends AnyFunSuite with Matchers {
     got shouldBe Map(2L -> "removed")
   }
 
+  test("pruned diff: a NULL partition fails loud instead of vanishing from the drill-down") {
+    val before = spark.sql("SELECT CAST(NULL AS BIGINT) AS part, 1L AS k, 'a' AS s")
+    val after = Seq((1L, 1L, "b")).toDF("part", "k", "s")
+    val e = intercept[Exception] {
+      TableDiff.prunedDiff(before, after, "part", Seq("k"), Seq("s")).collect()
+    }
+    e.getMessage should include("NULL part")
+  }
+
   test("pruned diff: a key that MOVES partitions dirties both and surfaces like plain diff") {
     val before = Seq((1L, 7L, "x"), (2L, 8L, "y")).toDF("part", "k", "s")
     val after = Seq((2L, 7L, "x"), (2L, 8L, "y")).toDF("part", "k", "s") // key 7 moved 1 -> 2
