@@ -74,10 +74,13 @@ object TableDiff {
   /** [[diff]] with fingerprint pruning — the rsync discipline at
     * warehouse scale: compare cheap per-partition fingerprints first
     * (one scan per side, partition-count-sized output), then run the
-    * row-level diff ONLY over partitions whose fingerprints disagree —
-    * the partition filter reaches the parquet scan, so a 10 000-
-    * partition table with three touched partitions re-reads three.
-    * The dirty set rides a broadcast semi-join, never a collect.
+    * row-level diff ONLY over partitions whose fingerprints disagree.
+    * On DISK-partitioned tables the dirty-set semi-join plans as
+    * dynamic partition pruning on the drill scans (spec-locked), so a
+    * 10 000-partition table with three touched partitions re-reads
+    * three; on a derived partition column the drill still prunes the
+    * shuffled/diffed ROWS, just not the I/O. The dirty set rides a
+    * broadcast semi-join, never a collect.
     *
     * Pruning is semantically transparent up to fingerprint collision:
     * a clean verdict needs simultaneous 60-bit-xor AND modular-sum AND

@@ -129,6 +129,24 @@ class TableDiffSpec extends AnyFunSuite with Matchers {
     pruned shouldBe Set.empty[(Long, String)]
   }
 
+  test("pruned diff on DISK-partitioned tables plans dynamic partition pruning on the drill scans") {
+    val dir = java.nio.file.Files.createTempDirectory("tablediff_dpp").toString
+    spark.range(0, 2000).select((col("id") % 10).as("part"), col("id").as("k"),
+        (col("id") % 7).cast("string").as("s"))
+      .write.partitionBy("part").mode("overwrite").parquet(s"$dir/before")
+    spark.range(0, 2000).select((col("id") % 10).as("part"), col("id").as("k"),
+        when(col("id") % 10 === 3, lit("X")).otherwise((col("id") % 7).cast("string")).as("s"))
+      .write.partitionBy("part").mode("overwrite").parquet(s"$dir/after")
+    val d = TableDiff.prunedDiff(
+      spark.read.parquet(s"$dir/before"), spark.read.parquet(s"$dir/after"),
+      "part", Seq("k"), Seq("s"))
+    // only partition 3 changed: 200 changed rows
+    d.count() shouldBe 200L
+    val plan = d.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      s"drill scans must plan dynamic partition pruning on the dirty set:\n$plan")
+  }
+
   test("plan: one exchange per side, the full outer join reuses both — never a third") {
     // Parquet-backed inputs so the optimizer cannot constant-fold the
     // fixture into a LocalRelation (vacuous-plan trap).
