@@ -1036,6 +1036,38 @@ object Multimodal {
     }(enc)
   }
 
+  /** Synthesize a NEAR-DUPLICATE clip pair per row: media 2·id is
+    * [[synthAvi]]'s closed form, media 2·id+1 the same clip with
+    * channel c of pixel (0,0) of FRAME 0 retouched to
+    * (id·17 + c·3) % 256 — one pixel of one frame, so the clips'
+    * frame-hash sets (and any XOR-of-frame-hashes signature) differ by
+    * at most the two grid bits the image retouch can move.
+    */
+  def synthAviPair(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType), StructField("content", BinaryType)))
+    val enc = Encoders.row(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val w = (8 + id % 6).toInt
+        val h = (6 + id % 5).toInt
+        val nf = (2 + id % 4).toInt
+        val frames = Array.tabulate(nf)(f =>
+          Array.tabulate(w * h * 3)(j => ((id * 31 + f * 11 + j * 7) % 256).toByte))
+        val retouched = frames.map(_.clone())
+        var c = 0
+        while (c < 3) {
+          retouched(0)(c) = ((id * 17 + c * 3) % 256).toByte
+          c += 1
+        }
+        Seq(Row(id * 2, encodeAvi(w, h, 12, frames)),
+          Row(id * 2 + 1, encodeAvi(w, h, 12, retouched)))
+      }
+    }(enc)
+  }
+
   /** Video transcode on the real codec — keep every `n`-th frame and
     * divide the frame rate accordingly (the fps-normalization step of
     * a video-corpus pipeline; completes the DSP set with

@@ -1262,6 +1262,25 @@ object QueriesData {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Clip-level video near-dup: each clip's signature is the bit-XOR
+    // of its per-frame dHashes — order-blind by construction (stated,
+    // not hidden: XOR is the piece-combining trick of set signatures),
+    // and a one-pixel one-frame retouch moves at most 2 signature
+    // bits, so the planted pairs ride the same pigeonhole machinery as
+    // every other sketch family. Oracle: recompute every frame hash
+    // from the pixel formula, XOR per clip, brute-force pairs. Pinned
+    // to replica 0 — the oracle pair term is quadratic.
+    "q_mm_video_dedup" -> ((s, dir) => {
+      val docs = TestTables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 0 && col("doc_id") < 1000000000L)
+      val media = Multimodal.synthAviPair(docs.select(col("doc_id")), "doc_id")
+      val sigs = Multimodal.dhashAviFrames(media, everyNth = 1)
+        .groupBy(col("media_id"))
+        .agg(expr("bit_xor(dhash)").as("sig"))
+      Dedup.sketchHammingPairs(sigs, "media_id", "sig", maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // REAL COMPRESSED-format roundtrip — closes the boundary the
     // earlier rounds stubbed: synthesize closed-form grayscale
     // patterns built to force BOTH RLE8 token families (constant runs
@@ -1817,6 +1836,53 @@ object QueriesData {
        |ORDER BY media_id, frame_idx""".stripMargin
   }
 
+  /** Clip-signature near-dup oracle: the synthAviPair pixel formula
+    * (variant 1 retouches pixel (0,0) of frame 0) through the 9×8
+    * grid, per-frame hash assembly, per-clip bit-XOR signature, and a
+    * brute-force Hamming-pair scan.
+    */
+  private val videoDedupOracle: String = {
+    val grayChannel = (c: Int) =>
+      s"(CASE WHEN v = 1 AND f = 0 AND sx = 0 AND sy = 0 THEN (id * 17 + $c * 3) % 256 " +
+        s"ELSE (id * 31 + f * 11 + ((sy * w + sx) * 3 + $c) * 7) % 256 END)"
+    s"""WITH vm AS (
+       |  SELECT doc_id AS id, vv.v, 8 + doc_id % 6 AS w, 6 + doc_id % 5 AS h,
+       |    2 + doc_id % 4 AS nf
+       |  FROM documents, (SELECT unnest([0, 1]) AS v) vv
+       |  WHERE doc_id % 10 = 0 AND doc_id < 1000000000),
+       |vf AS (
+       |  SELECT id, v, w, h, ff.f FROM vm, (SELECT unnest(range(0, 6)) AS f) ff
+       |  WHERE ff.f < nf),
+       |vc AS (
+       |  SELECT id, v, w, h, f, xx.gx, yy.gy, (xx.gx * w) // 9 AS sx, (yy.gy * h) // 8 AS sy
+       |  FROM vf, (SELECT unnest(range(0, 9)) AS gx) xx,
+       |    (SELECT unnest(range(0, 8)) AS gy) yy),
+       |vg AS (
+       |  SELECT id, v, f, gx, gy,
+       |    ${grayChannel(0)} + ${grayChannel(1)} + ${grayChannel(2)} AS g
+       |  FROM vc),
+       |vb AS (
+       |  SELECT l.id, l.v, l.f, l.gy * 8 + l.gx AS idx,
+       |    CASE WHEN r.g > l.g THEN 1 ELSE 0 END AS bit
+       |  FROM vg l JOIN vg r
+       |    ON r.id = l.id AND r.v = l.v AND r.f = l.f AND r.gy = l.gy AND r.gx = l.gx + 1
+       |  WHERE l.gx < 8),
+       |vh AS (
+       |  SELECT id, v, f,
+       |    CAST(sum(CASE WHEN bit = 0 THEN 0
+       |      WHEN idx = 63 THEN -9223372036854775808
+       |      ELSE (CAST(1 AS BIGINT) << CAST(idx AS INT)) END) AS BIGINT) AS dhash
+       |  FROM vb GROUP BY id, v, f),
+       |vsig AS (
+       |  SELECT id * 2 + v AS media_id, CAST(bit_xor(dhash) AS BIGINT) AS sig
+       |  FROM vh GROUP BY id, v)
+       |SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       |FROM vsig a JOIN vsig b ON a.media_id < b.media_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Closed-form audio-fingerprint CTE chain shared by the fingerprint
     * and dedup oracles: sample synthesis (with the variant's one-LSB
     * retouch on sample 0), 16-sample framing, full-frame energies, and
@@ -1913,6 +1979,7 @@ object QueriesData {
     "q_mm_dhash_dedup" -> dhashDedupOracle,
     "q_mm_audio_frames" -> audioFramesOracle,
     "q_mm_video_dhash" -> videoDhashOracle,
+    "q_mm_video_dedup" -> videoDedupOracle,
     "q_mm_audio_fingerprint" -> audioFingerprintOracle,
     "q_mm_audio_dedup" -> audioDedupOracle,
     "q_dedup_minhash" -> minhashXxhOracle,

@@ -68,6 +68,24 @@ class DhashSpec extends AnyFunSuite {
     assert(sampled.toSet == all.filter(_._2 % 2 == 0).toSet)
   }
 
+  test("clip XOR signatures: the one-frame retouch pair stays within 2 bits and is found") {
+    val media = Multimodal.synthAviPair((0L until 25L).toDF("doc_id"), "doc_id")
+    val sigs = Multimodal.dhashAviFrames(media, everyNth = 1)
+      .groupBy(col("media_id"))
+      .agg(org.apache.spark.sql.functions.expr("bit_xor(dhash)").as("sig"))
+    val sigMap = sigs.as[(Long, Long)].collect().toMap
+    (0L until 25L).foreach { id =>
+      val d = java.lang.Long.bitCount(sigMap(id * 2) ^ sigMap(id * 2 + 1))
+      assert(d <= 2, s"id $id: one-frame retouch moved $d signature bits")
+    }
+    val pairs = Dedup.sketchHammingPairs(sigs, "media_id", "sig", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    (0L until 25L).foreach { id =>
+      assert(pairs.exists(p => p._1 == id * 2 && p._2 == id * 2 + 1),
+        s"planted clip pair for id $id missing")
+    }
+  }
+
   test("grid sampling matches a hand-computed hash on a tiny synthetic image") {
     // 9x8 image: gray strictly increases left to right on every row, so
     // every comparison bit is 1 except none — hash = all 64 bits set.
