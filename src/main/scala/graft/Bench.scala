@@ -90,7 +90,10 @@ object Bench {
     "q_mm_audio_frames",
     // Migration diff: two key-granularity shuffles whose partitioning
     // the full outer join reuses — the reconciliation shape.
-    "q_table_diff")
+    "q_table_diff",
+    // Aho–Corasick blocklist scan: one codegen'd pass per document
+    // regardless of dictionary size (vs k LIKE scans).
+    "q_text_dict_match")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

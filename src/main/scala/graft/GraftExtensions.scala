@@ -79,6 +79,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       checked(graft.functions.SubwordTokenize.fnName, "words, vocab, unk", 3)(
         exprs => graft.functions.SubwordTokenize(exprs(0), exprs(1), exprs(2)))))
     ext.injectFunction((
+      FunctionIdentifier(graft.functions.DictMatch.fnName),
+      new ExpressionInfo(classOf[graft.functions.DictMatch].getName, graft.functions.DictMatch.fnName),
+      checked(graft.functions.DictMatch.fnName, "text, patterns", 2)(
+        exprs => graft.functions.DictMatch(exprs(0), exprs(1)))))
+    ext.injectFunction((
       FunctionIdentifier(graft.functions.BitmapDistinct.aggName),
       new ExpressionInfo(classOf[graft.functions.BitmapAgg].getName, graft.functions.BitmapDistinct.aggName),
       checked(graft.functions.BitmapDistinct.aggName, "bucket, m", 2)(

@@ -449,6 +449,23 @@ object QueriesData {
         .orderBy(col("node"))
     }),
 
+    // Dictionary blocklist scan (the C4/Gopher word-list gate): one
+    // Aho–Corasick pass per document reports which flagged terms occur
+    // (sorted, distinct) — where k LIKE predicates would scan every
+    // byte k times. The oracle is the obvious k-probe form (list_filter
+    // over contains()): the automaton must agree with it exactly,
+    // including overlapping terms ("lo"/"lorem") and term-inside-term.
+    "q_text_dict_match" -> ((s, dir) => {
+      val dict = Seq("the", "and", "data", "system", "error", "lo", "lorem",
+        "or", "qual", "ipsum dolor")
+      val txt = lower(coalesce(col("text"), lit("")))
+      TestTables.documents(s, dir)
+        .select(col("doc_id"),
+          array_join(graft.functions.DictMatch.of(txt, dict), ",").as("matched"),
+          size(graft.functions.DictMatch.of(txt, dict)).as("n_matched"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Markdown -> text extraction: a deterministic markdown wrapper
     // around each document (headers/bold/italics/quote/list/link/
     // fence/hr), stripped by the ordered regex chain. The oracle is
@@ -1980,6 +1997,20 @@ object QueriesData {
     "q_mm_audio_frames" -> audioFramesOracle,
     "q_mm_video_dhash" -> videoDhashOracle,
     "q_mm_video_dedup" -> videoDedupOracle,
+
+    "q_text_dict_match" ->
+      """WITH d AS (
+        |  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    list_sort(list_filter(
+        |      ['the', 'and', 'data', 'system', 'error', 'lo', 'lorem',
+        |       'or', 'qual', 'ipsum dolor'],
+        |      p -> contains(t, p))) AS ms
+        |  FROM d)
+        |SELECT doc_id, coalesce(array_to_string(ms, ','), '') AS matched,
+        |  CAST(len(ms) AS INT) AS n_matched
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q_mm_audio_fingerprint" -> audioFingerprintOracle,
     "q_mm_audio_dedup" -> audioDedupOracle,
     "q_dedup_minhash" -> minhashXxhOracle,
