@@ -282,9 +282,13 @@ object Multimodal {
   /** Synthesize a NEAR-DUPLICATE audio pair per row: media 2·id is
     * [[synthWav]]'s closed form, media 2·id+1 the same clip with
     * sample 0 raised by one LSB — a sub-audible retouch that can move
-    * only the first frame's energy, so the planted pair's
-    * [[wavFingerprint]]s differ in at most one bit (the audio twin of
-    * [[synthBmpPair]]).
+    * only the first frame's energy, hence only delta 0. Because
+    * [[wavFingerprint]] CYCLES the nFrames−1 deltas across all 64
+    * bits, delta 0 lands on every bit i with i mod (nFrames−1) == 0,
+    * so the planted pair's fingerprints differ in at most
+    * ceil(64/(nFrames−1)) bits — 3 at the frameLen=16 fixture
+    * (n ≥ 400 samples → ≥ 24 deltas), NOT 1. Size maxHamming
+    * accordingly (the audio twin of [[synthBmpPair]]).
     */
   def synthWavPair(df: DataFrame, idCol: String): DataFrame = {
     val outSchema = StructType(Seq(
@@ -316,7 +320,11 @@ object Multimodal {
     * WHOLE corpus (the quadratic blowup the pigeonhole scheme exists
     * to avoid); cycled, every 16-bit chunk carries signal for every
     * clip length. A single-delta retouch moves at most
-    * ceil(64/(nFrames−1)) bits. Loudness-scale invariances are
+    * ceil(64/(nFrames−1)) bits. Clips with fewer than 2 frames have no
+    * deltas and all share fingerprint 0 — a collision class that would
+    * flood one Hamming-0 bucket if sub-2-frame clips were common, so
+    * keep frameLen small enough that real clips frame to nFrames ≥ 2.
+    * Loudness-scale invariances are
     * deliberately NOT applied (no IEEE normalization — the fingerprint
     * is a deterministic long any engine reproduces).
     */

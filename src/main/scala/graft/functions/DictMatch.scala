@@ -34,7 +34,24 @@ case class DictMatch(left: Expression, right: Expression) extends BinaryExpressi
       case (StringType, ArrayType(StringType, _)) =>
         if (!right.foldable)
           TypeCheckResult.TypeCheckFailure(s"$prettyName: patterns must be a literal (foldable) array")
-        else TypeCheckResult.TypeCheckSuccess
+        else {
+          // Foldable → evaluable at analysis time: reject a NULL array and
+          // NULL elements HERE, with a named error, instead of letting the
+          // Automaton builder NPE opaquely on an executor (ArrayType
+          // containsNull=true passes the type match, so the shape check
+          // alone does not cover this).
+          right.eval(InternalRow.empty) match {
+            case null => TypeCheckResult.TypeCheckFailure(
+              s"$prettyName: patterns must not be a NULL literal")
+            case arr: ArrayData =>
+              val nulls = (0 until arr.numElements()).filter(arr.isNullAt)
+              if (nulls.nonEmpty) TypeCheckResult.TypeCheckFailure(
+                s"$prettyName: NULL pattern elements are not allowed (at index ${nulls.head})")
+              else TypeCheckResult.TypeCheckSuccess
+            case other => TypeCheckResult.TypeCheckFailure(
+              s"$prettyName: patterns literal evaluated to unexpected ${other.getClass.getName}")
+          }
+        }
       case (a, b) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects (string, array<string>), got (${a.sql}, ${b.sql})")
     }
@@ -46,7 +63,15 @@ case class DictMatch(left: Expression, right: Expression) extends BinaryExpressi
     val arr = right.eval(InternalRow.empty).asInstanceOf[ArrayData]
     val patterns = new Array[String](arr.numElements())
     var i = 0
-    while (i < patterns.length) { patterns(i) = arr.getUTF8String(i).toString; i += 1 }
+    while (i < patterns.length) {
+      val u = arr.getUTF8String(i)
+      // Defense in depth: checkInputDataTypes already rejects NULL
+      // elements with a named analysis error; keep the runtime path loud
+      // too rather than NPE-ing in UTF8String.toString.
+      require(u != null, s"dict_match: pattern element $i is NULL — NULL patterns are not allowed")
+      patterns(i) = u.toString
+      i += 1
+    }
     new DictMatch.Automaton(patterns)
   }
 

@@ -100,7 +100,12 @@ object Anomaly {
     * scan (only an unpartitioned global window funnels), and both
     * reflection scans (prefix sum, prefix min) share ONE (partition,
     * order) spec — a single exchange + sort. Same exact-integer
-    * reflection identity, same loud NULL contract.
+    * reflection identity, same loud NULL contract, and the same loud
+    * OVERFLOW contract as [[cusum]]'s addExact scan: a plain long
+    * window sum would wrap silently, so the prefix sum runs in
+    * decimal(38,0) (never overflows for long inputs at any plausible
+    * row count) and the final cusum is range-checked before the cast
+    * back to long — out-of-range raises instead of wrapping.
     */
   def cusumByGroup(df: DataFrame, groupCol: String, orderCol: String,
                    valueCol: String, k: Long, h: Long): DataFrame = {
@@ -111,11 +116,18 @@ object Anomaly {
     val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withS = df.select(col(groupCol), col(orderCol), checked.as(valueCol))
-      .withColumn("__S", sum(col(valueCol) - lit(k)).over(w))
+      .withColumn("__S",
+        sum(col(valueCol).cast("decimal(38,0)") - lit(k)).over(w))
+    val cusumWide = col("__S") - least(col("__minS"), lit(0L).cast("decimal(38,0)"))
     withS
       .withColumn("__minS", min(col("__S")).over(w))
+      .withColumn("__cw", cusumWide)
       .select(col(groupCol), col(orderCol), col(valueCol),
-        (col("__S") - least(col("__minS"), lit(0L))).as("cusum"))
+        when(col("__cw").between(lit(Long.MinValue), lit(Long.MaxValue)),
+            col("__cw").cast("long"))
+          .otherwise(raise_error(lit(
+            "cusumByGroup: cusum overflowed Long — loud, matching cusum's addExact contract")))
+          .as("cusum"))
       .withColumn("alarm", col("cusum") > lit(h))
   }
 }

@@ -1266,8 +1266,10 @@ object QueriesData {
     }),
 
     // Audio near-dup pass over those fingerprints: the pigeonhole
-    // candidate machinery must find each planted retouch pair (≤ 1 bit
-    // apart) and nothing the brute-force oracle doesn't. Pinned to
+    // candidate machinery must find each planted retouch pair — the
+    // single-delta retouch cycles into ceil(64/(nFrames−1)) bits, i.e.
+    // ≤ 3 apart at this frameLen=16 fixture (hence maxHamming = 3) —
+    // and nothing the brute-force oracle doesn't. Pinned to
     // replica 0 — the oracle pair term is quadratic in the media count.
     "q_mm_audio_dedup" -> ((s, dir) => {
       val docs = TestTables.documents(s, dir)
@@ -1904,7 +1906,13 @@ object QueriesData {
     * and dedup oracles: sample synthesis (with the variant's one-LSB
     * retouch on sample 0), 16-sample framing, full-frame energies, and
     * the energy-delta bit assembly. Yields CTE `afp`
-    * (media_id, n_frames, fingerprint).
+    * (media_id, n_frames, fingerprint). Clips with fewer than 2 frames
+    * have no deltas: the engine emits fingerprint 0 for them, so the
+    * oracle carries an explicit nf < 2 branch doing the same (and the
+    * afb delta join is guarded against the nf = 1 modulo-by-zero) —
+    * the fixture (n ≥ 400, frameLen 16) never produces such clips, but
+    * a frameLen change must not make oracle and engine silently
+    * disagree.
     */
   private def audioFpCtes(pinned: Boolean): String = {
     val pin = if (pinned) " AND doc_id < 1000000000" else ""
@@ -1932,7 +1940,8 @@ object QueriesData {
        |  SELECT f.id, f.v, bb.i, d.bit
        |  FROM afnf f
        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) bb
-       |  JOIN afd d ON d.id = f.id AND d.v = f.v AND d.d = bb.i % (f.nf - 1)),
+       |  JOIN afd d ON d.id = f.id AND d.v = f.v AND d.d = bb.i % (f.nf - 1)
+       |  WHERE f.nf >= 2),
        |afp AS (
        |  SELECT nf.id * 2 + nf.v AS media_id,
        |    CAST(nf.nf AS INT) AS n_frames,
@@ -1940,7 +1949,10 @@ object QueriesData {
        |      WHEN b.i = 63 THEN -9223372036854775808
        |      ELSE (CAST(1 AS BIGINT) << CAST(b.i AS INT)) END) AS BIGINT) AS fingerprint
        |  FROM afnf nf JOIN afb b ON b.id = nf.id AND b.v = nf.v
-       |  GROUP BY nf.id, nf.v, nf.nf)""".stripMargin
+       |  GROUP BY nf.id, nf.v, nf.nf
+       |  UNION ALL
+       |  SELECT id * 2 + v, CAST(nf AS INT), CAST(0 AS BIGINT)
+       |  FROM afnf WHERE nf < 2)""".stripMargin
   }
 
   private val audioFingerprintOracle: String =

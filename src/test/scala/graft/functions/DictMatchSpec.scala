@@ -48,6 +48,22 @@ class DictMatchSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("empty patterns")))
   }
 
+  test("NULL pattern elements and a NULL patterns literal are rejected with a named error") {
+    // Analysis-time rejection: containsNull arrays pass the type match,
+    // so without the explicit check this would NPE in the Automaton
+    // builder on an executor.
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT dict_match('tail', array('a', CAST(NULL AS STRING)))").collect()
+    }
+    assert(e1.getMessage.contains("NULL pattern") ||
+      Option(e1.getCause).exists(_.getMessage.contains("NULL pattern")), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT dict_match('tail', CAST(NULL AS ARRAY<STRING>))").collect()
+    }
+    assert(e2.getMessage.contains("NULL literal") ||
+      Option(e2.getCause).exists(_.getMessage.contains("NULL literal")), e2.getMessage)
+  }
+
   test("runs inside whole-stage codegen (no fallback)") {
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     try {

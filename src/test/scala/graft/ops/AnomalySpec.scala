@@ -94,6 +94,18 @@ class AnomalySpec extends AnyFunSuite {
     assert(grouped == global)
   }
 
+  test("grouped cusum fails loud on Long overflow instead of wrapping") {
+    // Two MaxValue points with k=0: a plain long window sum would wrap
+    // to negative silently; the decimal prefix sum + range-checked cast
+    // must raise instead (parity with cusum's addExact contract).
+    val df = Seq(("g", 1L, Long.MaxValue), ("g", 2L, Long.MaxValue)).toDF("g", "t", "v")
+    val e = intercept[Exception] {
+      Anomaly.cusumByGroup(df, "g", "t", "v", k = 0L, h = 1L).collect()
+    }
+    assert(e.getMessage.contains("overflowed Long") ||
+      Option(e.getCause).exists(_.getMessage.contains("overflowed Long")), e.getMessage)
+  }
+
   test("cusum fails loud on NULL values") {
     val df = spark.sql("SELECT 1L AS t, CAST(NULL AS BIGINT) AS v")
     val e = intercept[Exception] { Anomaly.cusum(df, "t", "v", 0L, 1L).collect() }
