@@ -43,12 +43,13 @@ object Bench {
     "q_mm_avi_roundtrip",
     "q_text_dup_spans",
     // Headline SemDeDup is the star-capped form (the scale-safe
-    // default); the explicitly-labeled uncapped twin stays benched as
-    // the worst-case demonstration — at the 10× replica's verbatim
-    // embedding twins its quadratic within-cell verification term ran
-    // ~1.4× of linear while the capped headline stayed at ~0.2×.
+    // default). Its uncapped twin is quarantined as
+    // q_demo_sem_dedup_uncapped and is deliberately NOT here: its
+    // quadratic within-cell term DNF'd a 20-minute bound at the 100×
+    // replica (bench_100x_uncapped_r08.json) — it exists only as the
+    // registered exactness demonstration for the cap, never as a
+    // headline. Do not re-add any q_demo_-prefixed name to this list.
     "q_sem_dedup",
-    "q_sem_dedup_uncapped",
     "q_text_html_extract",
     "q_graph_pagerank",
     "q_cohort_retention",
@@ -101,9 +102,16 @@ object Bench {
     // Dev-only: comma-separated subset of headline to run (default all).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val selected = headline.filter(n => only.forall(_.contains(n)))
+    // Dev knob for scale experiments: shuffle partitions default to
+    // the core count (right for the sf0.1 headline), but at replica
+    // scale per-TASK volume grows with the data and the window/sort
+    // stages start spilling — on a real cluster shuffle.partitions
+    // follows data size, so SPARK_GRAFT_SHUFFLE lets a 100× run use a
+    // data-sized partition count without touching the headline config.
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       // At bench SFs most post-shuffle stages are kilobytes; AQE's
       // parallelismFirst default keeps them at `cpus` partitions and
       // the per-task overhead dominates. Let AQE coalesce to target
@@ -143,11 +151,25 @@ object Bench {
         runOnce("/root/testdata/sf0.001") // warm-up; error (if any) resurfaces below
         // Median of `passes` timed runs in one JVM: a single shared-box
         // load spike poisons one pass, not the reported number.
-        val timed = (1 to passes).map { _ =>
+        def timeOnce(): (Double, Option[String]) = {
           val t0 = System.nanoTime()
           val err = runOnce(sfDir)
           ((System.nanoTime() - t0) / 1e9, err)
         }
+        val base = (1 to passes).map(_ => timeOnce())
+        // Deflake the sub-2 s tail: on a shared box a single background
+        // spike moves a 0.9 s query by 1.5×, and with 3 passes the
+        // median still lands on the spike often enough that
+        // round-over-round comparisons trip on phantom regressions
+        // (q_quality_classifier 0.95→1.56 s on identical code). Extra
+        // passes are cheap exactly where they are needed — only
+        // queries whose base median is already under 2 s get them.
+        val baseMed = base.map(_._1).sorted.apply(base.length / 2)
+        val extra =
+          if (baseMed < 2.0 && base.length < 5 && base.forall(_._2.isEmpty))
+            (base.length until 5).map(_ => timeOnce())
+          else Seq.empty
+        val timed = base ++ extra
         val firstErr = timed.flatMap(_._2).headOption
         val sorted = timed.map(_._1).sorted
         val median = sorted(sorted.length / 2)

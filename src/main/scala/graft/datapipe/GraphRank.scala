@@ -42,20 +42,26 @@ object GraphRank {
     * only — localCheckpoint truncates lineage into executor-local
     * non-replicated blocks, so it does NOT bound recomputation under
     * executor LOSS (a lost executor's blocks are unrecoverable and
-    * the job fails); use a reliable `checkpoint()` to durable storage
-    * if recompute-bounded fault tolerance is required. k = 10 keeps
-    * the benched 10-iteration oracle on a single unbroken lineage —
-    * identical plan to previous rounds — while capping anything
-    * deeper.
+    * the job fails). `reliable = true` routes every materialization
+    * through [[graft.util.Materialize.reliable]] — a `checkpoint()`
+    * to the session's configured checkpoint directory — so on a real
+    * cluster a lost executor costs a re-read of durable state instead
+    * of the whole run; scores are bit-identical either way (the
+    * integer grid leaves no room for drift, and the spec hash-checks
+    * it). k = 10 keeps the benched 10-iteration oracle on a single
+    * unbroken lineage — identical plan to previous rounds — while
+    * capping anything deeper.
     */
   def pageRank(nodes: DataFrame, nodeCol: String,
                edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, scale: Long = 1000000000000L,
-               checkpointEvery: Int = 10): DataFrame = {
+               checkpointEvery: Int = 10, reliable: Boolean = false): DataFrame = {
     require(iters >= 1, "need at least one iteration")
     require(scale >= 1000000L && scale <= 10000000000000L,
       s"scale must keep r*85 inside a long with headroom, got $scale")
     require(checkpointEvery >= 1, "checkpointEvery must be positive")
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) graft.util.Materialize.reliable(df) else graft.util.Materialize.once(df)
     val n = nodes.agg(count(lit(1)).as("__n"))
     // The two NODE-sized side tables every iteration re-reads —
     // (node, out-degree, teleport, r0) — materialize ONCE. Referencing
@@ -67,7 +73,7 @@ object GraphRank {
     // table itself deliberately stays a plain per-iteration scan: it
     // is the 100 TB side, and riding its (ideally bucketed-by-src)
     // storage layout IS the design — see the bucketed headline twin.
-    val base = graft.util.Materialize.once(
+    val base = materialize(
       nodes.select(col(nodeCol).as("node")).crossJoin(broadcast(n))
         .join(edges.groupBy(col(srcCol).as("node")).agg(count(lit(1)).as("__deg")),
           Seq("node"), "left")
@@ -84,7 +90,7 @@ object GraphRank {
       scores = base.select(col("node"), col("__t")).join(sums, Seq("node"), "left")
         .select(col("node"), (col("__t") + coalesce(col("__s"), lit(0L))).as("r"))
       if (i % checkpointEvery == 0 && i < iters)
-        scores = graft.util.Materialize.once(scores)
+        scores = materialize(scores)
     }
     scores
   }

@@ -98,12 +98,28 @@ object Pipelines {
     // The old shape (two aggregations + EXCEPT + three left joins of
     // derived sets) shuffled the claims table five ways; this shuffles
     // it once and filters/branches on the flags.
+    //
+    // Per-task memory is the scale constraint here (the 100× replica
+    // once needed a 4× heap): every full-partition SORT in the window
+    // stage holds the task's whole slice, so the windows are declared
+    // to SHARE sorts. __nodx is order-independent (a whole-partition
+    // max), but declaring it over wGroup's exact (svc, shipdate,
+    // linenumber, uid) order with an explicit unbounded frame makes its
+    // required child ordering identical to __rn's — one sort serves
+    // both, whatever order the optimizer stacks the Window nodes in.
+    // The explicit repartition on the visit prefix guarantees the ONE
+    // exchange regardless of that stacking (a bottom wGroup window
+    // would otherwise make EnsureRequirements key the exchange on
+    // (visit, svc) and force a second one for the visit-level gate).
     import org.apache.spark.sql.expressions.Window
     val wVisit = Window.partitionBy(col("visit_id"))
+      .orderBy(col("svc").asc, col("l_shipdate").asc, col("l_linenumber").asc, col("uid").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val wGroup = Window.partitionBy(col("visit_id"), col("svc"))
       .orderBy(col("l_shipdate").asc, col("l_linenumber").asc, col("uid").asc)
     val wUid = Window.partitionBy(col("visit_id"), col("uid"))
     val annotated = claims
+      .repartition(col("visit_id"))
       .withColumn("__nodx", max(col("icd10").isNull.cast("int")).over(wVisit))
       .withColumn("__rn", row_number().over(wGroup))
       .withColumn("__dup", (min(col("__rn")).over(wUid) > 1).cast("int"))
@@ -116,6 +132,16 @@ object Pipelines {
     val llmInput = graft.util.Materialize.once(
       annotated.filter(col("__nodx") === 0 && col("__dup") === 0)
         .select(col("visit_id"), col("uid")))
+    // Join-back by uid. Measured dead end recorded here so it is not
+    // re-tried: condensing the LLM output to per-visit uid→prediction
+    // maps (collect_list + map_from_entries, join on visit alone) DOES
+    // leave the fact side exchange-free into the merge join — but the
+    // LLM output is LINEAR in kept claims, so the map build is an
+    // object-hash aggregation over the whole fan-out output and a raw
+    // (pre-dedup, no partial-agg) shuffle of it: 4.5× slower at the
+    // 100× replica (457 s vs ~100 s) than just re-shuffling the
+    // narrow annotated table on uid. The uid SMJ keeps map-side
+    // partial dedup on the predicted side and codegen'd sorts on both.
     val predicted = LlmFanout.predict(llmInput, "visit_id", "uid", () => new MockLlmClient())
       .select(col("uid"), col("medical_prediction"), col("reason"))
       .dropDuplicates("uid")

@@ -1119,10 +1119,13 @@ object QueriesData {
     // Same fixture with the cap explicitly DISABLED — the labeled
     // worst-case demonstration of what the star cap buys: within-cell
     // pairs go quadratic on a duplicate-heavy corpus (1.44× of linear
-    // at the 10× replica vs 0.21× capped, round-7 side-by-side). Not
-    // the default anywhere; kept benched so the comparison stays
-    // current.
-    "q_sem_dedup_uncapped" -> ((s, dir) => {
+    // at the 10× replica vs 0.21× capped; at the 100× replica it DNF'd
+    // a 20-minute bound while the capped default finished in 9.0 s —
+    // bench_100x_uncapped_r08.json). The q_demo_ prefix is the
+    // quarantine: Bench treats a headline name missing from the
+    // registry as an ERROR row, and review treats any q_demo_ name in
+    // a headline list the same way — this plan must never re-enter one.
+    "q_demo_sem_dedup_uncapped" -> ((s, dir) => {
       val vecs = TestTables.documents(s, dir).select(col("doc_id").as("id"),
         transform(sequence(lit(0), lit(15)),
           d => when(d === col("doc_id") % 16, (col("doc_id") + 1).cast("double"))
@@ -2799,7 +2802,7 @@ object QueriesData {
         |  CAST(count(*) - 1 AS BIGINT) AS n_dropped
         |FROM documents GROUP BY doc_id % 16 ORDER BY id""".stripMargin,
 
-    "q_sem_dedup_uncapped" ->
+    "q_demo_sem_dedup_uncapped" ->
       """SELECT CAST(min(doc_id) AS BIGINT) AS id,
         |  CAST(count(*) - 1 AS BIGINT) AS n_dropped
         |FROM documents GROUP BY doc_id % 16 ORDER BY id""".stripMargin,

@@ -36,4 +36,29 @@ object Materialize {
     * materialized blocks. Safe to consume from any number of branches.
     */
   def once(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+
+  /** Executor-loss-tolerant variant of [[once]]: a reliable
+    * `checkpoint()` writes the materialized rows to the session's
+    * checkpoint directory (durable storage on a real cluster), so a
+    * lost executor costs a re-read instead of a failed job. The
+    * trade is a full write+read of the dataset versus [[once]]'s
+    * in-memory blocks — pay it for long iterative lineages
+    * (50-iteration PageRank on a 1000-executor run) where the
+    * fail-stop behavior of localCheckpoint means ANY executor loss
+    * kills hours of work; keep [[once]] for short-lived
+    * side-effecting stages where fail-stop is the correct contract
+    * (re-firing external calls is worse than failing).
+    *
+    * `dir`, when given, is set as the context's checkpoint directory
+    * first; otherwise one must already be configured
+    * (`sparkContext.setCheckpointDir`) — checked loudly here rather
+    * than failing inside the job.
+    */
+  def reliable(df: DataFrame, dir: Option[String] = None): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    dir.foreach(sc.setCheckpointDir)
+    require(sc.getCheckpointDir.isDefined,
+      "Materialize.reliable needs a checkpoint directory: pass dir or call sparkContext.setCheckpointDir first")
+    df.checkpoint(eager = true)
+  }
 }

@@ -65,6 +65,45 @@ class GraphRankSpec extends AnyFunSuite {
       s"deep iteration must be rooted at a materialized segment:\n$planStr")
   }
 
+  test("reliable checkpointing (durable dir) leaves scores bit-identical to localCheckpoint") {
+    // The executor-loss knob: reliable = true swaps localCheckpoint's
+    // executor-local blocks for a checkpoint() write to durable
+    // storage. Same cadence, same integer grid — the scores (and the
+    // SSSP distances below) must not move by a single unit, and the
+    // checkpoint dir must actually receive the RDD state.
+    val dir = graft.util.TempDirs.scratch("graft_reliable_ckpt")
+    spark.sparkContext.setCheckpointDir(dir)
+    val nodes = (0L until 32L).toSeq
+    val edges = nodes.flatMap(i => (1L to 1L + i % 3).map(k => (i, (i * 31 + 97 * k) % 32)))
+    val local = GraphRank.pageRank(nodes.toDF("v"), "v", edges.toDF("s", "d"), "s", "d",
+        iters = 12, checkpointEvery = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val durable = GraphRank.pageRank(nodes.toDF("v"), "v", edges.toDF("s", "d"), "s", "d",
+        iters = 12, checkpointEvery = 3, reliable = true)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(local == durable, "reliable materialization must not change a single grid unit")
+    val wrote = new java.io.File(dir).listFiles()
+    assert(wrote != null && wrote.nonEmpty, s"checkpoint dir $dir must hold durable RDD state")
+
+    val ew = edges.map { case (s, d) => (s, d, 1L + (s + d) % 7) }.toDF("s", "d", "w")
+    val src = Seq(0L, 5L).toDF("n")
+    val sLocal = ShortestPaths.distances(src, "n", ew, "s", "d", "w", iters = 6, checkpointEvery = 2)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val sDurable = ShortestPaths.distances(src, "n", ew, "s", "d", "w", iters = 6,
+        checkpointEvery = 2, reliable = true)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(sLocal == sDurable, "reliable SSSP must match localCheckpoint distances exactly")
+  }
+
+  test("reliable materialization with an explicit dir configures and uses that dir") {
+    val dir = graft.util.TempDirs.scratch("graft_reliable_explicit")
+    val out = graft.util.Materialize.reliable(
+      (0L until 100L).toDF("x"), dir = Some(dir))
+    assert(out.as[Long].collect().sorted.toSeq == (0L until 100L))
+    val wrote = new java.io.File(dir).listFiles()
+    assert(wrote != null && wrote.nonEmpty, s"explicit checkpoint dir $dir must hold the state")
+  }
+
   test("bucketed-by-src edges make the per-iteration edge join and degree agg exchange-free") {
     // The README claim locked as a test: persist edges bucketed on the
     // source key and each PageRank iteration plans NO exchange on the

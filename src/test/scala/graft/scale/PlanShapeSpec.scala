@@ -227,6 +227,12 @@ class PlanShapeSpec extends AnyFunSuite {
     // budget downward — the assertion is two-sided so the pins can't
     // silently go stale.
     val budgets: Map[String, (Int, Int)] = Map( // name -> (exchanges, parquet scans)
+      // r9: the gate-window stage now shares ONE sort between the
+      // visit-level and (visit, svc) windows (3 full-partition sorts
+      // -> 2), which is what fits the 100× replica in the default
+      // 8 GB heap; exchange/scan counts are unchanged. (A 2-exchange
+      // per-visit-map join variant was measured 4.5× slower at 100× —
+      // see Pipelines.predictions — so 3 is the right pin.)
       "q_pipeline_predictions" -> (3, 1),
       "q_resubmission_full" -> (7, 13),
       "q_pipeline_resubmission" -> (0, 0), // built on materialized inputs

@@ -282,6 +282,35 @@ class ManifestTableSpec extends AnyFunSuite {
     assert(ManifestTable.read(spark, r).count() == 20)
   }
 
+  test("chaos: a crash AT the manifest-commit rename leaves readers on the OLD snapshot; retry converges; vacuum reaps the orphan") {
+    // Real fault injection (not fabricated debris): the faulty://
+    // filesystem throws at the exact commit rename, so the on-disk
+    // state is what a process kill at that instant leaves — a fully
+    // written batch dir plus a .tmp manifest, and NO new version file.
+    spark.sparkContext.hadoopConfiguration.set("fs.faulty.impl", classOf[FaultyFs].getName)
+    val r = "faulty://" + graft.util.TempDirs.scratch("graft_chaos_commit") + "/t"
+    ManifestTable.create(spark, r, mk(1 to 50, "a"), "id")
+    val before = rowsOf(ManifestTable.read(spark, r))
+    FaultyFs.armRename((_, dst) => dst.getName.matches("v\\d{8}\\.manifest"))
+    try {
+      intercept[java.io.IOException] { ManifestTable.upsert(spark, r, mk(40 to 60, "b")) }
+      assert(FaultyFs.didFire, "the injected fault must actually have fired")
+    } finally FaultyFs.disarm()
+    // Readers between the crash and any recovery: OLD snapshot, exactly.
+    assert(ManifestTable.latestVersion(spark, r) == 1L)
+    assert(rowsOf(ManifestTable.read(spark, r)) == before,
+      "a crashed commit must be invisible — old version, no torn mix")
+    // The retried MERGE converges to the same result as if no crash
+    // had happened; the dead attempt's batch stays orphaned until
+    // vacuum, which must remove it without touching referenced files.
+    ManifestTable.upsert(spark, r, mk(40 to 60, "b"))
+    val want = rowsOf(mk(1 to 39, "a").unionByName(mk(40 to 60, "b")))
+    assert(rowsOf(ManifestTable.read(spark, r)) == want)
+    val reaped = ManifestTable.vacuum(spark, r, retainVersions = 10)
+    assert(reaped.nonEmpty, "the crashed attempt's orphan batch must be reaped")
+    assert(rowsOf(ManifestTable.read(spark, r)) == want, "vacuum must not touch referenced files")
+  }
+
   test("guard rails: non-long stats column and double create are rejected") {
     val r = root()
     intercept[IllegalArgumentException] {

@@ -165,6 +165,92 @@ class SinksSpec extends AnyFunSuite {
     assert(graft.sink.Sinks.compactPartitions(spark, dir, "month", maxFiles = 8).isEmpty)
   }
 
+  // Real fault injection for the rename-aside protocol: the faulty://
+  // filesystem throws at an exact protocol rename/delete, leaving the
+  // on-disk state a process kill at that instant would leave (the
+  // debris-fabrication tests above verify recovery from HAND-BUILT
+  // states; these verify the protocol actually PRODUCES those states
+  // when it dies mid-flight).
+  private def faultyPath(tag: String): String = {
+    spark.sparkContext.hadoopConfiguration.set("fs.faulty.impl", classOf[FaultyFs].getName)
+    "faulty://" + java.nio.file.Files.createTempDirectory(tag).toString + "/table"
+  }
+
+  test("chaos: upsertParquet killed between rename-aside and staging rename — nothing lost, next call recovers") {
+    val p = faultyPath("chaos_up1")
+    Sinks.upsertParquet(spark, p, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k")
+    // Only the protocol's staging->live rename has src == <table>.staging
+    // (committer renames live under .staging/_temporary and never end
+    // with ".staging"); it runs AFTER live moved aside — the worst spot.
+    FaultyFs.armRename((src, _) => src.toString.endsWith(".staging"))
+    try {
+      intercept[java.io.IOException] {
+        Sinks.upsertParquet(spark, p, Seq((2L, "B"), (3L, "c")).toDF("k", "v"), "k")
+      }
+      assert(FaultyFs.didFire, "the injected fault must actually have fired")
+    } finally FaultyFs.disarm()
+    // Crash window: live gone, sole copy at .old. The next call's
+    // recovery preamble restores it and the merge converges — no row
+    // of the old table is lost.
+    Sinks.upsertParquet(spark, p, Seq((2L, "B"), (3L, "c")).toDF("k", "v"), "k")
+    val out = spark.read.parquet(p).as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "B", 3L -> "c"), s"recovered merge diverged: $out")
+  }
+
+  test("chaos: upsertParquet killed after the staging rename, before aside cleanup — readers already see NEW") {
+    val p = faultyPath("chaos_up2")
+    Sinks.upsertParquet(spark, p, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "k")
+    // The aside is deleted twice per call (pre-swap "superseded" sweep,
+    // post-swap cleanup): skip the first match to die exactly AFTER the
+    // swap completed.
+    FaultyFs.armDelete(_.toString.endsWith(".old"), skip = 1)
+    try {
+      intercept[java.io.IOException] {
+        Sinks.upsertParquet(spark, p, Seq((2L, "B")).toDF("k", "v"), "k")
+      }
+      assert(FaultyFs.didFire, "the injected fault must actually have fired")
+    } finally FaultyFs.disarm()
+    // The swap was the commit pivot: reads see the NEW table with no
+    // recovery step; the stale .old is invisible and swept next call.
+    assert(spark.read.parquet(p).as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 2L -> "B"))
+    val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(p + ".old")), "crash left the stale aside")
+    Sinks.upsertParquet(spark, p, Seq((3L, "c")).toDF("k", "v"), "k")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(p + ".old")), "next call sweeps the aside")
+    assert(spark.read.parquet(p).as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 2L -> "B", 3L -> "c"))
+  }
+
+  test("chaos: upsertPartitioned killed between ONE partition's two renames — re-run restores and converges") {
+    val p = faultyPath("chaos_pp")
+    Sinks.upsertPartitioned(spark, p,
+      Seq((1L, "a", "m1"), (2L, "b", "m2"), (3L, "c", "m3")).toDF("k", "v", "month"),
+      "k", "month")
+    // The protocol's per-partition staging->live rename has dst exactly
+    // <table>/month=mX (committer renames target <table>.staging/... and
+    // never the live dir). skip = 1: the FIRST touched partition swaps
+    // fully, the SECOND dies after its live copy moved aside — the
+    // mixed old/new mid-loop state the Scaladoc documents.
+    FaultyFs.armRename((src, dst) =>
+      src.toString.contains(".staging") && dst.toString.matches(".*/table/month=m[0-9]"),
+      skip = 1)
+    try {
+      intercept[java.io.IOException] {
+        Sinks.upsertPartitioned(spark, p,
+          Seq((2L, "B", "m2"), (3L, "C", "m3")).toDF("k", "v", "month"), "k", "month")
+      }
+      assert(FaultyFs.didFire, "the injected fault must actually have fired")
+    } finally FaultyFs.disarm()
+    // Re-running the same merge restores the aside partition first and
+    // converges: the already-swapped partition re-merges idempotently
+    // (updates win by key), the crashed one recovers, m1 is untouched.
+    Sinks.upsertPartitioned(spark, p,
+      Seq((2L, "B", "m2"), (3L, "C", "m3")).toDF("k", "v", "month"), "k", "month")
+    val out = spark.read.parquet(p).select($"k", $"v").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "B", 3L -> "C"), s"post-crash merge diverged: $out")
+  }
+
   test("archiveCsv writes a header CSV that reads back") {
     val dir = java.nio.file.Files.createTempDirectory("csv_spec").toString + "/archive"
     Sinks.archiveCsv(Seq((1L, "eligible"), (2L, "out-network")).toDF("visit_id", "class"), dir)
