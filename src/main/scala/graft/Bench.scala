@@ -154,7 +154,18 @@ object Bench {
         def timeOnce(): (Double, Option[String]) = {
           val t0 = System.nanoTime()
           val err = runOnce(sfDir)
-          ((System.nanoTime() - t0) / 1e9, err)
+          val dt = (System.nanoTime() - t0) / 1e9
+          // Free the finished pass's localCheckpoint blocks NOW instead
+          // of waiting for the ContextCleaner's GC-driven sweep: at
+          // replica scale the blocks of 3 same-JVM passes accumulate
+          // faster than the cleaner frees them — measured 301-320 s
+          // per pass vs 117 s in a fresh JVM for
+          // q_pipeline_predictions at 100×/8 GB (the cleaner thread
+          // itself OOM'd in a profiling run). Safe here: the pass's
+          // result was fully written; nothing references its RDDs.
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          (dt, err)
         }
         val base = (1 to passes).map(_ => timeOnce())
         // Deflake the sub-2 s tail: on a shared box a single background

@@ -34,8 +34,18 @@ object Materialize {
 
   /** Run `df`'s plan exactly once and return a frame backed by the
     * materialized blocks. Safe to consume from any number of branches.
+    *
+    * Storage level is env-tunable (GRAFT_MATERIALIZE_LEVEL): the
+    * default MEMORY_AND_DISK matches localCheckpoint's own default;
+    * MEMORY_AND_DISK_SER trades CPU for heap when data-sized
+    * intermediates (LLM fan-out outputs at replica scale) would
+    * otherwise churn a small executor heap.
     */
-  def once(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+  private lazy val onceLevel: org.apache.spark.storage.StorageLevel =
+    org.apache.spark.storage.StorageLevel.fromString(
+      sys.env.getOrElse("GRAFT_MATERIALIZE_LEVEL", "MEMORY_AND_DISK"))
+
+  def once(df: DataFrame): DataFrame = df.localCheckpoint(eager = true, onceLevel)
 
   /** Executor-loss-tolerant variant of [[once]]: a reliable
     * `checkpoint()` writes the materialized rows to the session's
