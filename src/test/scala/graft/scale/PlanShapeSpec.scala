@@ -105,6 +105,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans == 1, s"claims must be scanned exactly once in the final plan, found $scans:\n$plan")
     val windows = "Window".r.findAllIn(plan).length
     assert(windows == 3, s"three gate windows over the single scan, found $windows")
+    // r9 memory fix, locked: the visit-level gate is declared over the
+    // dedup window's exact ordering (explicit unbounded frame), so the
+    // WINDOW STAGE plans exactly TWO full-partition sorts — the shared
+    // (visit, svc, shipdate, linenumber, uid) sort under both gate
+    // windows and the (visit, uid) sort under the dup window. A third
+    // window-stage sort is the regression that re-inflated per-task
+    // memory at the 100× replica (needed a 4× heap before r9). Total
+    // Sort operators in the plan: those 2, plus the merge join's
+    // per-side (uid) sorts in the join stage — 4. Anything above 4
+    // means a window stopped sharing or the join grew a sort.
+    val sorts = "\\+- Sort ".r.findAllIn(plan).length
+    assert(sorts == 4, s"expected exactly 4 Sort operators (2 window-stage + 2 join), found $sorts:\n$plan")
   }
 
   test("incremental watermark cut pushes to the parquet scan via the raw predicate") {
