@@ -12,7 +12,10 @@ import org.apache.hadoop.fs.permission.FsPermission
   * protocol paths (manifest version files, aside dirs, staging dirs)
   * so Spark's own committer renames under `_temporary` never trip
   * them. State is static because Hadoop caches FileSystem instances
-  * per scheme and local-mode executors share the JVM.
+  * per scheme and local-mode executors share the JVM. The one-shot
+  * arm/disarm design assumes suites run SEQUENTIALLY in the forked
+  * test JVM (sbt's forked default, testForkedParallel = false): two
+  * suites arming concurrently would clobber each other's trigger.
   */
 class FaultyFs extends RawLocalFileSystem {
   override def getScheme: String = "faulty"
