@@ -54,6 +54,12 @@ object Excel {
     * boundary format; `maxRows` fails loudly rather than OOM) as a
     * single-sheet .xlsx with a header row. Numeric columns become
     * number cells, everything else inline strings; nulls are blank.
+    *
+    * Report formatting matches the reference's openpyxl writer
+    * (resubmission_recovery.py:432-440): per-column width = longest
+    * cell + 4 capped at 80, and the header row frozen (pane split at
+    * A2) — both are worksheet-level XML, so the JDK-only writer needs
+    * no styles part.
     */
   def write(df: DataFrame, path: String, maxRows: Int = 1000000): Unit = {
     val schema = df.schema
@@ -91,9 +97,27 @@ object Excel {
           |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
           |</Relationships>""".stripMargin)
 
+      // Reference-parity report formatting (schema order matters:
+      // sheetViews, then cols, then sheetData). Width unit is Excel's
+      // "characters", the same unit openpyxl's column_dimensions uses.
+      val colWidths = schema.fieldNames.indices.map { c =>
+        val headerLen = schema.fieldNames(c).length
+        val maxLen = it.foldLeft(headerLen) { (m, row) =>
+          if (row.isNullAt(c)) m else math.max(m, row.get(c).toString.length)
+        }
+        math.min(maxLen + 4, 80)
+      }
       val sheet = new StringBuilder
       sheet ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
-      sheet ++= """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>"""
+      sheet ++= """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">"""
+      sheet ++= """<sheetViews><sheetView workbookViewId="0">"""
+      sheet ++= """<pane ySplit="1" topLeftCell="A2" activePane="bottomLeft" state="frozen"/>"""
+      sheet ++= """</sheetView></sheetViews>"""
+      sheet ++= "<cols>"
+      colWidths.zipWithIndex.foreach { case (w, c) =>
+        sheet ++= s"""<col min="${c + 1}" max="${c + 1}" width="$w" customWidth="1"/>"""
+      }
+      sheet ++= "</cols><sheetData>"
       def strCell(ref: String, v: String): String =
         s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(v)}</t></is></c>"""
       def numCell(ref: String, v: String): String = s"""<c r="$ref" t="n"><v>$v</v></c>"""
