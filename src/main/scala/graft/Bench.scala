@@ -96,12 +96,32 @@ object Bench {
     // regardless of dictionary size (vs k LIKE scans).
     "q_text_dict_match")
 
+  /** Queries whose timed section includes the mock LLM / service
+    * fan-out (EnrichOperator mapPartitions + localCheckpoint): their
+    * run-to-run variance on a shared box exceeds the sub-2 s deflake
+    * tier's, and rounds 8→9 showed them as the only phantom
+    * round-over-round movers. They always get the full 5 passes.
+    */
+  val fanoutFamily: Set[String] = Set(
+    "q_resubmission_full", "q_pipeline_eligibility", "q_pipeline_predictions",
+    "q_pipeline_resubmission", "q_c4_llm_predictions")
+
+  /** Bench selection is guarded BY CONSTRUCTION against `q_demo_*`
+    * names: those are registered exactness demonstrations whose plans
+    * are documented scale-killers (all-pairs SemDedup DNF'd the 100×
+    * replica) — a future edit that re-adds one to `headline` (or an
+    * SPARK_GRAFT_ONLY that names one) must not silently turn it into
+    * a headline number.
+    */
+  private[graft] def select(names: Seq[String], only: Option[Set[String]]): Seq[String] =
+    names.filter(n => only.forall(_.contains(n))).filterNot(_.startsWith("q_demo_"))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Dev-only: comma-separated subset of headline to run (default all).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
-    val selected = headline.filter(n => only.forall(_.contains(n)))
+    val selected = select(headline, only)
     // Dev knob for scale experiments: shuffle partitions default to
     // the core count (right for the sf0.1 headline), but at replica
     // scale per-TASK volume grows with the data and the window/sort
@@ -152,6 +172,15 @@ object Bench {
         // Median of `passes` timed runs in one JVM: a single shared-box
         // load spike poisons one pass, not the reported number.
         def timeOnce(): (Double, Option[String]) = {
+          // Snapshot what was persisted BEFORE the pass so the sweep
+          // below can free only blocks this pass created. INVARIANT
+          // guarded by the scoping: a localCheckpointed RDD has
+          // truncated lineage, so once its blocks are dropped it is
+          // permanently unusable — any future cross-pass/cross-query
+          // memoized Materialize result would die with "checkpoint
+          // block not found" under an indiscriminate sweep, not
+          // recompute.
+          val preExisting = spark.sparkContext.getPersistentRDDs.keySet
           val t0 = System.nanoTime()
           val err = runOnce(sfDir)
           val dt = (System.nanoTime() - t0) / 1e9
@@ -161,10 +190,13 @@ object Bench {
           // faster than the cleaner frees them — measured 301-320 s
           // per pass vs 117 s in a fresh JVM for
           // q_pipeline_predictions at 100×/8 GB (the cleaner thread
-          // itself OOM'd in a profiling run). Safe here: the pass's
-          // result was fully written; nothing references its RDDs.
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
+          // itself OOM'd in a profiling run). Safe for PASS-SCOPED
+          // RDDs: the pass's result was fully written and nothing
+          // references them.
+          spark.sparkContext.getPersistentRDDs
+            .foreach { case (id, rdd) =>
+              if (!preExisting.contains(id)) rdd.unpersist(blocking = false)
+            }
           (dt, err)
         }
         val base = (1 to passes).map(_ => timeOnce())
@@ -173,11 +205,14 @@ object Bench {
         // median still lands on the spike often enough that
         // round-over-round comparisons trip on phantom regressions
         // (q_quality_classifier 0.95→1.56 s on identical code). Extra
-        // passes are cheap exactly where they are needed — only
-        // queries whose base median is already under 2 s get them.
+        // passes are cheap exactly where they are needed — queries
+        // whose base median is already under 2 s, plus the mock
+        // fan-out family, whose 3-4 s medians were the only remaining
+        // round-over-round movers at 3 passes (r8→r9: ±0.7 s swings
+        // on identical code).
         val baseMed = base.map(_._1).sorted.apply(base.length / 2)
         val extra =
-          if (baseMed < 2.0 && base.length < 5 && base.forall(_._2.isEmpty))
+          if ((baseMed < 2.0 || fanoutFamily(name)) && base.length < 5 && base.forall(_._2.isEmpty))
             (base.length until 5).map(_ => timeOnce())
           else Seq.empty
         val timed = base ++ extra

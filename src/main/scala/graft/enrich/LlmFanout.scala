@@ -72,7 +72,7 @@ object LlmFanout {
     // Consumed twice downstream (failed-visit set + per-uid texts) —
     // materialize so the LLM stage runs exactly once and its blocks
     // are auto-freed once the query's result is dropped.
-    graft.util.Materialize.once(exploded)
+    graft.util.Materialize.stage(exploded)
   }
 
   /** C4: predictions. Appends `medical_prediction`
@@ -83,7 +83,7 @@ object LlmFanout {
               cfg: EnrichOperator.Config = EnrichOperator.Config(),
               metrics: Option[EnrichOperator.Metrics] = None): DataFrame = {
     val exploded = callPerVisit(claims, visitCol, uidCol, "Rejected", makeClient, cfg, metrics)
-    val failedVisits = graft.util.Materialize.once(
+    val failedVisits = graft.util.Materialize.stage(
       exploded.filter(col("__failed") === 1).select(col("__visit")).distinct())
     // Cast the (small) response side back to the claims' key type —
     // casting the fact side per row would both cost and break any
@@ -113,7 +113,7 @@ object LlmFanout {
               cfg: EnrichOperator.Config = EnrichOperator.Config(),
               metrics: Option[EnrichOperator.Metrics] = None): DataFrame = {
     val exploded = callPerVisit(claims, visitCol, uidCol, "Justifications", makeClient, cfg, metrics)
-    val failedVisits = graft.util.Materialize.once(
+    val failedVisits = graft.util.Materialize.stage(
       exploded.filter(col("__failed") === 1).select(col("__visit")).distinct())
     val texts = exploded.filter(col("__uid").isNotNull)
       .select(col("__uid").try_cast(claims.schema(uidCol).dataType.sql).as("__uid"), col("__text"))

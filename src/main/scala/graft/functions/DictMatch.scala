@@ -39,16 +39,21 @@ case class DictMatch(left: Expression, right: Expression) extends BinaryExpressi
           // NULL elements HERE, with a named error, instead of letting the
           // Automaton builder NPE opaquely on an executor (ArrayType
           // containsNull=true passes the type match, so the shape check
-          // alone does not cover this).
-          right.eval(InternalRow.empty) match {
-            case null => TypeCheckResult.TypeCheckFailure(
+          // alone does not cover this). Foldable does not mean eval-safe:
+          // an ANSI-mode error inside the literal (overflowing arithmetic,
+          // bad cast) would otherwise escape the ANALYZER as a raw runtime
+          // exception — fold that into a named failure too.
+          scala.util.Try(right.eval(InternalRow.empty)) match {
+            case scala.util.Failure(e) => TypeCheckResult.TypeCheckFailure(
+              s"$prettyName: patterns literal failed to evaluate: ${e.getMessage}")
+            case scala.util.Success(null) => TypeCheckResult.TypeCheckFailure(
               s"$prettyName: patterns must not be a NULL literal")
-            case arr: ArrayData =>
+            case scala.util.Success(arr: ArrayData) =>
               val nulls = (0 until arr.numElements()).filter(arr.isNullAt)
               if (nulls.nonEmpty) TypeCheckResult.TypeCheckFailure(
                 s"$prettyName: NULL pattern elements are not allowed (at index ${nulls.head})")
               else TypeCheckResult.TypeCheckSuccess
-            case other => TypeCheckResult.TypeCheckFailure(
+            case scala.util.Success(other) => TypeCheckResult.TypeCheckFailure(
               s"$prettyName: patterns literal evaluated to unexpected ${other.getClass.getName}")
           }
         }

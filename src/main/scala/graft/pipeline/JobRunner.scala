@@ -36,8 +36,24 @@ object JobRunner {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional 4th arg (or GRAFT_CHECKPOINT_DIR): a durable checkpoint
+    // directory. When given, every pipeline stage boundary
+    // materializes via Materialize.reliable instead of localCheckpoint
+    // blocks — executor loss mid-LLM-stage then costs a re-read of
+    // durable storage, not the job (the right trade for a long
+    // production run; bench/test runs keep the fail-stop default).
+    args.drop(3).headOption.orElse(sys.env.get("GRAFT_CHECKPOINT_DIR"))
+      .foreach(d => enableReliable(spark, d))
     try runNotified(spark, job, sfDir, outDir, new FileNotifier(s"$outDir/_notifications"))
     finally spark.stop()
+  }
+
+  /** Route all Materialize.stage boundaries through durable
+    * checkpoints rooted at `dir` for this session.
+    */
+  def enableReliable(spark: SparkSession, dir: String): Unit = {
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(graft.util.Materialize.reliableConf, "true")
   }
 
   /** E5 wrapper: a failed run leaves a durable notification record and

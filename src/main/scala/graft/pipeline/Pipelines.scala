@@ -28,7 +28,7 @@ object Pipelines {
     val enrichCfg = EnrichOperator.Config(maxAttempts = 2)
 
     // extract_data — shared by both transforms, so materialize once (E6).
-    val base = graft.util.Materialize.once(
+    val base = graft.util.Materialize.stage(
       EligibilityExtract.build(spark, dir).select(col("visit_id"), col("patient_id")))
 
     // transform_iqama (C1): per-unique-patient insurance lookup.
@@ -36,7 +36,7 @@ object Pipelines {
     // external calls, and a caller running more than one action over
     // the returned frame (count + write, gate + sink) would otherwise
     // re-execute the lookup per action through bare lineage.
-    val iqama = graft.util.Materialize.once(
+    val iqama = graft.util.Materialize.stage(
       EnrichOperator.enrichUniqueKeys(base, "patient_id",
           () => new MockBeneficiaryClient(), enrichCfg)
         .select(col("visit_id"),
@@ -51,7 +51,7 @@ object Pipelines {
     // Materialized: the quality gate is an action over this branch and
     // the final join consumes it again — without materialization the
     // gate would re-fire every eligibility submit call.
-    val elig = graft.util.Materialize.once(submitted.select(
+    val elig = graft.util.Materialize.stage(submitted.select(
       col("visit_id").as("__ev"),
       FhirParser.outcome(b).as("outcome"),
       FhirParser.siteEligibility(b).as("class"),
@@ -129,7 +129,7 @@ object Pipelines {
     // lineage (predict's internal join-back would otherwise recompute
     // the whole annotated subtree a second time — PlanAudit showed the
     // scan+windows duplicated in the final plan).
-    val llmInput = graft.util.Materialize.once(
+    val llmInput = graft.util.Materialize.stage(
       annotated.filter(col("__nodx") === 0 && col("__dup") === 0)
         .select(col("visit_id"), col("uid")))
     // Join-back by uid. Measured dead end recorded here so it is not
@@ -173,7 +173,7 @@ object Pipelines {
     // fan-out's grouping AND its join-back both consume it, and its
     // lineage is the deepest plan in the engine (union of window
     // branches over the star join).
-    val claims = graft.util.Materialize.once(ResubmissionExtract.full(spark, dir))
+    val claims = graft.util.Materialize.stage(ResubmissionExtract.full(spark, dir))
     val justified = LlmFanout.justify(claims, "visit_id", "visit_service_id", () => new MockJustifyClient())
       .select(col("visit_id"), col("seq_no"), col("visit_service_id"), col("service_name"),
         col("justification_type"), col("reason"), col("reason_code"), col("status"), col("justification"))

@@ -71,4 +71,24 @@ object Materialize {
       "Materialize.reliable needs a checkpoint directory: pass dir or call sparkContext.setCheckpointDir first")
     df.checkpoint(eager = true)
   }
+
+  /** Session conf selecting the materialization mode for PIPELINE
+    * stages (see [[stage]]). Off by default: [[once]]'s fail-stop is
+    * the correct bench/test contract; a long production run on a real
+    * cluster turns this on (JobRunner threads it from its checkpoint
+    * argument) so an executor loss mid-LLM-stage costs a re-read of
+    * durable blocks instead of the whole job.
+    */
+  val reliableConf = "spark.graft.materialize.reliable"
+
+  /** Mode-switched materialization for pipeline stage boundaries:
+    * [[reliable]] when `spark.graft.materialize.reliable` is true
+    * (requires a configured checkpoint dir — enforced loudly there),
+    * [[once]] otherwise. Both give the same exactly-once semantics
+    * for side-effecting stages; they differ only in where the blocks
+    * live and what an executor loss costs.
+    */
+  def stage(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get(reliableConf, "false").toBoolean) reliable(df)
+    else once(df)
 }

@@ -142,4 +142,27 @@ class JobRunnerSpec extends AnyFunSuite {
   test("unknown job name fails loudly") {
     intercept[IllegalArgumentException] { JobRunner.run(spark, "nope", "/root/testdata/sf0.001", tmp()) }
   }
+
+  test("reliable stage materialization: durable checkpoints, hash-identical pipeline output") {
+    // JobRunner's checkpoint flag flips every Materialize.stage
+    // boundary from localCheckpoint blocks to durable checkpoint()
+    // files — executor-loss tolerance must be a pure storage swap,
+    // never a semantic one.
+    val dir = "/root/testdata/sf0.001"
+    def result(): Seq[String] =
+      graft.pipeline.Pipelines.predictions(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+    val failStop = result()
+    val ckpt = tmp()
+    JobRunner.enableReliable(spark, ckpt)
+    try {
+      assert(result() == failStop, "reliable mode changed the pipeline output")
+      // The blocks must actually be durable (files under the dir),
+      // or the executor-loss claim is vacuous.
+      import scala.jdk.CollectionConverters._
+      val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .iterator().asScala.count(_.getFileName.toString.startsWith("rdd-"))
+      assert(rddDirs > 0, s"no durable checkpoint blocks written under $ckpt")
+    } finally spark.conf.set(graft.util.Materialize.reliableConf, "false")
+  }
 }

@@ -112,11 +112,17 @@ class PlanShapeSpec extends AnyFunSuite {
     // windows and the (visit, uid) sort under the dup window. A third
     // window-stage sort is the regression that re-inflated per-task
     // memory at the 100× replica (needed a 4× heap before r9). Total
-    // Sort operators in the plan: those 2, plus the merge join's
-    // per-side (uid) sorts in the join stage — 4. Anything above 4
-    // means a window stopped sharing or the join grew a sort.
-    val sorts = "\\+- Sort ".r.findAllIn(plan).length
-    assert(sorts == 4, s"expected exactly 4 Sort operators (2 window-stage + 2 join), found $sorts:\n$plan")
+    // Sort operators in the plan: those 2, plus THREE uid sorts in the
+    // join stages (both sides of the fan-out's internal rejections SMJ
+    // and the annotated side of the outer join-back; the predicted
+    // side's dedup agg feeds the outer SMJ through one of them) — 5.
+    // Anything above 5 means a window stopped sharing or a join grew
+    // a sort. Count BOTH treeString child prefixes: a Sort that is the
+    // FIRST child of a binary node renders as `:- Sort`, and counting
+    // only `+- Sort` silently missed the outer SMJ's left-side sort —
+    // the pre-r10 pin said 4 while the plan truly held 5.
+    val sorts = "[+:]- Sort ".r.findAllIn(plan).length
+    assert(sorts == 5, s"expected exactly 5 Sort operators (2 window-stage + 3 join), found $sorts:\n$plan")
   }
 
   test("incremental watermark cut pushes to the parquet scan via the raw predicate") {
@@ -222,6 +228,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"pure per-row pipeline must not shuffle:\n$plan")
     // "*(1)" is the WholeStageCodegen stage marker in the plan string.
     assert(plan.contains("*(1) Project"), s"projection fell out of codegen:\n$plan")
+  }
+
+  test("bench selection excludes q_demo_* by construction") {
+    // The demo twins are registered scale-killers (all-pairs SemDedup
+    // DNF'd the 100× replica): the guard lives in Bench.select, not in
+    // list omission, so neither a headline edit nor SPARK_GRAFT_ONLY
+    // can turn one into a headline number.
+    assert(graft.Bench.headline.forall(!_.startsWith("q_demo_")))
+    assert(graft.Bench.select(Seq("q_demo_sem_dedup_uncapped", "q_dedup_exact"), None)
+      == Seq("q_dedup_exact"))
+    assert(graft.Bench.select(Seq("q_demo_sem_dedup_uncapped"),
+      Some(Set("q_demo_sem_dedup_uncapped"))).isEmpty,
+      "SPARK_GRAFT_ONLY must not be able to smuggle a demo query in")
+    // The always-5-passes family must name real headline queries —
+    // a rename would silently drop a member back to 3 passes.
+    assert(graft.Bench.fanoutFamily.subsetOf(graft.Bench.headline.toSet))
   }
 
   test("headline plan budgets: exchange and scan counts stay at their pinned values") {
