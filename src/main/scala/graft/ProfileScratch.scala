@@ -1,15 +1,58 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev-only stage profiler / plan probe (not part of the driver contract). */
+import scala.collection.mutable.ArrayBuffer
+
+/** Dev-only stage profiler / plan probe (not part of the driver contract).
+  *
+  * Decomposes q_pipeline_predictions into its stages AND attributes
+  * each timed section's cost via a stage-metrics listener: executor
+  * run time, JVM GC time (the 8 GB-heap suspect), memory/disk spill,
+  * and peak execution memory. This is the instrument the round-9
+  * verdict asked for — "attribute the 8 GB penalty (block eviction
+  * churn vs GC pressure)" — numbers, not folklore.
+  */
 object ProfileScratch {
+
+  /** Per-stage totals captured between `reset()` and `report()`. */
+  private final class StageMetrics extends SparkListener {
+    case class Row(id: Int, name: String, tasks: Int, runMs: Long, gcMs: Long,
+                   memSpill: Long, diskSpill: Long, peakExecMem: Long,
+                   shufReadMB: Long, shufWriteMB: Long)
+    val rows = ArrayBuffer.empty[Row]
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = synchronized {
+      val i = sc.stageInfo
+      val m = i.taskMetrics
+      rows += Row(i.stageId, i.name.takeWhile(_ != '\n').take(60), i.numTasks,
+        m.executorRunTime, m.jvmGCTime,
+        m.memoryBytesSpilled, m.diskBytesSpilled, m.peakExecutionMemory,
+        m.shuffleReadMetrics.totalBytesRead / (1024 * 1024),
+        m.shuffleWriteMetrics.bytesWritten / (1024 * 1024))
+    }
+    def reset(): Unit = synchronized { rows.clear() }
+    def report(label: String): Unit = synchronized {
+      val totRun = rows.map(_.runMs).sum.max(1)
+      val totGc = rows.map(_.gcMs).sum
+      val totMemSp = rows.map(_.memSpill).sum / (1024 * 1024)
+      val totDiskSp = rows.map(_.diskSpill).sum / (1024 * 1024)
+      println(f"  [$label] executorRun=${totRun / 1000.0}%.1fs gc=${totGc / 1000.0}%.1fs " +
+        f"(${100.0 * totGc / totRun}%.0f%%) spillMem=${totMemSp}MB spillDisk=${totDiskSp}MB")
+      rows.sortBy(-_.runMs).take(8).foreach { r =>
+        println(f"    stage ${r.id}%4d run=${r.runMs / 1000.0}%7.1fs gc=${r.gcMs / 1000.0}%6.1fs " +
+          f"spillD=${r.diskSpill / (1024 * 1024)}%5dMB peakExec=${r.peakExecMem / (1024 * 1024)}%5dMB " +
+          f"sr=${r.shufReadMB}%4dMB sw=${r.shufWriteMB}%4dMB t=${r.tasks}%3d ${r.name}")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
       .config("spark.ui.enabled", "false")
@@ -17,10 +60,16 @@ object ProfileScratch {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val metrics = new StageMetrics
+    spark.sparkContext.addSparkListener(metrics)
 
     def time(label: String)(f: => Long): Unit = {
+      metrics.reset()
       val t0 = System.nanoTime(); val n = f
       println(f"$label%-40s ${(System.nanoTime() - t0) / 1e9}%.2f s  ($n rows)")
+      // Listener events are posted async; give the bus a beat.
+      Thread.sleep(300)
+      metrics.report(label)
     }
 
     // Decompose the predictions pipeline: which stage eats the 100×
@@ -68,10 +117,14 @@ object ProfileScratch {
           .dropDuplicates("uid")
           .write.format("noop").mode("overwrite").save(); 0L
       }
+      // Sweep the decomposition's blocks BEFORE the full-pipeline
+      // timing so it sees the same clean-heap context Bench gives it.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       time("full q_pipeline_predictions (noop)") {
         graft.pipeline.Pipelines.predictions(spark, dir)
           .write.format("noop").mode("overwrite").save(); 0L
       }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
     spark.stop()
   }

@@ -33,46 +33,87 @@ object LlmFanout {
       .filter(col("__no_dx") === 1)
       .select(col(visitCol))
 
-  /** Core fan-out: one LLM call per visit (with retry pass), responses
-    * repaired and exploded to rows (__visit, __uid, __text, __failed).
+  /** Repair + explode one enrich pass's responses to entry rows —
+    * fused into the SAME narrow stage as the calls, so the raw
+    * per-visit JSON strings are young-generation garbage the moment
+    * they are parsed, never stored blocks. Emits:
+    *  - one (null, uid, text, 0, null) row per repaired entry — the
+    *    visit is deliberately nulled on this LINEAR-size path: no
+    *    consumer reads it (the join-back keys on uid), and at replica
+    *    scale the dropped visit strings were measurable block weight;
+    *  - one (visit, null, null, 1, payload) row per failed call — the
+    *    payload rides along (only here: ~1/97 of visits) so the retry
+    *    pass can be driven from the exploded form without ever
+    *    materializing the raw response frame;
+    *  - NOTHING for an ok call whose repaired map is empty — both
+    *    downstream consumers filter such rows out, so emitting them
+    *    only inflated the materialized blocks.
     */
-  private def callPerVisit(claims: DataFrame, visitCol: String, uidCol: String, field: String,
-                           makeClient: () => ServiceClient, cfg: EnrichOperator.Config,
-                           metrics: Option[EnrichOperator.Metrics]): DataFrame = {
-    val perVisit = claims
-      .groupBy(col(visitCol))
-      .agg(array_join(array_sort(collect_list(col(uidCol).cast("string"))), ",").as("__uids"))
-      .withColumn("__payload", concat_ws("|", col(visitCol).cast("string"), col("__uids")))
-
-    val called = EnrichOperator.enrich(perVisit, "__payload", makeClient, cfg, metrics)
-    val retried = EnrichOperator.withRetryPass(called, "__payload", makeClient, cfg,
-      metrics = metrics)
-
+  private def explodeCalls(called: DataFrame, visitCol: String, field: String): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("__visit", StringType),
       StructField("__uid", StringType),
       StructField("__text", StringType),
-      StructField("__failed", IntegerType)))
+      StructField("__failed", IntegerType),
+      StructField("__payload", StringType)))
     val enc = Encoders.row(outSchema)
-    val vIdx = retried.schema.fieldIndex(visitCol)
-    val stIdx = retried.schema.fieldIndex("status")
-    val respIdx = retried.schema.fieldIndex("response")
-    val exploded = retried.mapPartitions { rows =>
+    val vIdx = called.schema.fieldIndex(visitCol)
+    val stIdx = called.schema.fieldIndex("status")
+    val respIdx = called.schema.fieldIndex("response")
+    val pIdx = called.schema.fieldIndex("__payload")
+    called.mapPartitions { rows =>
       rows.flatMap { r =>
-        val visit = Option(r.get(vIdx)).map(_.toString).orNull
         if (r.getString(stIdx) != "ok")
-          Iterator(Row(visit, null, null, 1))
-        else {
-          val entries = LlmJsonRepair.repair(r.getString(respIdx), field)
-          if (entries.isEmpty) Iterator(Row(visit, null, null, 0))
-          else entries.iterator.map { case (uid, text) => Row(visit, uid, text, 0) }
-        }
+          Iterator(Row(Option(r.get(vIdx)).map(_.toString).orNull, null, null, 1,
+            r.getString(pIdx)))
+        else
+          LlmJsonRepair.repair(r.getString(respIdx), field)
+            .iterator.map { case (uid, text) => Row(null, uid, text, 0, null) }
       }
     }(enc)
-    // Consumed twice downstream (failed-visit set + per-uid texts) —
-    // materialize so the LLM stage runs exactly once and its blocks
-    // are auto-freed once the query's result is dropped.
-    graft.util.Materialize.stage(exploded)
+  }
+
+  /** Core fan-out: one LLM call per visit (with a C9 retry pass over
+    * failed visits), responses repaired and exploded to rows
+    * (__visit, __uid, __text, __failed).
+    *
+    * Memory shape (the 100×/8 GB lesson): the ONLY materialized frames
+    * are the exploded forms — entry rows plus the tiny failed set —
+    * never the raw enrich output. Materializing the raw responses
+    * first (the pre-round-10 shape: withRetryPass checkpoints the
+    * full 15M-visit response frame, its retry twin, AND the exploded
+    * rows all resident at once) tripled the heap-pressure wall time
+    * at the 100× replica on the default 8 GB heap. Exactly-once for
+    * the side-effecting calls still holds: each enrich pass is
+    * consumed by exactly one materialized explode, and every
+    * downstream branch reads those blocks.
+    */
+  private def callPerVisit(claims: DataFrame, visitCol: String, uidCol: String, field: String,
+                           makeClient: () => ServiceClient, cfg: EnrichOperator.Config,
+                           metrics: Option[EnrichOperator.Metrics]): DataFrame = {
+    // The uid list lives ONLY inside the payload string (a separate
+    // __uids column doubled the string volume through the call stage).
+    val perVisit = claims
+      .groupBy(col(visitCol))
+      .agg(array_join(array_sort(collect_list(col(uidCol).cast("string"))), ",").as("__uids"))
+      .select(col(visitCol),
+        concat_ws("|", col(visitCol).cast("string"), col("__uids")).as("__payload"))
+
+    val first = graft.util.Materialize.stage(
+      explodeCalls(EnrichOperator.enrich(perVisit, "__payload", makeClient, cfg, metrics),
+        visitCol, field))
+    // C9 retry pass (reference src/predictions.py:299-314), driven from
+    // the exploded failed rows (visit + payload): one fresh enrich over
+    // exactly the failed visits, fresh client/breaker state. Rows that
+    // fail BOTH passes surface as terminal __failed = 1 rows; rows the
+    // retry answers contribute their entries like any other visit.
+    val failedPayloads = first.filter(col("__failed") === 1)
+      .select(col("__visit").as(visitCol), col("__payload"))
+    val retried = graft.util.Materialize.stage(
+      explodeCalls(EnrichOperator.enrich(failedPayloads, "__payload", makeClient, cfg, metrics),
+        visitCol, field))
+    first.filter(col("__failed") === 0).unionByName(retried)
+      .select(col("__visit"), col("__uid"), col("__text"), col("__failed"))
   }
 
   /** C4: predictions. Appends `medical_prediction`
