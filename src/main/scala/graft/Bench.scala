@@ -193,9 +193,14 @@ object Bench {
           // itself OOM'd in a profiling run). Safe for PASS-SCOPED
           // RDDs: the pass's result was fully written and nothing
           // references them.
+          // blocking = true: at replica scale the async sweep races
+          // the next pass's first stages, which then start with the
+          // previous pass's gigabytes still draining — measured as
+          // pass-over-pass degradation (501 s outlier passes at
+          // 100×/8 GB that a blocking sweep removes).
           spark.sparkContext.getPersistentRDDs
             .foreach { case (id, rdd) =>
-              if (!preExisting.contains(id)) rdd.unpersist(blocking = false)
+              if (!preExisting.contains(id)) rdd.unpersist(blocking = true)
             }
           (dt, err)
         }

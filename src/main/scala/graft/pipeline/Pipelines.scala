@@ -79,6 +79,61 @@ object Pipelines {
     * dashboard (analysis.py:16-58).
     */
   def predictions(spark: SparkSession, dir: String, keepDay: Boolean): DataFrame = {
+    val annotated = annotatedClaims(spark, dir)
+
+    // The gate-annotated table is consumed by SEVERAL independent
+    // passes — the fan-out derivation, the final join-back, and (on
+    // the verify surface) the global sort's range-sampling pass —
+    // so materialize it ONCE. Before round 10 only the slim
+    // (visit, uid) fan-out slice was materialized and every other
+    // consumer re-ran scan+windows through bare lineage. DISK_ONLY
+    // (stageData), deliberately: this frame is corpus-sized, and
+    // memory-first blocks would occupy the protected half of the
+    // unified pool and starve every downstream sort (measured
+    // UNABLE_TO_ACQUIRE_MEMORY at the 100× replica / 8 GB heap) —
+    // a disk stage boundary is exactly the reference's between-task
+    // parquet handoff, paid once instead of one windows recompute
+    // per consumer.
+    val annotatedMat = graft.util.Materialize.stageData(annotated)
+
+    // The fan-out only needs (visit, uid): a cheap projection of the
+    // materialized blocks (recompute-safe — no side effects upstream).
+    val llmInput = annotatedMat.filter(col("__nodx") === 0 && col("__dup") === 0)
+      .select(col("visit_id"), col("uid"))
+    // Join-back by uid. Measured dead end recorded here so it is not
+    // re-tried: condensing the LLM output to per-visit uid→prediction
+    // maps (collect_list + map_from_entries, join on visit alone) DOES
+    // leave the fact side exchange-free into the merge join — but the
+    // LLM output is LINEAR in kept claims, so the map build is an
+    // object-hash aggregation over the whole fan-out output and a raw
+    // (pre-dedup, no partial-agg) shuffle of it: 4.5× slower at the
+    // 100× replica (457 s vs ~100 s) than just re-shuffling the
+    // narrow annotated table on uid. The uid SMJ keeps map-side
+    // partial dedup on the predicted side and codegen'd sorts on both.
+    val predicted = LlmFanout.predict(llmInput, "visit_id", "uid", () => new MockLlmClient())
+      .select(col("uid"), col("medical_prediction"), col("reason"))
+      .dropDuplicates("uid")
+      .withColumnRenamed("uid", "__p_uid")
+
+    val baseCols = Seq(col("visit_id"), col("uid"), col("svc"),
+      when(col("__nodx") === 1, "Rejected")
+        .when(col("__dup") === 1, "Rejected")
+        .otherwise(coalesce(col("medical_prediction"), lit("Approved"))).as("medical_prediction"),
+      when(col("__nodx") === 1, "Missing diagnosis")
+        .when(col("__dup") === 1, "Duplicated Service")
+        .otherwise(col("reason")).as("reason"))
+    val cols = if (keepDay) baseCols :+ to_date(col("l_shipdate")).as("day") else baseCols
+    annotatedMat
+      .join(predicted, annotatedMat("uid") === col("__p_uid"), "left")
+      .select(cols: _*)
+  }
+
+  /** The gate-window stage of the predictions pipeline, unmaterialized
+    * (exposed for plan-shape tests: the one-scan / three-window /
+    * two-sort invariants live HERE — [[predictions]] materializes this
+    * frame, so its own plan reads blocks).
+    */
+  private[graft] def annotatedClaims(spark: SparkSession, dir: String): DataFrame = {
     val claims = TestTables.lineitem(spark, dir).select(
       col("l_orderkey").as("visit_id"),
       (col("l_orderkey") * 10 + col("l_linenumber")).as("uid"),
@@ -118,46 +173,11 @@ object Pipelines {
     val wGroup = Window.partitionBy(col("visit_id"), col("svc"))
       .orderBy(col("l_shipdate").asc, col("l_linenumber").asc, col("uid").asc)
     val wUid = Window.partitionBy(col("visit_id"), col("uid"))
-    val annotated = claims
+    claims
       .repartition(col("visit_id"))
       .withColumn("__nodx", max(col("icd10").isNull.cast("int")).over(wVisit))
       .withColumn("__rn", row_number().over(wGroup))
       .withColumn("__dup", (min(col("__rn")).over(wUid) > 1).cast("int"))
-
-    // The fan-out only needs (visit, uid): materialize that slim slice
-    // so the LLM stage and its join-back never re-derive the window
-    // lineage (predict's internal join-back would otherwise recompute
-    // the whole annotated subtree a second time — PlanAudit showed the
-    // scan+windows duplicated in the final plan).
-    val llmInput = graft.util.Materialize.stage(
-      annotated.filter(col("__nodx") === 0 && col("__dup") === 0)
-        .select(col("visit_id"), col("uid")))
-    // Join-back by uid. Measured dead end recorded here so it is not
-    // re-tried: condensing the LLM output to per-visit uid→prediction
-    // maps (collect_list + map_from_entries, join on visit alone) DOES
-    // leave the fact side exchange-free into the merge join — but the
-    // LLM output is LINEAR in kept claims, so the map build is an
-    // object-hash aggregation over the whole fan-out output and a raw
-    // (pre-dedup, no partial-agg) shuffle of it: 4.5× slower at the
-    // 100× replica (457 s vs ~100 s) than just re-shuffling the
-    // narrow annotated table on uid. The uid SMJ keeps map-side
-    // partial dedup on the predicted side and codegen'd sorts on both.
-    val predicted = LlmFanout.predict(llmInput, "visit_id", "uid", () => new MockLlmClient())
-      .select(col("uid"), col("medical_prediction"), col("reason"))
-      .dropDuplicates("uid")
-      .withColumnRenamed("uid", "__p_uid")
-
-    val baseCols = Seq(col("visit_id"), col("uid"), col("svc"),
-      when(col("__nodx") === 1, "Rejected")
-        .when(col("__dup") === 1, "Rejected")
-        .otherwise(coalesce(col("medical_prediction"), lit("Approved"))).as("medical_prediction"),
-      when(col("__nodx") === 1, "Missing diagnosis")
-        .when(col("__dup") === 1, "Duplicated Service")
-        .otherwise(col("reason")).as("reason"))
-    val cols = if (keepDay) baseCols :+ to_date(col("l_shipdate")).as("day") else baseCols
-    annotated
-      .join(predicted, annotated("uid") === col("__p_uid"), "left")
-      .select(cols: _*)
   }
 
   val clinicUnits: Seq[String] = Seq("AKW", "ALW", "LCH", "MKR", "SNB")

@@ -23,8 +23,17 @@ object QueriesPipeline {
     "q_pipeline_eligibility" -> ((s, dir) =>
       Pipelines.eligibility(s, dir).orderBy(col("visit_id"))),
 
+    // The global ORDER BY is verify-surface determinism scaffolding,
+    // but a range sort over an unmaterialized child runs the child
+    // TWICE (the range-partitioner's sampling job, then the real
+    // shuffle-write job). The result here is corpus-sized lineage
+    // (the fan-out join-back), so stage it to disk first: sampling
+    // and shuffle-write both read the blocks instead of re-running
+    // the join. Product deployments write the UNSORTED frame to a
+    // sink and never pay any of this.
     "q_pipeline_predictions" -> ((s, dir) =>
-      Pipelines.predictions(s, dir).orderBy(col("visit_id"), col("uid"), col("svc"))),
+      graft.util.Materialize.stageData(Pipelines.predictions(s, dir))
+        .orderBy(col("visit_id"), col("uid"), col("svc"))),
 
     "q_pipeline_resubmission" -> ((s, dir) =>
       Pipelines.resubmission(s, dir)

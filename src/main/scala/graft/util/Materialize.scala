@@ -47,6 +47,9 @@ object Materialize {
 
   def once(df: DataFrame): DataFrame = df.localCheckpoint(eager = true, onceLevel)
 
+  def once(df: DataFrame, level: org.apache.spark.storage.StorageLevel): DataFrame =
+    df.localCheckpoint(eager = true, level)
+
   /** Executor-loss-tolerant variant of [[once]]: a reliable
     * `checkpoint()` writes the materialized rows to the session's
     * checkpoint directory (durable storage on a real cluster), so a
@@ -91,4 +94,24 @@ object Materialize {
   def stage(df: DataFrame): DataFrame =
     if (df.sparkSession.conf.get(reliableConf, "false").toBoolean) reliable(df)
     else once(df)
+
+  /** [[stage]] for DATA-SIZED intermediates (frames that scale with
+    * the corpus, not with a key set): DISK_ONLY blocks.
+    *
+    * Why not the default MEMORY_AND_DISK: stored blocks live in the
+    * unified memory pool, and `spark.memory.storageFraction` PROTECTS
+    * half of it from execution — a corpus-sized block set therefore
+    * halves every downstream sort/aggregation's memory even though
+    * the blocks are nominally evictable. Measured at the 100× replica
+    * on the default 8 GB heap: materializing the 60M-row annotated
+    * claims table MEMORY_AND_DISK made the very next shuffle die with
+    * UNABLE_TO_ACQUIRE_MEMORY; DISK_ONLY keeps the storage pool empty
+    * (a stage-boundary write, like the reference's between-task
+    * parquet handoffs) and the same plan completes with the full
+    * execution share. Key-sized frames (failed-visit sets, distinct
+    * keys) should keep [[stage]]'s memory-first level.
+    */
+  def stageData(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get(reliableConf, "false").toBoolean) reliable(df)
+    else once(df, org.apache.spark.storage.StorageLevel.DISK_ONLY)
 }

@@ -99,11 +99,13 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("predictions: gate windows share one scan; no duplicate annotated subtree") {
-    val df = graft.pipeline.Pipelines.predictions(spark, dir)
-    val plan = df.queryExecution.executedPlan.toString
-    val scans = "Scan parquet".r.findAllIn(plan).length
-    assert(scans == 1, s"claims must be scanned exactly once in the final plan, found $scans:\n$plan")
-    val windows = "Window".r.findAllIn(plan).length
+    // The window-stage invariants live in the UNMATERIALIZED annotated
+    // frame (predictions materializes it, so its own plan reads blocks).
+    val ann = graft.pipeline.Pipelines.annotatedClaims(spark, dir)
+    val aplan = ann.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(aplan).length
+    assert(scans == 1, s"claims must be scanned exactly once in the window stage, found $scans:\n$aplan")
+    val windows = "Window".r.findAllIn(aplan).length
     assert(windows == 3, s"three gate windows over the single scan, found $windows")
     // r9 memory fix, locked: the visit-level gate is declared over the
     // dedup window's exact ordering (explicit unbounded frame), so the
@@ -111,18 +113,31 @@ class PlanShapeSpec extends AnyFunSuite {
     // (visit, svc, shipdate, linenumber, uid) sort under both gate
     // windows and the (visit, uid) sort under the dup window. A third
     // window-stage sort is the regression that re-inflated per-task
-    // memory at the 100× replica (needed a 4× heap before r9). Total
-    // Sort operators in the plan: those 2, plus THREE uid sorts in the
-    // join stages (both sides of the fan-out's internal rejections SMJ
-    // and the annotated side of the outer join-back; the predicted
-    // side's dedup agg feeds the outer SMJ through one of them) — 5.
-    // Anything above 5 means a window stopped sharing or a join grew
-    // a sort. Count BOTH treeString child prefixes: a Sort that is the
-    // FIRST child of a binary node renders as `:- Sort`, and counting
-    // only `+- Sort` silently missed the outer SMJ's left-side sort —
-    // the pre-r10 pin said 4 while the plan truly held 5.
+    // memory at the 100× replica (needed a 4× heap before r9).
+    // Count BOTH treeString child prefixes: a Sort that is the FIRST
+    // child of a binary node renders as `:- Sort`, and counting only
+    // `+- Sort` silently missed an SMJ's left-side sort once.
+    val asorts = "[+:]- Sort ".r.findAllIn(aplan).length
+    assert(asorts == 2, s"expected exactly 2 shared window-stage sorts, found $asorts:\n$aplan")
+
+    // r10: predictions MATERIALIZES the annotated frame (it is consumed
+    // by the fan-out derivation, the final join-back, and the verify
+    // surface's range-sampling pass — bare lineage re-ran scan+windows
+    // once per consumer). The final plan must therefore show NO parquet
+    // scan and NO window: their reappearance means the materialization
+    // was dropped and the window stage recomputes per consumer again.
+    val df = graft.pipeline.Pipelines.predictions(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length == 0,
+      s"final plan must read the materialized annotated blocks, not re-scan parquet:\n$plan")
+    assert("Window".r.findAllIn(plan).length == 0,
+      s"gate windows must not recompute in the final plan:\n$plan")
+    // Join-stage sorts: the fan-out's internal rejections SMJ and
+    // the outer join-back share the uid sort order on the reused
+    // sides — exactly 3 Sorts survive. Anything above means a join
+    // grew a sort (or a window stopped sharing and leaked here).
     val sorts = "[+:]- Sort ".r.findAllIn(plan).length
-    assert(sorts == 5, s"expected exactly 5 Sort operators (2 window-stage + 3 join), found $sorts:\n$plan")
+    assert(sorts == 3, s"expected exactly 3 join-stage Sort operators, found $sorts:\n$plan")
   }
 
   test("incremental watermark cut pushes to the parquet scan via the raw predicate") {
@@ -261,13 +276,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // budget downward — the assertion is two-sided so the pins can't
     // silently go stale.
     val budgets: Map[String, (Int, Int)] = Map( // name -> (exchanges, parquet scans)
-      // r9: the gate-window stage now shares ONE sort between the
-      // visit-level and (visit, svc) windows (3 full-partition sorts
-      // -> 2), which is what fits the 100× replica in the default
-      // 8 GB heap; exchange/scan counts are unchanged. (A 2-exchange
-      // per-visit-map join variant was measured 4.5× slower at 100× —
-      // see Pipelines.predictions — so 3 is the right pin.)
-      "q_pipeline_predictions" -> (3, 1),
+      // r10: the registered query stages its corpus-sized result to
+      // disk before the determinism ORDER BY (a range sort over bare
+      // lineage runs the child twice — sampling job + shuffle-write
+      // job), so its own plan is just the sort over blocks: 0 hash
+      // exchanges, 0 scans. The REAL join/window invariants are
+      // pinned on Pipelines.predictions / annotatedClaims in the
+      // dedicated predictions test above (2 uid exchanges, 3 join
+      // sorts, 1 scan / 3 windows / 2 shared sorts).
+      "q_pipeline_predictions" -> (0, 0),
       "q_resubmission_full" -> (7, 13),
       "q_pipeline_resubmission" -> (0, 0), // built on materialized inputs
       // Re-pinned 6 -> 3 in r8: materializing the side-effecting iqama
