@@ -236,6 +236,13 @@ object Bench {
     val spread = results.map { case (k, _, s, _) =>
       "\"" + k + "\":[" + r3(s.head) + "," + r3(s(s.length / 2)) + "," + r3(s.last) + "]"
     }.mkString("{", ",", "}")
+    // Effective pass count per query: the deflake tiers run MORE than
+    // the configured base (sub-2 s and fan-out-family queries get 5),
+    // so `"passes"` alone cannot be read off the artifact as the
+    // per-query sample size.
+    val npasses = results.map { case (k, _, s, _) =>
+      "\"" + k + "\":" + s.length
+    }.mkString("{", ",", "}")
     // Full JSON string escape (same as Verify's): exception messages
     // carry backslashes, tabs, and stack-trace fragments — stripping
     // only quote/LF/CR once left the bench line unparseable, losing
@@ -253,7 +260,7 @@ object Bench {
       "\"" + k + "\":" + e.map(jq).getOrElse("null")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"passes":$passes,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"passes":$passes,"npasses":$npasses,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full JSON to a file: the driver's BENCH_r{N}
     // capture tail-truncates long stdout, which has cost whole rounds

@@ -45,9 +45,17 @@ object LlmFanout {
     *    payload rides along (only here: ~1/97 of visits) so the retry
     *    pass can be driven from the exploded form without ever
     *    materializing the raw response frame;
-    *  - NOTHING for an ok call whose repaired map is empty — both
-    *    downstream consumers filter such rows out, so emitting them
-    *    only inflated the materialized blocks.
+    *  - one (visit, null, null, 1, payload) row for an ok call whose
+    *    response does not parse as JSON at all (repairStrict = None) —
+    *    the reference treats a JSONDecodeError exactly like a transport
+    *    failure (src/predictions.py:276-288: failed visit → retry →
+    *    terminal "Failed to reach LLM"), and so do we; silently
+    *    treating it as an empty map would default every claim on the
+    *    visit to "Approved" off garbage output;
+    *  - NOTHING for an ok call whose repaired map parsed but is empty
+    *    ("approved everything") — both downstream consumers filter such
+    *    rows out, so emitting them only inflated the materialized
+    *    blocks.
     */
   private def explodeCalls(called: DataFrame, visitCol: String, field: String): DataFrame = {
     val outSchema = StructType(Seq(
@@ -63,12 +71,13 @@ object LlmFanout {
     val pIdx = called.schema.fieldIndex("__payload")
     called.mapPartitions { rows =>
       rows.flatMap { r =>
-        if (r.getString(stIdx) != "ok")
-          Iterator(Row(Option(r.get(vIdx)).map(_.toString).orNull, null, null, 1,
-            r.getString(pIdx)))
-        else
-          LlmJsonRepair.repair(r.getString(respIdx), field)
-            .iterator.map { case (uid, text) => Row(null, uid, text, 0, null) }
+        def failedRow = Row(Option(r.get(vIdx)).map(_.toString).orNull, null, null, 1,
+          r.getString(pIdx))
+        if (r.getString(stIdx) != "ok") Iterator(failedRow)
+        else LlmJsonRepair.repairStrict(r.getString(respIdx), field) match {
+          case None => Iterator(failedRow) // unparseable-but-HTTP-ok: retry, never approve
+          case Some(m) => m.iterator.map { case (uid, text) => Row(null, uid, text, 0, null) }
+        }
       }
     }(enc)
   }

@@ -53,13 +53,15 @@ case class BitmapAgg(
       TypeCheckResult.TypeCheckFailure(s"$prettyName expects a bigint bucket, got ${left.dataType.sql}")
     else if (!right.foldable || right.dataType != IntegerType)
       TypeCheckResult.TypeCheckFailure(s"$prettyName expects a literal int m")
-    else {
-      val mv = right.eval().asInstanceOf[Int]
-      if (mv < 64 || mv % 64 != 0 || mv > (1 << 26))
-        TypeCheckResult.TypeCheckFailure(
-          s"$prettyName needs m in [64, 2^26] and a multiple of 64, got $mv")
-      else TypeCheckResult.TypeCheckSuccess
-    }
+    else
+      FoldableLiteral.int(prettyName, "m", right) match {
+        case Left(f) => f
+        case Right(mv) =>
+          if (mv < 64 || mv % 64 != 0 || mv > (1 << 26))
+            TypeCheckResult.TypeCheckFailure(
+              s"$prettyName needs m in [64, 2^26] and a multiple of 64, got $mv")
+          else TypeCheckResult.TypeCheckSuccess
+      }
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false

@@ -53,14 +53,17 @@ case class CountMinAgg(
     else if (!second.foldable || !third.foldable ||
       second.dataType != IntegerType || third.dataType != IntegerType)
       TypeCheckResult.TypeCheckFailure(s"$prettyName expects literal int w and d")
-    else {
-      val wv = second.eval().asInstanceOf[Int]
-      val dv = third.eval().asInstanceOf[Int]
-      if (wv < 2 || wv > (1 << 22) || dv < 1 || dv > 16)
-        TypeCheckResult.TypeCheckFailure(
-          s"$prettyName needs w in [2, 2^22] and d in [1, 16], got w=$wv d=$dv")
-      else TypeCheckResult.TypeCheckSuccess
-    }
+    else
+      (FoldableLiteral.int(prettyName, "w", second),
+        FoldableLiteral.int(prettyName, "d", third)) match {
+        case (Left(f), _) => f
+        case (_, Left(f)) => f
+        case (Right(wv), Right(dv)) =>
+          if (wv < 2 || wv > (1 << 22) || dv < 1 || dv > 16)
+            TypeCheckResult.TypeCheckFailure(
+              s"$prettyName needs w in [2, 2^22] and d in [1, 16], got w=$wv d=$dv")
+          else TypeCheckResult.TypeCheckSuccess
+      }
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false

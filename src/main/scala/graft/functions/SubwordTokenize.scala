@@ -41,7 +41,16 @@ case class SubwordTokenize(first: Expression, second: Expression, third: Express
           TypeCheckResult.TypeCheckFailure(s"$prettyName: vocab must be a literal (foldable) array")
         else if (!third.foldable)
           TypeCheckResult.TypeCheckFailure(s"$prettyName: unk must be a literal (foldable) string")
-        else TypeCheckResult.TypeCheckSuccess
+        else
+          // Foldable ≠ eval-safe: surface eval errors / NULLs in the
+          // vocab or unk literal as named analysis failures instead of
+          // an NPE inside the Matcher builder on an executor.
+          (FoldableLiteral.stringArray(prettyName, "vocab", second),
+            FoldableLiteral.string(prettyName, "unk", third)) match {
+            case (Left(f), _) => f
+            case (_, Left(f)) => f
+            case _ => TypeCheckResult.TypeCheckSuccess
+          }
       case (a, b, c) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects (array<string>, array<string>, string), got (${a.sql}, ${b.sql}, ${c.sql})")
     }

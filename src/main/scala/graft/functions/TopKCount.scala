@@ -57,13 +57,16 @@ case class TopKCount(
       TypeCheckResult.TypeCheckFailure(s"$prettyName expects literal k and capacity")
     else if (second.dataType != IntegerType || third.dataType != IntegerType)
       TypeCheckResult.TypeCheckFailure(s"$prettyName expects int k and capacity")
-    else {
-      val kv = second.eval().asInstanceOf[Int]
-      val cap = third.eval().asInstanceOf[Int]
-      if (kv < 1 || cap < kv)
-        TypeCheckResult.TypeCheckFailure(s"$prettyName needs 1 <= k <= capacity, got k=$kv capacity=$cap")
-      else TypeCheckResult.TypeCheckSuccess
-    }
+    else
+      (FoldableLiteral.int(prettyName, "k", second),
+        FoldableLiteral.int(prettyName, "capacity", third)) match {
+        case (Left(f), _) => f
+        case (_, Left(f)) => f
+        case (Right(kv), Right(cap)) =>
+          if (kv < 1 || cap < kv)
+            TypeCheckResult.TypeCheckFailure(s"$prettyName needs 1 <= k <= capacity, got k=$kv capacity=$cap")
+          else TypeCheckResult.TypeCheckSuccess
+      }
 
   override def dataType: DataType = TopKCount.resultType
   override def nullable: Boolean = false
@@ -118,13 +121,16 @@ case class TopKSum(
     else if (!kExpr.foldable || !capExpr.foldable ||
       kExpr.dataType != IntegerType || capExpr.dataType != IntegerType)
       TypeCheckResult.TypeCheckFailure(s"$prettyName expects literal int k and capacity")
-    else {
-      val kv = kExpr.eval().asInstanceOf[Int]
-      val cap = capExpr.eval().asInstanceOf[Int]
-      if (kv < 1 || cap < kv)
-        TypeCheckResult.TypeCheckFailure(s"$prettyName needs 1 <= k <= capacity, got k=$kv capacity=$cap")
-      else TypeCheckResult.TypeCheckSuccess
-    }
+    else
+      (FoldableLiteral.int(prettyName, "k", kExpr),
+        FoldableLiteral.int(prettyName, "capacity", capExpr)) match {
+        case (Left(f), _) => f
+        case (_, Left(f)) => f
+        case (Right(kv), Right(cap)) =>
+          if (kv < 1 || cap < kv)
+            TypeCheckResult.TypeCheckFailure(s"$prettyName needs 1 <= k <= capacity, got k=$kv capacity=$cap")
+          else TypeCheckResult.TypeCheckSuccess
+      }
 
   override def dataType: DataType = TopKCount.resultType
   override def nullable: Boolean = false

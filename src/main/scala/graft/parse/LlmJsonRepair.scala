@@ -71,29 +71,42 @@ object LlmJsonRepair {
   def scrapePairs(s: String): Map[String, String] =
     pairRegex.findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap
 
-  /** The 5-strategy ladder. `field` selects a nested object to return
-    * (e.g. "Rejected" or "Justifications"); empty field = whole object.
+  /** The 5-strategy ladder, distinguishing PARSE FAILURE from a
+    * legitimately empty object. `field` selects a nested object to
+    * return (e.g. "Rejected" or "Justifications"); empty field = whole
+    * object.
+    *
+    * Returns None only when NO strategy found JSON (direct, de-fenced,
+    * balanced-substring all fail to parse) AND pair-scraping found
+    * nothing — the analogue of the reference's JSONDecodeError
+    * (src/predictions.py:276-288), which marks the visit failed and
+    * retries it. Some(empty) is different: the response parsed and the
+    * map is genuinely empty ("LLM approved everything"), or `field` is
+    * absent from the parsed object.
     */
-  def extract(raw: String, field: String = ""): Map[String, String] = {
-    if (raw == null) return Map.empty
+  def extractOpt(raw: String, field: String = ""): Option[Map[String, String]] = {
+    if (raw == null) return None
     val candidates: LazyList[Option[JsonNode]] = LazyList(
       tryParse(raw),
       tryParse(cleanFences(raw)),
       firstBalancedObject(raw).flatMap(tryParse))
-    val parsed = candidates.flatten.headOption
-    val node = parsed.map { n =>
-      if (field.nonEmpty && n.has(field) && n.get(field).isObject) n.get(field) else n
-    }
-    node match {
-      case Some(n) =>
-        n.properties().asScala.collect {
+    candidates.flatten.headOption match {
+      case Some(n0) =>
+        val n = if (field.nonEmpty && n0.has(field) && n0.get(field).isObject) n0.get(field) else n0
+        Some(n.properties().asScala.collect {
           case e if e.getValue.isValueNode => e.getKey -> e.getValue.asText()
-        }.toMap
+        }.toMap)
       case None =>
         val scraped = scrapePairs(raw)
-        if (scraped.nonEmpty) scraped else Map.empty
+        if (scraped.nonEmpty) Some(scraped) else None
     }
   }
+
+  /** [[extractOpt]] collapsed to a bare map (parse failure = empty) —
+    * for callers that don't route parse failures anywhere.
+    */
+  def extract(raw: String, field: String = ""): Map[String, String] =
+    extractOpt(raw, field).getOrElse(Map.empty)
 
   /** Split comma-joined keys: {"123,456": r} → {"123": r, "456": r}. */
   def validateKeys(m: Map[String, String]): Map[String, String] =
@@ -103,7 +116,14 @@ object LlmJsonRepair {
   def validateOutcome(m: Map[String, String]): Map[String, String] =
     m.filterNot { case (_, v) => v != null && v.toLowerCase.contains("approved") }
 
+  /** Full pipeline with parse failure as a value: extract → split keys
+    * → outcome filter, None when nothing parsed (route the row to the
+    * retry pass — the reference's JSONDecodeError contract).
+    */
+  def repairStrict(raw: String, field: String = ""): Option[Map[String, String]] =
+    extractOpt(raw, field).map(m => validateOutcome(validateKeys(m)))
+
   /** Full pipeline: extract → split keys → outcome filter. */
   def repair(raw: String, field: String = ""): Map[String, String] =
-    validateOutcome(validateKeys(extract(raw, field)))
+    repairStrict(raw, field).getOrElse(Map.empty)
 }

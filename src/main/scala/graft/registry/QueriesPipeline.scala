@@ -35,8 +35,12 @@ object QueriesPipeline {
       graft.util.Materialize.stageData(Pipelines.predictions(s, dir))
         .orderBy(col("visit_id"), col("uid"), col("svc"))),
 
+    // Same stage-before-sort as q_pipeline_predictions above: the
+    // result is corpus-sized (full extraction × 5 business units), so
+    // the range sampling job must read blocks, not re-run the fan-out
+    // join-back.
     "q_pipeline_resubmission" -> ((s, dir) =>
-      Pipelines.resubmission(s, dir)
+      graft.util.Materialize.stageData(Pipelines.resubmission(s, dir))
         .orderBy(col("bu"), col("visit_id"), col("seq_no"), col("reason"),
           col("service_name"), col("reason_code"), col("status"))),
 

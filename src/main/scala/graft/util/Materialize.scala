@@ -110,6 +110,19 @@ object Materialize {
     * parquet handoffs) and the same plan completes with the full
     * execution share. Key-sized frames (failed-visit sets, distinct
     * keys) should keep [[stage]]'s memory-first level.
+    *
+    * CLUSTER DEPLOYMENTS: DISK_ONLY localCheckpoint blocks are
+    * NON-replicated AND lineage-truncated, so losing an executor fails
+    * the job — a trade only justified for side-effecting stages, while
+    * some frames routed here are pure (cheap to recompute relative to
+    * LLM calls). On a real multi-executor cluster set
+    * `spark.graft.materialize.reliable=true` (JobRunner threads it from
+    * its checkpoint argument), which swaps this path for a durable
+    * [[reliable]] checkpoint: an executor loss then costs a re-read,
+    * not the job. We deliberately do NOT default to DISK_ONLY_2: in
+    * local mode replication buys nothing, and on a cluster it doubles
+    * the stage-boundary write in the hot path for weaker guarantees
+    * than the reliable knob already provides.
     */
   def stageData(df: DataFrame): DataFrame =
     if (df.sparkSession.conf.get(reliableConf, "false").toBoolean) reliable(df)

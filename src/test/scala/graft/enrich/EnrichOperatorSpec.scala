@@ -4,6 +4,14 @@ import graft.SharedSpark
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** Cross-client-instance state for the heal-on-retry test: the retry
+  * pass builds FRESH clients per partition, so "garbage once, valid
+  * afterwards" needs JVM-wide state (fine under local mode).
+  */
+object FlakyJsonState {
+  val tries = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class EnrichOperatorSpec extends AnyFunSuite {
   private lazy val spark = SharedSpark.spark
   import spark.implicits._
@@ -114,6 +122,51 @@ class EnrichOperatorSpec extends AnyFunSuite {
     assert(out(11L) == "Approved")
     assert(out(25L) == "Rejected")
     assert(out(970L) == "Failed to reach LLM")
+  }
+
+  test("LlmFanout: unparseable-but-HTTP-ok responses retry, then terminally fail — never approve") {
+    // The reference treats a JSONDecodeError like a transport failure
+    // (predictions.py:276-288): failed visit -> retry -> terminal
+    // "Failed to reach LLM". An ok-status response that no repair
+    // strategy can parse must NOT collapse to an empty rejection map
+    // (which downstream reads as "LLM approved everything").
+    val claims = (1L to 8L).map(v => (v, v * 10)).toDF("visit_id", "uid")
+    val m = EnrichOperator.Metrics(claims, "parsefail")
+    val garbage = () => new ServiceClient {
+      override def call(payload: String): Either[String, String] = {
+        val visit = payload.split('|')(0).toLong
+        if (visit == 7L) Right("I am sorry, I cannot help with that request.")
+        else Right("""{"Rejected": {}}""")
+      }
+    }
+    val out = LlmFanout.predict(claims, "visit_id", "uid", garbage,
+        EnrichOperator.Config(parallelism = 2), Some(m))
+      .select($"uid", $"medical_prediction").as[(Long, String)].collect().toMap
+    assert(out(70L) == "Failed to reach LLM", "a parse failure must never default to Approved")
+    assert((1L to 8L).filterNot(_ == 7L).forall(v => out(v * 10) == "Approved"),
+      "parsed-but-empty rejection maps stay Approved: " + out)
+    assert(m.calls.value == 9, s"the parse-failed visit must get exactly one retry call, calls=${m.calls.value}")
+  }
+
+  test("LlmFanout: a parse failure that repairs on retry contributes its entries normally") {
+    FlakyJsonState.tries.set(0)
+    val claims = Seq((7L, 70L), (7L, 71L), (2L, 20L)).toDF("visit_id", "uid")
+    val healing = () => new ServiceClient {
+      override def call(payload: String): Either[String, String] = {
+        val visit = payload.split('|')(0).toLong
+        if (visit == 7L && FlakyJsonState.tries.getAndIncrement() == 0)
+          Right("json coming right up!") // first attempt: no JSON anywhere
+        else if (visit == 7L)
+          Right("""{"Rejected": {"70": "service 70 is a duplicate order"}}""")
+        else Right("""{"Rejected": {}}""")
+      }
+    }
+    val out = LlmFanout.predict(claims, "visit_id", "uid", healing,
+        EnrichOperator.Config(parallelism = 1))
+      .select($"uid", $"medical_prediction").as[(Long, String)].collect().toMap
+    assert(out(70L) == "Rejected", "the healed retry's entries must flow like any other visit")
+    assert(out(71L) == "Approved")
+    assert(out(20L) == "Approved")
   }
 
   test("no-diagnosis visits are identified for auto-reject (B18 gate)") {

@@ -129,4 +129,16 @@ class BitmapDistinctSpec extends AnyFunSuite {
     // -64 ln(1 - 0.5) = 44.36...: above the raw bucket count, below m.
     assert(est > 32.0 && est < 64.0)
   }
+
+  test("a throwing or NULL m literal fails ANALYSIS with a named error (DictMatch contract)") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // ANSI overflow inside the foldable literal: must surface as a named
+    // TypeCheckFailure, not escape the analyzer as a raw ArithmeticException.
+    val e1 = intercept[Exception] { spark.sql("SELECT bitmap_agg(b, 2147483647 + 1) FROM VALUES (CAST(1 AS BIGINT)) t(b)").collect() }
+    assert(msgs(e1).exists(_.contains("failed to evaluate")), msgs(e1).mkString(" | "))
+    // A NULL literal silently unboxes to 0 without the check.
+    val e2 = intercept[Exception] { spark.sql("SELECT bitmap_agg(b, CAST(NULL AS INT)) FROM VALUES (CAST(1 AS BIGINT)) t(b)").collect() }
+    assert(msgs(e2).exists(_.contains("NULL literal")), msgs(e2).mkString(" | "))
+  }
 }

@@ -85,4 +85,16 @@ class CountMinSpec extends AnyFunSuite {
     assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2, plan)
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
   }
+
+  test("a throwing or NULL w literal fails ANALYSIS with a named error (DictMatch contract)") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // ANSI overflow inside the foldable literal: must surface as a named
+    // TypeCheckFailure, not escape the analyzer as a raw ArithmeticException.
+    val e1 = intercept[Exception] { spark.sql("SELECT cm_agg(x, 2147483647 + 1, 4) FROM VALUES ('a') t(x)").collect() }
+    assert(msgs(e1).exists(_.contains("failed to evaluate")), msgs(e1).mkString(" | "))
+    // A NULL literal silently unboxes to 0 without the check.
+    val e2 = intercept[Exception] { spark.sql("SELECT cm_agg(x, CAST(NULL AS INT), 4) FROM VALUES ('a') t(x)").collect() }
+    assert(msgs(e2).exists(_.contains("NULL literal")), msgs(e2).mkString(" | "))
+  }
 }

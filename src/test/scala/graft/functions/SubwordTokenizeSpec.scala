@@ -91,4 +91,25 @@ class SubwordTokenizeSpec extends AnyFunSuite with Matchers {
     }
     err.getMessage should include("foldable")
   }
+
+  test("a throwing / NULL vocab or unk literal fails ANALYSIS with a named error (DictMatch contract)") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // ANSI overflow inside the foldable vocab literal: a named
+    // TypeCheckFailure, not a raw ArithmeticException out of the analyzer.
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT subword_tokenize(array('hi'), array(CAST(2147483647 + 1 AS STRING)), '[UNK]')").collect()
+    }
+    assert(msgs(e1).exists(_.contains("failed to evaluate")), msgs(e1).mkString(" | "))
+    // NULL vocab elements would NPE inside the Matcher builder on an executor.
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT subword_tokenize(array('hi'), array('h', CAST(NULL AS STRING)), '[UNK]')").collect()
+    }
+    assert(msgs(e2).exists(_.contains("NULL vocab elements")), msgs(e2).mkString(" | "))
+    // And a NULL unk literal would NPE in unk.toString.
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT subword_tokenize(array('hi'), array('hi'), CAST(NULL AS STRING))").collect()
+    }
+    assert(msgs(e3).exists(_.contains("NULL literal")), msgs(e3).mkString(" | "))
+  }
 }

@@ -136,4 +136,16 @@ class TopKCountSpec extends AnyFunSuite {
     assert(plan.contains("ObjectHashAggregate"), plan)
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, "partial + final stages expected")
   }
+
+  test("a throwing or NULL k literal fails ANALYSIS with a named error (DictMatch contract)") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // ANSI overflow inside the foldable literal: must surface as a named
+    // TypeCheckFailure, not escape the analyzer as a raw ArithmeticException.
+    val e1 = intercept[Exception] { spark.sql("SELECT topk_count(x, 2147483647 + 1, 10) FROM VALUES ('a') t(x)").collect() }
+    assert(msgs(e1).exists(_.contains("failed to evaluate")), msgs(e1).mkString(" | "))
+    // A NULL literal silently unboxes to 0 without the check.
+    val e2 = intercept[Exception] { spark.sql("SELECT topk_count(x, CAST(NULL AS INT), 10) FROM VALUES ('a') t(x)").collect() }
+    assert(msgs(e2).exists(_.contains("NULL literal")), msgs(e2).mkString(" | "))
+  }
 }

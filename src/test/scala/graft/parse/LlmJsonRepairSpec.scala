@@ -35,6 +35,24 @@ class LlmJsonRepairSpec extends AnyFunSuite {
     assert(LlmJsonRepair.extract(null) == Map.empty)
   }
 
+  test("strict: parse failure is None, never an empty map") {
+    assert(LlmJsonRepair.repairStrict("I cannot help with that.", "Rejected").isEmpty)
+    assert(LlmJsonRepair.repairStrict(null, "Rejected").isEmpty)
+    assert(LlmJsonRepair.repairStrict("", "Rejected").isEmpty)
+    // An array is not the object shape the contract expects either.
+    assert(LlmJsonRepair.repairStrict("[1, 2, 3]", "Rejected").isEmpty)
+  }
+
+  test("strict: a legitimately empty rejection map is Some(empty), not a failure") {
+    assert(LlmJsonRepair.repairStrict("""{"Rejected": {}}""", "Rejected") == Some(Map.empty))
+    assert(LlmJsonRepair.repairStrict("{}", "Rejected") == Some(Map.empty))
+    assert(LlmJsonRepair.repairStrict("```json\n{\"Rejected\": {}}\n```", "Rejected")
+      == Some(Map.empty))
+    // Validators emptying a parsed map is also NOT a parse failure.
+    assert(LlmJsonRepair.repairStrict("""{"Rejected": {"9": "Approved after review"}}""", "Rejected")
+      == Some(Map.empty))
+  }
+
   test("validateKeys splits comma-joined ids") {
     assert(LlmJsonRepair.validateKeys(Map("123,456" -> "r", "7" -> "s"))
       == Map("123" -> "r", "456" -> "r", "7" -> "s"))

@@ -286,7 +286,7 @@ class PlanShapeSpec extends AnyFunSuite {
       // sorts, 1 scan / 3 windows / 2 shared sorts).
       "q_pipeline_predictions" -> (0, 0),
       "q_resubmission_full" -> (7, 13),
-      "q_pipeline_resubmission" -> (0, 0), // built on materialized inputs
+      "q_pipeline_resubmission" -> (0, 0), // r11: staged like predictions
       // Re-pinned 6 -> 3 in r8: materializing the side-effecting iqama
       // branch (exactly-once for its external calls) also replaces its
       // derived-lineage exchanges with a materialized-table read.
@@ -354,6 +354,31 @@ class PlanShapeSpec extends AnyFunSuite {
       .repartition(50, col("fp"))
     assert(counts(canary)._1 > budgets("q_dedup_exact")._1,
       "intentional extra shuffle was not counted — budget harness is vacuous")
+  }
+
+  test("staged verify sorts: registered fan-out queries sort materialized blocks, not lineage") {
+    // The stage-before-sort guard (Materialize.stageData under the
+    // determinism ORDER BY): each registered plan must be exactly the
+    // range sort over an RDD scan of the staged blocks. A parquet scan
+    // or hash exchange above the blocks — or a missing range exchange —
+    // means the staging was dropped and the range partitioner's
+    // sampling job re-runs the fan-out join-back. This pins the guard
+    // the (0, 0) budgets above satisfy only vacuously.
+    // q_c4_llm_predictions is deliberately NOT here: its measured A/B
+    // (bench_ab_stage_sort_r11.json) showed the staging write costs
+    // more than the recompute it saves — see the note at its registry
+    // entry (QueriesEnrich.scala).
+    for (name <- Seq("q_pipeline_predictions", "q_pipeline_resubmission")) {
+      val plan = graft.SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      assert("Exchange rangepartitioning".r.findAllIn(plan).length == 1,
+        s"$name: expected exactly one range exchange (the verify sort):\n$plan")
+      assert(plan.contains("Scan ExistingRDD"),
+        s"$name: the sort's child must be the staged RDD blocks:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length == 0,
+        s"$name: no hash exchange may survive above the staged blocks:\n$plan")
+      assert("Scan parquet".r.findAllIn(plan).length == 0,
+        s"$name: no parquet scan may survive above the staged blocks:\n$plan")
+    }
   }
 
   test("salted aggregation introduces no extra full-table exchange beyond the two phases") {

@@ -6,11 +6,13 @@ import graft.sink.FaultyFs
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Fault-injection for the three commit protocols SinksSpec /
+/** Fault-injection for the commit protocols SinksSpec /
   * ManifestTableSpec do not cover: the enrichment key store
   * ([[graft.enrich.Checkpoint]]), the watermark compaction swap
-  * ([[Incremental.maybeCompact]]), and the rollup log's
-  * `__batch`-partition sink ([[IncrementalAgg.maintainSink]]).
+  * ([[Incremental.maybeCompact]]), the rollup log's
+  * `__batch`-partition sink ([[IncrementalAgg.maintainSink]]), and the
+  * small-file compactor's rename-aside pivot
+  * ([[graft.sink.Sinks.compactPartitions]]).
   * Same methodology as SinksSpec's chaos block: the faulty://
   * filesystem throws at an exact protocol rename/delete, producing the
   * on-disk state a process kill at that instant would leave; the
@@ -140,6 +142,89 @@ class ChaosRecoverySpec extends AnyFunSuite {
       "crash must have left the stale aside (else the fault hit the wrong delete)")
     inc.commit(Seq((100L, new java.sql.Timestamp(1700000100000L))).toDF("id", "ts"))
     assert(inc.currentWatermark().contains(new java.sql.Timestamp(1700000100000L)))
+  }
+
+  // ---- Sinks.compactPartitions: the small-file compactor's swap ----
+
+  /** A two-partition table with >maxFiles small files per partition, so
+    * both partitions qualify for compaction.
+    */
+  private def smallFileTable(tag: String): (String, Set[(Long, Long)]) = {
+    val dir = faultyPath(tag) + "/t"
+    // 10 coalesce(1) appends -> exactly 10 parquet files per partition
+    // dir, deterministically over the compactor's maxFiles = 8 (a bulk
+    // repartition write can parity-align rows to tasks and undershoot).
+    val rows = (0L until 10L).flatMap(i => Seq((i, 0L), (i + 100L, 1L)))
+    rows.grouped(2).foreach { pair =>
+      pair.toDF("id", "month").coalesce(1)
+        .write.mode("append").partitionBy("month").parquet(dir)
+    }
+    (dir, rows.toSet)
+  }
+
+  private def readBack(dir: String): Set[(Long, Long)] =
+    spark.read.parquet(dir).select($"id", $"month".cast("long"))
+      .as[(Long, Long)].collect().toSet
+
+  private def parquetCount(dir: String, part: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir, part)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1
+    else fs.listStatus(p).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+  }
+
+  test("chaos: compactPartitions killed between its two renames — aside survives, retry heals and completes") {
+    val (dir, expected) = smallFileTable("chaos_cp1")
+    // The swap's staging rename is the only one whose SOURCE lives
+    // directly under .compacting (the committer's renames inside the
+    // staging write carry _temporary markers and keep their dst inside
+    // .compacting). Dying there is the naked window: the live partition
+    // dir has moved aside and nothing has replaced it yet.
+    graft.sink.FaultyFs.armRename((src, dst) =>
+      src.toString.contains(".compacting") && !src.toString.contains("_temporary") &&
+        !dst.toString.contains(".compacting"))
+    try {
+      intercept[Exception] { graft.sink.Sinks.compactPartitions(spark, dir, "month", maxFiles = 8) }
+      assert(graft.sink.FaultyFs.didFire, "the injected fault must actually have fired")
+    } finally graft.sink.FaultyFs.disarm()
+    // The crashed partition's sole surviving copy is its aside.
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val asides = fs.listStatus(new org.apache.hadoop.fs.Path(dir, ".merge_aside")).map(_.getPath.getName)
+    assert(asides.nonEmpty, "crash must have left the moved-aside partition")
+    assert(asides.exists(a => !fs.exists(new org.apache.hadoop.fs.Path(dir, a))),
+      "the fault must have hit the naked window (live dir missing, aside present)")
+    // Retry: restoreAsidePartitions heals the naked partition first,
+    // then compaction re-runs to completion — no row lost or invented.
+    val compacted = graft.sink.Sinks.compactPartitions(spark, dir, "month", maxFiles = 8)
+    assert(compacted.toSet == Set("month=0", "month=1"), s"retry must compact both partitions: $compacted")
+    assert(readBack(dir) == expected)
+    assert(parquetCount(dir, "month=0") == 1 && parquetCount(dir, "month=1") == 1,
+      "tiny partitions must compact to one file each")
+  }
+
+  test("chaos: compactPartitions killed after the swap, before aside cleanup — readers see the snapshot, rerun is safe") {
+    val (dir, expected) = smallFileTable("chaos_cp2")
+    // The aside is deleted twice per partition (pre-swap superseded
+    // sweep, post-swap cleanup): skip the first match to die exactly
+    // AFTER the first partition's swap completed.
+    graft.sink.FaultyFs.armDelete(_.toString.contains(".merge_aside"), skip = 1)
+    try {
+      intercept[Exception] { graft.sink.Sinks.compactPartitions(spark, dir, "month", maxFiles = 8) }
+      assert(graft.sink.FaultyFs.didFire, "the injected fault must actually have fired")
+    } finally graft.sink.FaultyFs.disarm()
+    // The swap was the commit pivot: the first partition already reads
+    // as its compacted snapshot, the stale aside is a dot-path readers
+    // never see, and the whole table is intact.
+    assert(readBack(dir) == expected, "post-swap crash must leave every row visible exactly once")
+    assert(Seq("month=0", "month=1").count(p => parquetCount(dir, p) == 1) == 1,
+      "exactly one partition should have completed its swap before the crash")
+    // Rerun finishes the second partition; the first (now compact) is
+    // untouched, and its stale aside stays invisible until a future
+    // compaction of that partition sweeps it.
+    val second = graft.sink.Sinks.compactPartitions(spark, dir, "month", maxFiles = 8)
+    assert(second.size == 1, s"rerun must compact exactly the unfinished partition: $second")
+    assert(readBack(dir) == expected)
+    assert(parquetCount(dir, "month=0") == 1 && parquetCount(dir, "month=1") == 1)
   }
 
   // ---- IncrementalAgg.maintainSink: the __batch-partition rollup log ----
