@@ -76,15 +76,9 @@ object ProfileScratch {
       // Listener events are posted async — DRAIN the bus rather than
       // sleeping a fixed beat (on a loaded box stage-completed events
       // can post >300 ms late, silently under-attributing GC/spill in
-      // the very tool built to attribute them). waitUntilEmpty is
-      // private[spark] (JVM-public), so call it reflectively; fall
-      // back to the old sleep if the API ever moves.
-      try {
-        val sc = spark.sparkContext
-        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
-        bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
-          .invoke(bus, java.lang.Long.valueOf(10000L))
-      } catch { case _: Exception => Thread.sleep(300) }
+      // the very tool built to attribute them). Fall back to the old
+      // sleep only if the reflective API ever moves.
+      if (!graft.util.ListenerDrain.drain(spark)) Thread.sleep(300)
       metrics.report(label)
     }
 
