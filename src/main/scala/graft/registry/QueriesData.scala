@@ -577,6 +577,18 @@ object QueriesData {
 
     // Flagship training-data prep: language gate -> quality gate ->
     // exact dedup -> MinHash near-dup removal, fully oracle-checked.
+    //
+    // MEASURED DEAD END (r11): staging this result to disk before the
+    // verify ORDER BY is 19% SLOWER at the 100x replica (67.1 -> 79.7 s
+    // median, bench_ab_stage_sort_r11.json). The range sampler's
+    // second job REUSES the first job's shuffle map outputs, so it
+    // never re-runs the signature/banding work behind the band
+    // exchange — the re-executed "double compute" is only the narrow
+    // anti-join tail, which is cheaper than a corpus-sized DISK_ONLY
+    // write. Stage-before-sort pays only when the sort child's narrow
+    // tail above the last exchange/materialization is itself expensive
+    // (resubmission's broadcast 5-BU fan-out, predictions' triple-
+    // window gate table).
     "q_pipeline_corpus" -> ((s, dir) =>
       graft.datapipe.CorpusClean.clean(TestTables.documents(s, dir), "doc_id", "text",
           minQuality = 1.1, minJaccard = 0.8, portableHash = true)
@@ -788,6 +800,11 @@ object QueriesData {
       val dropIds = Decontam.overlapReport(cleaned, "doc_id", "text",
           docs.filter(col("doc_id") % 25 === 7), "text", n = 3, minOverlap = 0.5)
         .filter(col("contaminated")).select(col("doc").as("doc_id"))
+      // No stage-before-sort here: measured 15% SLOWER staged at the
+      // 100x replica (68.5 -> 79.1 s) — same shuffle-output-reuse
+      // reason as q_pipeline_corpus above (bench_ab_stage_sort_r11
+      // .json); the chunk explode tail is narrow but cheap relative
+      // to writing the chunk-level result to disk.
       cleaned.join(dropIds, Seq("doc_id"), "left_anti")
         .select(col("doc_id"),
           posexplode(TextAnalysis.chunks(col("text"), width = 32, stride = 24))

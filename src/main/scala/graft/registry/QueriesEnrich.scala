@@ -45,16 +45,19 @@ object QueriesEnrich {
     // MEASURED DEAD END (r11): staging this frame to disk before the
     // verify ORDER BY (the q_pipeline_predictions /
     // q_pipeline_resubmission pattern) does NOT pay here. The range
-    // sampler's recompute is one broadcast/SMJ join pass off already-
-    // materialized exploded blocks plus a columnar parquet re-scan —
-    // cheaper than the DISK_ONLY round-trip of the 60M-row result at
-    // the 100× replica: staged 52.5 s median [47.4, 52.5, 57.4] vs
-    // unstaged 39.0 s [38.8, 39.0, 54.1] at 100×/8 GB; a wash at 10×
-    // (14.8 vs 15.0 s) — bench_ab_stage_sort_r11.json. The siblings
-    // pay because their sort child embeds the 5-BU fan-out union
-    // (resubmission 59.3 -> 44.0 s) or the triple-window gate table
-    // (predictions, r10). LLM calls never re-fire either way — the
-    // call stages read their own materialized blocks.
+    // sampler's second job REUSES the first job's shuffle map outputs,
+    // so the re-executed "double compute" is only the narrow join tail
+    // above the last exchange — cheaper than the DISK_ONLY round-trip
+    // of the 60M-row result at the 100× replica: staged 52.5 s median
+    // [47.4, 52.5, 57.4] vs unstaged 39.0 s [38.8, 39.0, 54.1] at
+    // 100×/8 GB; a wash at 10× (14.8 vs 15.0 s) —
+    // bench_ab_stage_sort_r11.json (which also records the same
+    // dead end on q_pipeline_corpus/q_pipeline_pretrain). The siblings
+    // pay because their narrow tails are themselves expensive: the
+    // broadcast 5-BU fan-out union (resubmission 59.3 -> 44.0 s) and
+    // the triple-window gate table (predictions, r10). LLM calls never
+    // re-fire either way — the call stages read their own materialized
+    // blocks.
     "q_c4_llm_predictions" -> ((s, dir) => {
       val claims = TestTables.lineitem(s, dir)
         .select(col("l_orderkey").as("visit_id"),
