@@ -169,6 +169,26 @@ class EnrichOperatorSpec extends AnyFunSuite {
     assert(out(20L) == "Approved")
   }
 
+  test("LlmFanout.justify: parse failures surface as the terminal justification marker") {
+    // C5 shares explodeCalls with predict, but its downstream labeling
+    // differs (justification column, not medical_prediction) — pin the
+    // parse-failure contract on this face too.
+    val claims = Seq((3L, 30L), (9L, 90L)).toDF("visit_id", "uid")
+    val garbage = () => new ServiceClient {
+      override def call(payload: String): Either[String, String] = {
+        val visit = payload.split('|')(0).toLong
+        if (visit == 9L) Right("no json here, ever")
+        else Right("""{"Justifications": {"30": "clinically indicated"}}""")
+      }
+    }
+    val out = LlmFanout.justify(claims, "visit_id", "uid", garbage,
+        EnrichOperator.Config(parallelism = 1))
+      .select($"uid", $"justification").as[(Long, String)].collect().toMap
+    assert(out(30L) == "clinically indicated")
+    assert(out(90L) == "Failed to reach LLM",
+      "a parse-failed visit must carry the terminal marker, not a null justification")
+  }
+
   test("no-diagnosis visits are identified for auto-reject (B18 gate)") {
     val claims = Seq((1L, Some("J10")), (1L, None), (2L, Some("K21"))).toDF("visit_id", "icd10")
     val v = LlmFanout.noDiagnosisVisits(claims, "visit_id", "icd10").as[Long].collect().toSet
