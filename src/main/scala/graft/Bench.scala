@@ -155,12 +155,23 @@ object Bench {
     // Warm-up failures are recorded too — a query that can't run at
     // sf0.001 must not silently bench as 0 s.
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt.max(1)
-    val results: Seq[(String, Double, Seq[Double], Option[String])] = selected.map { name =>
+    // 1-minute /proc/loadavg, snapshotted BEFORE each timed pass: outlier
+    // passes on a shared box (predictions 216 s at 100×) were attributed
+    // to background load by narrative only — recording the load makes the
+    // attribution checkable from the artifact itself.
+    def loadAvg1(): Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.mkString.split(' ')(0).toDouble finally src.close()
+      } catch { case _: Exception => -1.0 }
+    // Per query: (median, sorted durations, first error, chronological
+    // (loadavg1, seconds) pass pairs).
+    val results: Seq[(String, Double, Seq[Double], Option[String], Seq[(Double, Double)])] = selected.map { name =>
       SparkEntry.queries.get(name) match {
         // A headline name missing from the registry (rename, typo) must
         // surface as an ERROR row — flatMap-dropping it printed a
         // smaller total with exit 0, indistinguishable from a speedup.
-        case None => (name, 0.0, Seq(0.0), Some("headline query not in SparkEntry.queries"))
+        case None => (name, 0.0, Seq(0.0), Some("headline query not in SparkEntry.queries"), Seq.empty)
         case Some(fn) =>
         def runOnce(dir: String): Option[String] =
           try { fn(spark, dir).write.format("noop").mode("overwrite").save(); None }
@@ -171,7 +182,8 @@ object Bench {
         runOnce("/root/testdata/sf0.001") // warm-up; error (if any) resurfaces below
         // Median of `passes` timed runs in one JVM: a single shared-box
         // load spike poisons one pass, not the reported number.
-        def timeOnce(): (Double, Option[String]) = {
+        def timeOnce(): (Double, Option[String], Double) = {
+          val load = loadAvg1()
           // Snapshot what was persisted BEFORE the pass so the sweep
           // below can free only blocks this pass created. INVARIANT
           // guarded by the scoping: a localCheckpointed RDD has
@@ -202,7 +214,7 @@ object Bench {
             .foreach { case (id, rdd) =>
               if (!preExisting.contains(id)) rdd.unpersist(blocking = true)
             }
-          (dt, err)
+          (dt, err, load)
         }
         val base = (1 to passes).map(_ => timeOnce())
         // Deflake the sub-2 s tail: on a shared box a single background
@@ -224,24 +236,30 @@ object Bench {
         val firstErr = timed.flatMap(_._2).headOption
         val sorted = timed.map(_._1).sorted
         val median = sorted(sorted.length / 2)
-        (name, median, sorted, firstErr)
+        (name, median, sorted, firstErr, timed.map(t => (t._3, t._1)))
       }
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     // Per-query [min, median, max] of the passes: a wide min-max spread
     // is the self-diagnosing signature of shared-box load, so a slow
     // median can be dismissed (or confirmed) on sight instead of
     // burning a judging cycle on phantom regressions.
-    def r3(x: Double): Double = math.rint(x * 1000) / 1000
-    val spread = results.map { case (k, _, s, _) =>
+    val spread = results.map { case (k, _, s, _, _) =>
       "\"" + k + "\":[" + r3(s.head) + "," + r3(s(s.length / 2)) + "," + r3(s.last) + "]"
     }.mkString("{", ",", "}")
     // Effective pass count per query: the deflake tiers run MORE than
     // the configured base (sub-2 s and fan-out-family queries get 5),
     // so `"passes"` alone cannot be read off the artifact as the
     // per-query sample size.
-    val npasses = results.map { case (k, _, s, _) =>
+    val npasses = results.map { case (k, _, s, _, _) =>
       "\"" + k + "\":" + s.length
+    }.mkString("{", ",", "}")
+    // Chronological per-pass [loadavg1, seconds] pairs: the direct
+    // evidence when one pass is an outlier — high load BEFORE the slow
+    // pass confirms the shared-box attribution, flat load refutes it.
+    val load = results.map { case (k, _, _, _, lp) =>
+      "\"" + k + "\":[" + lp.map { case (l, d) => "[" + r3(l) + "," + r3(d) + "]" }.mkString(",") + "]"
     }.mkString("{", ",", "}")
     // Full JSON string escape (same as Verify's): exception messages
     // carry backslashes, tabs, and stack-trace fragments — stripping
@@ -256,23 +274,35 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val errs = results.map { case (k, _, _, e) =>
+    val errs = results.map { case (k, _, _, e, _) =>
       "\"" + k + "\":" + e.map(jq).getOrElse("null")
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"passes":$passes,"npasses":$npasses,"sf":"$sfDir"}"""
-    println(line)
-    // Also persist the full JSON to a file: the driver's BENCH_r{N}
-    // capture tail-truncates long stdout, which has cost whole rounds
-    // their per-query spread evidence. The DEFAULT is a timestamped
-    // path under /tmp so an env-less run can never clobber the
-    // committed round artifact (repo-root bench_out.json is written
-    // only when SPARK_GRAFT_BENCH_OUT explicitly points there).
+    // Errors for STDOUT: only the failing queries (normally "{}") — the
+    // compact line must stay small but a crash must still name itself.
+    val stdoutErrs = results.collect { case (k, _, _, Some(e), _) =>
+      "\"" + k + "\":" + jq(e)
+    }.mkString("{", ",", "}")
+    val total = r3(results.map(_._2).sum)
+    // Persist the FULL JSON (spread/errors/npasses/load) to a file; the
+    // default is a timestamped path under /tmp so an env-less run can
+    // never clobber the committed round artifact (repo-root
+    // bench_out.json is written only when SPARK_GRAFT_BENCH_OUT
+    // explicitly points there).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       s"/tmp/graft_bench_${System.currentTimeMillis()}.json")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"passes":$passes,"npasses":$npasses,"load":$load,"sf":"$sfDir"}"""
+    // STDOUT gets a COMPACT line: the driver's BENCH_r{N} capture
+    // tail-truncates long stdout, and by round 11 the full line (59
+    // queries × spreads + errors + npasses) had outgrown it — the
+    // driver artifact parsed as null and the round's headline number
+    // survived only in the committed file. Total + per-query medians
+    // (3 decimals) + failing-query errors fit comfortably; everything
+    // else lives in the file artifact, referenced by path.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$stdoutErrs,"passes":$passes,"detail":"$outPath","sf":"$sfDir"}"""
+    println(line)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (line + "\n").getBytes("UTF-8"))
+        (fullLine + "\n").getBytes("UTF-8"))
       System.err.println(s"[bench] wrote $outPath")
     } catch { case e: Exception => System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()

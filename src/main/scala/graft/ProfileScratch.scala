@@ -76,9 +76,17 @@ object ProfileScratch {
       // Listener events are posted async — DRAIN the bus rather than
       // sleeping a fixed beat (on a loaded box stage-completed events
       // can post >300 ms late, silently under-attributing GC/spill in
-      // the very tool built to attribute them). Fall back to the old
-      // sleep only if the reflective API ever moves.
-      if (!graft.util.ListenerDrain.drain(spark)) Thread.sleep(300)
+      // the very tool built to attribute them). The two failure modes
+      // need opposite handling: a TIMEOUT already blocked the full
+      // drain window (sleeping again is pointless — flag the numbers
+      // instead); only an API MOVE (nothing waited) takes the bounded
+      // sleep fallback.
+      graft.util.ListenerDrain.drainDetailed(spark) match {
+        case graft.util.ListenerDrain.Drained =>
+        case graft.util.ListenerDrain.TimedOut(ms) =>
+          println(s"  [!] listener bus not empty after $ms ms — stage attribution below may be incomplete")
+        case graft.util.ListenerDrain.Unreachable(_) => Thread.sleep(300)
+      }
       metrics.report(label)
     }
 

@@ -34,29 +34,14 @@ case class DictMatch(left: Expression, right: Expression) extends BinaryExpressi
       case (StringType, ArrayType(StringType, _)) =>
         if (!right.foldable)
           TypeCheckResult.TypeCheckFailure(s"$prettyName: patterns must be a literal (foldable) array")
-        else {
-          // Foldable → evaluable at analysis time: reject a NULL array and
-          // NULL elements HERE, with a named error, instead of letting the
-          // Automaton builder NPE opaquely on an executor (ArrayType
-          // containsNull=true passes the type match, so the shape check
-          // alone does not cover this). Foldable does not mean eval-safe:
-          // an ANSI-mode error inside the literal (overflowing arithmetic,
-          // bad cast) would otherwise escape the ANALYZER as a raw runtime
-          // exception — fold that into a named failure too.
-          scala.util.Try(right.eval(InternalRow.empty)) match {
-            case scala.util.Failure(e) => TypeCheckResult.TypeCheckFailure(
-              s"$prettyName: patterns literal failed to evaluate: ${e.getMessage}")
-            case scala.util.Success(null) => TypeCheckResult.TypeCheckFailure(
-              s"$prettyName: patterns must not be a NULL literal")
-            case scala.util.Success(arr: ArrayData) =>
-              val nulls = (0 until arr.numElements()).filter(arr.isNullAt)
-              if (nulls.nonEmpty) TypeCheckResult.TypeCheckFailure(
-                s"$prettyName: NULL pattern elements are not allowed (at index ${nulls.head})")
-              else TypeCheckResult.TypeCheckSuccess
-            case scala.util.Success(other) => TypeCheckResult.TypeCheckFailure(
-              s"$prettyName: patterns literal evaluated to unexpected ${other.getClass.getName}")
-          }
-        }
+        else
+          // Foldable → evaluable at analysis time: reject a NULL array,
+          // NULL elements, and eval errors HERE with a named failure —
+          // the shared FoldableLiteral ladder (this expression is where
+          // the contract originated; the helper is now the single home
+          // so the check cannot drift between its users).
+          FoldableLiteral.stringArray(prettyName, "patterns", right)
+            .fold(identity, _ => TypeCheckResult.TypeCheckSuccess)
       case (a, b) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects (string, array<string>), got (${a.sql}, ${b.sql})")
     }

@@ -8,9 +8,10 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import scala.util.{Failure, Success, Try}
 
 /** Analysis-time evaluation of foldable literal arguments with eval
-  * errors as NAMED TypeCheckFailures — the DictMatch contract
-  * (DictMatch.scala:42-56), shared by every expression that compiles a
-  * literal argument into its runtime state. Foldable does not mean
+  * errors as NAMED TypeCheckFailures — originated in DictMatch, now the
+  * SINGLE home of the contract (DictMatch itself delegates here), shared
+  * by every expression that compiles a literal argument into its
+  * runtime state. Foldable does not mean
   * eval-safe: an ANSI-mode error inside the literal (overflowing
   * arithmetic, bad cast) would otherwise escape the ANALYZER as a raw
   * runtime exception, and a NULL int literal silently unboxes to 0 —

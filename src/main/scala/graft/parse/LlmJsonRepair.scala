@@ -12,7 +12,8 @@ import scala.util.matching.Regex
   *   1. direct parse,
   *   2. fenced ```json block,
   *   3. first balanced {...} substring (string-aware brace matching),
-  *   4. regex "key": "value" pair scraping,
+  *   4. regex uid-pair scraping (numeric 5+-digit ids, 10+-char reasons
+  *      — the reference's own fallback constraints),
   *   5. empty map.
   * Plus the validators: comma-joined keys are split
   * (src/predictions.py:168-178 `validate_keys`) and entries whose reason
@@ -65,11 +66,23 @@ object LlmJsonRepair {
     None
   }
 
-  private val pairRegex: Regex = """"([^"]+)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+  // Mirrors the reference's strategy-4 regex
+  // (src/predictions_openrouter.py:275-281): only NUMERIC ids of 5+
+  // digits with reasons of 10+ chars are rescued. The constraint is
+  // load-bearing, not cosmetic — a prose/refusal response that happens
+  // to contain a quoted pair (the model echoing schema text:
+  // `"analysis": "the visit looks fine"`) must NOT count as a parse:
+  // its non-uid keys would silently vanish in the downstream uid
+  // try_cast join-back and every claim on the visit would default to
+  // Approved with no retry, the exact failure mode the strict contract
+  // exists to close. Keys/values may be unquoted (truncated output).
+  private val pairRegex: Regex = """"?(\d{5,})"?\s*:\s*["{]?\s*([^,}\n"']{10,})""".r
 
-  /** Scrape "key": "value" pairs as a last-resort flat object. */
+  /** Scrape uid-shaped `id: "reason"` pairs as a last-resort flat
+    * object — numeric 5+-digit keys with 10+-char reasons only.
+    */
   def scrapePairs(s: String): Map[String, String] =
-    pairRegex.findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap
+    pairRegex.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).trim).toMap
 
   /** The 5-strategy ladder, distinguishing PARSE FAILURE from a
     * legitimately empty object. `field` selects a nested object to

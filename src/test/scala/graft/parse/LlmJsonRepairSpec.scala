@@ -24,10 +24,28 @@ class LlmJsonRepairSpec extends AnyFunSuite {
     assert(LlmJsonRepair.extract(raw) == Map("a" -> "open { brace", "b" -> "close } brace"))
   }
 
-  test("strategy 4: pair scraping on truncated json") {
-    val raw = """{"101": "missing diagnosis", "102": "not covered" ...truncated"""
+  test("strategy 4: uid-pair scraping on truncated json") {
+    val raw = """{"10101": "missing diagnosis", "10202": "not covered" ...truncated"""
     val out = LlmJsonRepair.extract(raw)
-    assert(out == Map("101" -> "missing diagnosis", "102" -> "not covered"))
+    assert(out == Map("10101" -> "missing diagnosis", "10202" -> "not covered"))
+  }
+
+  test("strategy 4 rescues unquoted keys and values (reference regex shape)") {
+    val raw = """Rejected services: 10101: missing diagnosis for this visit"""
+    assert(LlmJsonRepair.extract(raw) == Map("10101" -> "missing diagnosis for this visit"))
+  }
+
+  test("strategy 4 does NOT rescue non-uid pairs — prose with echoed schema text is a parse failure") {
+    // A refusal/prose response containing a quoted pair must not count
+    // as parsed: its non-numeric keys would vanish in the uid try_cast
+    // join-back and the visit would silently default to Approved.
+    val raw = """I reviewed the claim. "analysis": "the visit looks fine", nothing to reject."""
+    assert(LlmJsonRepair.repairStrict(raw, "Rejected").isEmpty,
+      "non-uid quoted pairs must route to the retry pass, not parse")
+    // Short numeric ids (< 5 digits) and short reasons (< 10 chars) are
+    // below the reference's rescue thresholds too.
+    assert(LlmJsonRepair.repairStrict("""oops {"101": "missing diagnosis territory""", "Rejected").isEmpty)
+    assert(LlmJsonRepair.repairStrict("""oops {"10101": "too short""", "Rejected").isEmpty)
   }
 
   test("strategy 5: empty fallback") {
