@@ -255,6 +255,62 @@ class ManifestTableSpec extends AnyFunSuite {
       == after.entries.map(_.path))
   }
 
+  test("chaos: a crash AT compact's layout-only commit rename leaves readers on the OLD layout; retry converges; vacuum reaps the orphan") {
+    // Compaction shares tryCommit with upsert, but its commit carries
+    // DIFFERENT state: a carried-by-reference big-file set plus one
+    // rewritten small-files batch — kill the rename here too, or the
+    // carry-by-reference path's crash window stays untested.
+    spark.sparkContext.hadoopConfiguration.set("fs.faulty.impl", classOf[FaultyFs].getName)
+    val r = "faulty://" + graft.util.TempDirs.scratch("graft_chaos_compact") + "/t"
+    ManifestTable.create(spark, r, mk(1 to 20000, "big").repartition(1), "id")
+    ManifestTable.append(spark, r, mk(20001 to 20010, "s").repartition(2))
+    val before = rowsOf(ManifestTable.read(spark, r))
+    val beforePaths = ManifestTable.snapshot(spark, r, 2L).entries.map(_.path)
+    // 20 KB threshold: the 20k-row file classifies big (carried by
+    // reference), the 5-row files small (rewritten). Pin the premise —
+    // if parquet encoding ever shrinks the fixture below the line, the
+    // test must fail HERE, not in the carry-by-reference assert below.
+    val minBytes = 20000L
+    val ffs = new org.apache.hadoop.fs.Path(r).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lens = ManifestTable.snapshot(spark, r, 2L).entries
+      .map(e => ffs.getFileStatus(new org.apache.hadoop.fs.Path(r, e.path)).getLen)
+    assert(lens.count(_ >= minBytes) == 1 && lens.count(_ < minBytes) == 2,
+      s"fixture premise: one big + two small files around $minBytes, got $lens")
+    FaultyFs.armRename((_, dst) => dst.getName.matches("v\\d{8}\\.manifest"))
+    try {
+      intercept[java.io.IOException] {
+        ManifestTable.compact(spark, r, minBytes = minBytes, targetPartitions = 1)
+      }
+      assert(FaultyFs.didFire, "the injected fault must actually have fired")
+    } finally FaultyFs.disarm()
+    // Between the crash and recovery: the OLD layout, exactly — same
+    // version, same files, same rows; the dead attempt's rewritten
+    // batch is invisible.
+    assert(ManifestTable.latestVersion(spark, r) == 2L)
+    assert(ManifestTable.snapshot(spark, r, 2L).entries.map(_.path) == beforePaths,
+      "a crashed layout commit must not perturb the committed file set")
+    assert(rowsOf(ManifestTable.read(spark, r)) == before)
+    // The retried compaction converges: layout-only (rows + fingerprint
+    // identical), the big file carried by REFERENCE, the small files
+    // folded into one rewritten batch file.
+    assert(ManifestTable.compact(spark, r, minBytes = minBytes, targetPartitions = 1) == 3L)
+    val after = ManifestTable.snapshot(spark, r, 3L)
+    assert(rowsOf(ManifestTable.read(spark, r)) == before, "layout-only: rows identical")
+    assert(graft.ops.Audit.fingerprintsMatch(
+      ManifestTable.read(spark, r, 2L), ManifestTable.read(spark, r, 3L),
+      Seq("id", "tag", "v")), "pre/post-crash-retry fingerprints must match")
+    val carried = beforePaths.filter(after.entries.map(_.path).contains)
+    assert(carried.size == 1, s"exactly the big file must carry by reference, got $carried")
+    assert(after.entries.size == 2, s"big + one compacted file, got ${after.entries.size}")
+    // Vacuum reaps the crashed attempt's orphan batch (written, never
+    // referenced) without touching any retained snapshot's files.
+    val reaped = ManifestTable.vacuum(spark, r, retainVersions = 10)
+    assert(reaped.nonEmpty, "the crashed compaction's orphan batch must be reaped")
+    assert(reaped.forall(p => !after.entries.map(_.path).contains(p)),
+      "vacuum must never reap files the live snapshot references")
+    assert(rowsOf(ManifestTable.read(spark, r)) == before, "vacuum must not touch referenced files")
+  }
+
   test("deleting every row yields a readable empty table; upserting into it repopulates") {
     val r = root()
     ManifestTable.create(spark, r, mk(1 to 10, "a"), "id")
