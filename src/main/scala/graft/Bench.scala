@@ -33,6 +33,9 @@ object Bench {
     "q_range_incident_join",
     "q_pack_sequences",
     "q_sample_stratified",
+    // Data-selection family representative (r12): hashed-ngram DSIR
+    // scoring of the whole corpus against the en-target model.
+    "q_dsir_score",
     "q_text_keywords",
     "q_decontaminate",
     "q_pipeline_pretrain",

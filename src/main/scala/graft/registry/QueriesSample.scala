@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.datapipe.{Sampling, TextAnalysis}
+import graft.datapipe.{Dsir, Sampling, TextAnalysis}
 import graft.tables.TestTables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -107,9 +107,106 @@ object QueriesSample {
           TextAnalysis.tokenCountWs(col("text")), budget = 512L, buckets = 8)
         .withColumnRenamed("key", "doc_id")
         .orderBy(col("doc_id"))),
+
+    // DSIR bucket score table: English documents as the target slice,
+    // the whole corpus as raw — 64 hashed-ngram buckets, quantized
+    // smoothed likelihood ratios. Bounded output (exactly 64 rows)
+    // whatever the corpus size.
+    "q_dsir_bucket_scores" -> ((s, dir) => {
+      val docs = TestTables.documents(s, dir)
+      Dsir.bucketScores(docs.filter(col("lang") === "en"), "text", docs, "text", buckets = 64)
+        .orderBy(col("bucket"))
+    }),
+
+    // Per-document DSIR importance scores against the en-target model:
+    // integer ratio sum + mean likelihood ratio, every value exact.
+    "q_dsir_score" -> ((s, dir) => {
+      val docs = TestTables.documents(s, dir)
+      val scores = Dsir.bucketScores(docs.filter(col("lang") === "en"), "text", docs, "text", 64)
+      Dsir.scoreDocs(docs, "doc_id", "text", scores, buckets = 64)
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR selection: the 50 most target-like documents
+    // (TakeOrderedAndProject — per-partition top-k, no global sort).
+    "q_dsir_topk" -> ((s, dir) => {
+      val docs = TestTables.documents(s, dir)
+      val scores = Dsir.bucketScores(docs.filter(col("lang") === "en"), "text", docs, "text", 64)
+      Dsir.resampleTopK(Dsir.scoreDocs(docs, "doc_id", "text", scores, 64), "doc_id", k = 50)
+    }),
+
+    // DSIR acceptance resampling: keep-probability proportional to the
+    // importance weight, deterministic via the md5-prefix uniform.
+    "q_dsir_accept" -> ((s, dir) => {
+      val docs = TestTables.documents(s, dir)
+      val scores = Dsir.bucketScores(docs.filter(col("lang") === "en"), "text", docs, "text", 64)
+      Dsir.acceptByImportance(Dsir.scoreDocs(docs, "doc_id", "text", scores, 64), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
   )
 
+  /** Shared DuckDB CTE chain replaying Dsir: words → unigram+bigram
+    * features → XXH64 buckets (value-exact replay of the engine's
+    * codegen'd `xxhash64(gram)` via PortableHashSql, hashed once per
+    * DISTINCT gram then joined back to occurrences) → target/raw
+    * counts → 64-row spine → HUGEINT-exact quantized ratios →
+    * per-doc integer scores. The final CTE `dsirdoc` exposes
+    * (doc_id, n_feat, dsir_q, dsir_mean); `dsirsc` the score table.
+    * Opens WITH RECURSIVE — the XXH64 stripe walk recurses.
+    */
+  private val dsirCtes: String =
+    """WITH RECURSIVE w AS (
+      |  SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, lang, list_concat(ws,
+      |    CASE WHEN len(ws) < 2 THEN CAST([] AS VARCHAR[])
+      |         ELSE list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]) END) AS gs
+      |  FROM w),
+      |occ AS MATERIALIZED (SELECT doc_id, lang, g AS w FROM f, unnest(gs) AS t(g)),
+      |uw AS MATERIALIZED (SELECT DISTINCT w FROM occ),
+      |""".stripMargin +
+      graft.oracle.PortableHashSql.wordHashCtes("dsx", "uw", Seq(42L)) +
+    """,
+      |fb AS MATERIALIZED (
+      |  SELECT doc_id, lang, ((h0 % 64) + 64) % 64 AS b
+      |  FROM occ JOIN dsxh USING (w)),
+      |tcnt AS (SELECT b, CAST(count(*) AS BIGINT) AS tc FROM fb WHERE lang = 'en' GROUP BY b),
+      |rcnt AS (SELECT b, CAST(count(*) AS BIGINT) AS rc FROM fb GROUP BY b),
+      |spine AS (SELECT CAST(i AS BIGINT) AS bucket FROM unnest(range(0, 64)) AS t(i)),
+      |cnts AS (
+      |  SELECT bucket, coalesce(tc, 0) AS tc, coalesce(rc, 0) AS rc
+      |  FROM spine LEFT JOIN tcnt ON bucket = tcnt.b LEFT JOIN rcnt ON bucket = rcnt.b),
+      |tot AS (SELECT CAST(sum(tc) AS BIGINT) AS tt, CAST(sum(rc) AS BIGINT) AS rr FROM cnts),
+      |dsirsc AS (
+      |  SELECT bucket, tc, rc,
+      |    CAST((CAST(1000000 AS HUGEINT) * (tc + 1) * (rr + 64))
+      |         // (CAST(rc + 1 AS HUGEINT) * (tt + 64)) AS BIGINT) AS s
+      |  FROM cnts, tot),
+      |dsirdoc AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat, CAST(sum(s) AS BIGINT) AS dsir_q,
+      |    CAST(CAST(sum(s) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |      / CAST(1000000 AS DOUBLE) AS dsir_mean
+      |  FROM fb JOIN dsirsc ON fb.b = dsirsc.bucket GROUP BY doc_id)
+      |""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_dsir_bucket_scores" ->
+      s"""${dsirCtes}SELECT bucket, tc, rc, s FROM dsirsc ORDER BY bucket""",
+
+    "q_dsir_score" ->
+      s"""${dsirCtes}SELECT doc_id, n_feat, dsir_q, dsir_mean FROM dsirdoc ORDER BY doc_id""",
+
+    "q_dsir_topk" ->
+      s"""${dsirCtes}SELECT doc_id, n_feat, dsir_q, dsir_mean FROM dsirdoc
+         |ORDER BY dsir_mean DESC, doc_id LIMIT 50""".stripMargin,
+
+    "q_dsir_accept" ->
+      s"""${dsirCtes}, wm AS (SELECT max(dsir_mean) AS wmax FROM dsirdoc)
+         |SELECT doc_id, n_feat, dsir_q, dsir_mean FROM dsirdoc, wm
+         |WHERE ${uniform01Sql("doc_id", "dsir")} < dsir_mean / wmax
+         |ORDER BY doc_id""".stripMargin,
+
     "q_sample_hash" ->
       s"""SELECT doc_id, lang, n_chars FROM documents
          |WHERE ${hashHexSql("doc_id", "s0")} < '${Sampling.hexThreshold(0.25)}'

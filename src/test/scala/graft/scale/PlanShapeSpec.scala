@@ -335,7 +335,14 @@ class PlanShapeSpec extends AnyFunSuite {
       // skyline: frontier collapse + prefix max execute inside the
       // running-max materialization; the visible plan is the one
       // broadcast join back onto the single points scan.
-      "q_skyline" -> (0, 1))
+      "q_skyline" -> (0, 1),
+      // r12 DSIR: the two bucket-count aggregations (each map-side
+      // collapsed to ≤B rows per task) plus the per-doc score
+      // aggregation; 3 scans = target slice + raw counts + scoring
+      // pass. The B-row score table reaches the scoring join as a
+      // BROADCAST (locked in DsirSpec) — a 4th hash exchange here
+      // would mean the corpus started shuffling on bucket id.
+      "q_dsir_score" -> (3, 3))
     def counts(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
       val s = df.queryExecution.executedPlan.toString
       ("Exchange hashpartitioning".r.findAllIn(s).length,
