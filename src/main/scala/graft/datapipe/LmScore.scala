@@ -47,9 +47,19 @@ object LmScore {
     * Column (empty for docs shorter than `n`). Pure codegen'd
     * transform — no explode here; the consumer explodes once.
     */
-  def charNgrams(text: Column, n: Int): Column = {
+  def charNgrams(text: Column, n: Int): Column =
+    charNgramsOfLower(lower(text), n)
+
+  /** [[charNgrams]] over an ALREADY-LOWERCASED, BOUND text column.
+    * The n-gram lambda substrings `t` per element, and Catalyst does
+    * not CSE inside lambda bodies — an inline `lower(text)` here
+    * re-lowercases the whole document once per n-gram, O(len²) per
+    * doc (the q_dsir_score lesson; see the verify notes). Hot paths
+    * project the lowered text to an attribute and call this form;
+    * substring-of-attribute per element is the cheap O(n) it reads as.
+    */
+  def charNgramsOfLower(t: Column, n: Int): Column = {
     require(n >= 1, "n must be positive")
-    val t = lower(text)
     val cnt = length(t) - (n - 1)
     when(cnt <= 0 || t.isNull, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), cnt), i => t.substr(i, lit(n))))
@@ -71,14 +81,18 @@ object LmScore {
     // counts; the count tables are alphabet-bounded (see scaladoc).
     val refT = graft.util.Materialize.once(
       ref.select(lower(col(refTextCol)).as("t")).filter(col("t").isNotNull))
-    val c3 = refT.select(explode(charNgrams(col("t"), 3)).as("g"))
+    // `t` is a bound, already-lowered attribute — charNgramsOfLower,
+    // not charNgrams, or every n-gram re-lowercases the document
+    // (O(len²); see charNgramsOfLower's scaladoc).
+    val c3 = refT.select(explode(charNgramsOfLower(col("t"), 3)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c3"))
-    val c2 = refT.select(explode(charNgrams(col("t"), 2)).as("g2"))
+    val c2 = refT.select(explode(charNgramsOfLower(col("t"), 2)).as("g2"))
       .groupBy(col("g2")).agg(count(lit(1)).as("c2"))
-    val alpha = refT.select(explode(charNgrams(col("t"), 1)).as("ch"))
+    val alpha = refT.select(explode(charNgramsOfLower(col("t"), 1)).as("ch"))
       .agg(countDistinct(col("ch")).as("alpha"))
     val tris = docs
-      .select(col(idCol).as("doc"), explode(charNgrams(col(textCol), 3)).as("g"))
+      .select(col(idCol).as("doc"), lower(col(textCol)).as("__lt"))
+      .select(col("doc"), explode(charNgramsOfLower(col("__lt"), 3)).as("g"))
       .withColumn("g2", substring(col("g"), 1, 2))
     tris
       .join(Joins.broadcastIfSmall(c3), Seq("g"), "left")

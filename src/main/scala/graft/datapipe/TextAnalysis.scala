@@ -50,17 +50,20 @@ object TextAnalysis {
         i => array_join(slice(ws, i + 1, lit(n)), " ")))
   }
 
-  /** Context-window chunking: split a document's word sequence into
-    * windows of `size` words advancing by `stride` (< size ⇒ overlap,
-    * the usual boundary-context trick). Chunk i covers words
-    * [i·stride, i·stride + size); the last chunk may be short; empty
+  /** Context-window chunking over a BOUND word-array column: windows
+    * of `width` words advancing by `stride` (< width ⇒ overlap, the
+    * usual boundary-context trick). Chunk i covers words
+    * [i·stride, i·stride + width); the last chunk may be short; empty
     * docs produce one empty chunk. Pure Column — the array of chunk
     * strings; the consumer explodes with `posexplode` for
-    * (chunk_id, chunk).
+    * (chunk_id, chunk). `ws` MUST be a projected attribute: the
+    * chunk lambda slices it per window, and Catalyst does not CSE
+    * inside lambda bodies, so an inline `words(text)` here re-splits
+    * the document once per chunk — O(words²/stride) per doc (the
+    * q_dsir_score lesson; see the verify notes).
     */
-  def chunks(text: Column, width: Int, stride: Int): Column = {
+  def chunksOfWords(ws: Column, width: Int, stride: Int): Column = {
     require(width >= 1 && stride >= 1 && stride <= width, "need 1 <= stride <= width")
-    val ws = words(text)
     // Number of chunks: smallest c with c·stride + (width−stride) >= n,
     // i.e. ceil(max(n − width, 0) / stride) + 1 — windows starting past
     // the end would duplicate the tail.
@@ -69,6 +72,13 @@ object TextAnalysis {
     transform(sequence(lit(0), nChunks - 1),
       i => array_join(slice(ws, i * stride + 1, lit(width)), " "))
   }
+
+  /** Convenience form over raw text — fine for one-off row-level use;
+    * hot paths bind `words(text)` to an attribute first and call
+    * [[chunksOfWords]] (see the scaladoc there for why).
+    */
+  def chunks(text: Column, width: Int, stride: Int): Column =
+    chunksOfWords(words(text), width, stride)
 
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to", "is")
 

@@ -806,8 +806,12 @@ object QueriesData {
       // .json); the chunk explode tail is narrow but cheap relative
       // to writing the chunk-level result to disk.
       cleaned.join(dropIds, Seq("doc_id"), "left_anti")
+        // Bind the word array BEFORE the chunk lambda (r12: an inline
+        // words(text) re-splits the doc once per chunk — see
+        // TextAnalysis.chunksOfWords).
+        .select(col("doc_id"), TextAnalysis.words(col("text")).as("__ws"))
         .select(col("doc_id"),
-          posexplode(TextAnalysis.chunks(col("text"), width = 32, stride = 24))
+          posexplode(TextAnalysis.chunksOfWords(col("__ws"), width = 32, stride = 24))
             .as(Seq("chunk_id", "chunk")))
         .select(col("doc_id"), col("chunk_id"),
           TextAnalysis.tokenCountWs(col("chunk")).as("n_tokens"))
@@ -823,8 +827,9 @@ object QueriesData {
     // overlap) — the pretraining document-splitting op.
     "q_text_chunk" -> ((s, dir) =>
       TestTables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.words(col("text")).as("__ws"))
         .select(col("doc_id"),
-          posexplode(TextAnalysis.chunks(col("text"), width = 32, stride = 24))
+          posexplode(TextAnalysis.chunksOfWords(col("__ws"), width = 32, stride = 24))
             .as(Seq("chunk_id", "chunk")))
         .orderBy(col("doc_id"), col("chunk_id"))),
 
