@@ -36,6 +36,10 @@ object Bench {
     // Data-selection family representative (r12): hashed-ngram DSIR
     // scoring of the whole corpus against the en-target model.
     "q_dsir_score",
+    // Validated-PII representative (r12): candidate regex + Luhn/octet
+    // validators + fold-replace — the whole family is one codegen'd
+    // per-row map, so this is a pure scan-throughput row.
+    "q_text_pii_redact",
     "q_text_keywords",
     "q_decontaminate",
     "q_pipeline_pretrain",

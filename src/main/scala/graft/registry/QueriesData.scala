@@ -3,7 +3,7 @@ package graft.registry
 import graft.datapipe.{Boilerplate, Bpe, Classifier, Gopher, Decontam, Dedup, DupSpans, FuzzyJoin, GraphRank, Html, IncrementalDedup, Keywords, LmScore, Markdown, Multimodal, Quantize, Retrieval, SemDedup, ShortestPaths, Similarity, TextAnalysis, Urls, Vocab}
 import graft.functions.SubwordTokenize
 import graft.tables.TestTables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Registry: training-data pipeline operators over documents/embeddings.
@@ -699,6 +699,37 @@ object QueriesData {
           TextAnalysis.redactPii(planted).as("clean_text"))
         .orderBy(col("doc_id"))
     }),
+
+    // Validated PII over a planted line carrying every family: a
+    // dotted quad whose last octet sometimes exceeds 255 (~15% of
+    // docs — exercising octet validation), a 16-digit card that is
+    // Luhn-VALID on even doc_ids and Luhn-INVALID on odd ones
+    // (exercising the checksum), plus the email/phone pair. Candidate
+    // counts vs validated counts per document.
+    "q_text_pii_stats" -> ((s, dir) => {
+      val planted = piiPlanted
+      val ipc = TextAnalysis.candidates(planted, TextAnalysis.ipv4Pattern)
+      val ccc = TextAnalysis.candidates(planted, TextAnalysis.ccCandidatePattern)
+      TestTables.documents(s, dir).select(
+          col("doc_id"),
+          regexp_count(planted, lit(TextAnalysis.emailPattern)).as("n_emails"),
+          regexp_count(planted, lit(TextAnalysis.phonePattern)).as("n_phones"),
+          size(ipc).as("n_ip_candidates"),
+          size(filter(ipc, c => TextAnalysis.validIpv4(c))).as("n_ip_valid"),
+          size(ccc).as("n_cc_candidates"),
+          size(filter(ccc, c => TextAnalysis.luhnValid(c))).as("n_cc_valid"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Validated redaction: Luhn-valid cards and range-valid IPs are
+    // fold-replaced, invalid ones survive verbatim (an invalid
+    // candidate is by definition NOT the PII the tag claims), then the
+    // email/phone regexp pair runs — redactPiiStrict's fixed order.
+    "q_text_pii_redact" -> ((s, dir) =>
+      TestTables.documents(s, dir).select(
+          col("doc_id"),
+          TextAnalysis.redactPiiStrict(piiPlanted).as("clean_text"))
+        .orderBy(col("doc_id"))),
 
     // Corpus-frequency boilerplate removal (line-level dedup): the
     // synthetic docs are single-line, so both engines plant the same
@@ -2034,7 +2065,74 @@ object QueriesData {
        |SELECT node, dist FROM d4 ORDER BY node""".stripMargin
   }
 
+  /** Planted PII line shared by the q_text_pii_* pair, replayed
+    * verbatim by [[piiPlantedSql]]: a dotted quad whose last octet
+    * ranges over [0, 300) (invalid above 255), a card that is
+    * Luhn-valid iff doc_id is even, a phone, an email.
+    */
+  private def piiPlanted: Column =
+    concat(col("text"),
+      lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+      lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+      lit("."), ((col("doc_id") * 13) % 300).cast("string"),
+      lit(" card "),
+      when(col("doc_id") % 2 === 0, lit("4111111111111111"))
+        .otherwise(lit("4111111111111112")),
+      lit(" tel 555-123-4567 mail u"), col("doc_id").cast("string"),
+      lit("@example.org"))
+
+  private val piiPlantedSql: String =
+    "text || ' ip 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.' || " +
+      "((doc_id * 13) % 300) || ' card ' || " +
+      "CASE WHEN doc_id % 2 = 0 THEN '4111111111111111' ELSE '4111111111111112' END || " +
+      "' tel 555-123-4567 mail u' || doc_id || '@example.org'"
+
+  /** DuckDB replay of [[TextAnalysis.luhnValid]] over candidate `c`
+    * (range(1, n+1) is end-exclusive = Spark's inclusive sequence(1, n)).
+    */
+  private def luhnSql(c: String): String = {
+    val d = s"CAST(substring(reverse($c), i, 1) AS INT)"
+    s"list_sum(list_transform(range(1, len($c) + 1), i -> " +
+      s"CASE WHEN i % 2 = 0 THEN CASE WHEN 2 * $d > 9 THEN 2 * $d - 9 ELSE 2 * $d END " +
+      s"ELSE $d END)) % 10 = 0"
+  }
+
+  /** DuckDB replay of [[TextAnalysis.validIpv4]] (string_split's
+    * separator is a plain string where Spark's split takes a regex —
+    * both cut on the literal dot).
+    */
+  private def ipOkSql(c: String): String =
+    s"list_aggregate(list_transform(string_split($c, '.'), o -> CAST(o AS INT) <= 255), 'bool_and')"
+
   def oracleSql: Map[String, String] = Map(
+    "q_text_pii_stats" ->
+      s"""WITH p AS (SELECT doc_id, $piiPlantedSql AS t FROM documents),
+         |c AS (SELECT doc_id, t,
+         |  regexp_extract_all(t, '${TextAnalysis.ipv4Pattern}') AS ipc,
+         |  regexp_extract_all(t, '${TextAnalysis.ccCandidatePattern}') AS ccc FROM p)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t, '${TextAnalysis.emailPattern}')) AS n_emails,
+         |  len(regexp_extract_all(t, '${TextAnalysis.phonePattern}')) AS n_phones,
+         |  len(ipc) AS n_ip_candidates,
+         |  len(list_filter(ipc, c -> ${ipOkSql("c")})) AS n_ip_valid,
+         |  len(ccc) AS n_cc_candidates,
+         |  len(list_filter(ccc, c -> ${luhnSql("c")})) AS n_cc_valid
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_text_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id, $piiPlantedSql AS t FROM documents),
+         |v AS (SELECT doc_id, t,
+         |  list_filter(regexp_extract_all(t, '${TextAnalysis.ccCandidatePattern}'), c -> ${luhnSql("c")}) AS ccv,
+         |  list_filter(regexp_extract_all(t, '${TextAnalysis.ipv4Pattern}'), c -> ${ipOkSql("c")}) AS ipv FROM p),
+         |r1 AS (SELECT doc_id, ipv,
+         |  list_reduce(list_prepend(t, ccv), (acc, x) -> replace(acc, x, '[CC]')) AS t FROM v),
+         |r2 AS (SELECT doc_id,
+         |  list_reduce(list_prepend(t, ipv), (acc, x) -> replace(acc, x, '[IP]')) AS t FROM r1)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(t, '${TextAnalysis.emailPattern}', '[EMAIL]', 'g'),
+         |                 '${TextAnalysis.phonePattern}', '[PHONE]', 'g') AS clean_text
+         |FROM r2 ORDER BY doc_id""".stripMargin,
+
     "q_graph_pagerank" -> pagerankOracle,
     "q_graph_pagerank_bucketed" -> pagerankOracle,
     "q_graph_sssp" -> ssspOracle,

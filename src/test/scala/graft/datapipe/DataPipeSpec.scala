@@ -425,6 +425,47 @@ class DataPipeSpec extends AnyFunSuite {
     assert(out == "mail me at [EMAIL] or [PHONE] thanks")
   }
 
+  test("luhnValid: ISO 7812 mod-10 over known digit strings") {
+    val out = Seq("4111111111111111", "4111111111111112", "5500005555555559",
+        "79927398713", "94111111111111111")
+      .toDF("c").select($"c", TextAnalysis.luhnValid($"c").as("ok"))
+      .as[(String, Boolean)].collect().toMap
+    assert(out("4111111111111111"), "canonical Visa test number")
+    assert(!out("4111111111111112"), "one-off check digit must fail")
+    assert(out("5500005555555559"))
+    assert(out("79927398713"), "the ISO worked example")
+    assert(!out("94111111111111111"))
+  }
+
+  test("validIpv4 rejects out-of-range octets the pattern accepts") {
+    val out = Seq("8.8.8.8", "255.255.255.255", "10.1.2.300", "1.2.256.4")
+      .toDF("c").select($"c", TextAnalysis.validIpv4($"c").as("ok"))
+      .as[(String, Boolean)].collect().toMap
+    assert(out("8.8.8.8") && out("255.255.255.255"))
+    assert(!out("10.1.2.300") && !out("1.2.256.4"))
+  }
+
+  test("redactPiiStrict: validated matches redact, invalid candidates survive") {
+    val text = "ip 8.8.8.8 bad 10.1.2.300 card 4111111111111111 " +
+      "fake 4111111111111112 tel 555-123-4567 mail a@b.co end"
+    val out = Seq((1L, text)).toDF("doc_id", "text")
+      .select(TextAnalysis.redactPiiStrict($"text")).as[String].head()
+    assert(out == "ip [IP] bad 10.1.2.300 card [CC] " +
+      "fake 4111111111111112 tel [PHONE] mail [EMAIL] end")
+  }
+
+  test("redactPiiStrict caveat: a valid card recurring inside a longer digit run over-redacts") {
+    // 94111111111111111 is a 17-digit CANDIDATE but Luhn-invalid; the
+    // valid 16-digit card is a literal substring of it, so the fold's
+    // plain replace rewrites it inside the longer run too — the
+    // documented safe-direction over-redaction (redactValidated's
+    // scaladoc), locked here so a refactor can't silently change it.
+    val out = Seq((1L, "a 4111111111111111 b 94111111111111111 c"))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.redactPiiStrict($"text")).as[String].head()
+    assert(out == "a [CC] b 9[CC] c")
+  }
+
   test("decontamination flags the doc that copies benchmark text") {
     val bench = Seq((100L, "the secret benchmark question about spark shuffles")).toDF("doc_id", "text")
     val corpus = Seq(
