@@ -1,6 +1,6 @@
 package graft.registry
 
-import graft.datapipe.{Boilerplate, Bpe, Classifier, Gopher, Decontam, Dedup, DupSpans, FuzzyJoin, GraphRank, Html, IncrementalDedup, Keywords, LmScore, Markdown, Multimodal, Quantize, Retrieval, SemDedup, ShortestPaths, Similarity, TextAnalysis, Urls, Vocab}
+import graft.datapipe.{Boilerplate, Bpe, Classifier, Gopher, Decontam, Dedup, Dsir, DupSpans, FuzzyJoin, GraphRank, Html, IncrementalDedup, Keywords, LmScore, Markdown, Multimodal, Quantize, Retrieval, SemDedup, ShortestPaths, Similarity, TextAnalysis, UnigramLm, Urls, Vocab}
 import graft.functions.SubwordTokenize
 import graft.tables.TestTables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -281,6 +281,31 @@ object QueriesData {
     "q_bpe_apply" -> ((s, dir) => {
       val (_, dict) = Bpe.learn(TestTables.documents(s, dir), "text", nMerges = 10)
       dict.orderBy(col("word"))
+    }),
+
+    // Unigram-LM tokenizer (SentencePiece-style hard-EM, integer
+    // half-log2 costs — UnigramLm scaladoc). The synthetic corpus has
+    // only 31 distinct words, too thin to exercise segmentation, so
+    // the fixture plants fused-bigram COMPOUND words (both sides
+    // replay the plant) — the learned vocab should rediscover the
+    // constituent words and the Viterbi pass split the compounds back
+    // apart. Three faces: the learned vocab, the per-word
+    // segmentation, the per-doc token counts.
+    "q_unigram_vocab" -> ((s, dir) => {
+      val (vocab, _) = UnigramLm.learn(unigramDocs(s, dir), "text",
+        seedSize = 200, maxPieceLen = 8, nIters = 2, vocabSize = 100)
+      vocab.orderBy(col("piece"))
+    }),
+    "q_unigram_segment" -> ((s, dir) => {
+      val (_, seg) = UnigramLm.learn(unigramDocs(s, dir), "text",
+        seedSize = 200, maxPieceLen = 8, nIters = 2, vocabSize = 100)
+      seg.orderBy(col("word"))
+    }),
+    "q_unigram_tokens" -> ((s, dir) => {
+      val docs = unigramDocs(s, dir)
+      val (_, seg) = UnigramLm.learn(docs, "text",
+        seedSize = 200, maxPieceLen = 8, nIters = 2, vocabSize = 100)
+      UnigramLm.tokenCounts(docs, "doc_id", "text", seg).orderBy(col("doc_id"))
     }),
 
     // Greedy longest-match subword tokenization (WordPiece MaxMatch)
@@ -2065,6 +2090,28 @@ object QueriesData {
        |SELECT node, dist FROM d4 ORDER BY node""".stripMargin
   }
 
+  /** The unigram-LM fixture corpus: each document's text plus its
+    * fused-bigram compound words (space-stripped adjacent word pairs),
+    * enriching the 31-word synthetic dictionary with a few hundred
+    * compounds whose optimal segmentation is their constituent words.
+    * [[unigramDocsSql]] replays the plant verbatim.
+    */
+  private def unigramDocs(s: SparkSession, dir: String): DataFrame =
+    TestTables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.words(col("text")).as("__ws"))
+      .select(col("doc_id"),
+        concat(col("text"), lit(" "),
+          array_join(transform(Dsir.bigrams(col("__ws")),
+            g => replace(g, lit(" "), lit(""))), " ")).as("text"))
+
+  private val unigramDocsSql: String =
+    """SELECT doc_id, text || ' ' || coalesce(array_to_string(
+      |    list_transform(range(1, len(ws)), i -> ws[i] || ws[i+1]), ' '), '') AS text
+      |FROM (SELECT doc_id, text,
+      |        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+      |      FROM documents) t""".stripMargin
+
   /** Planted PII line shared by the q_text_pii_* pair, replayed
     * verbatim by [[piiPlantedSql]]: a dotted quad whose last octet
     * ranges over [0, 300) (invalid above 255), a card that is
@@ -2105,6 +2152,13 @@ object QueriesData {
     s"list_aggregate(list_transform(string_split($c, '.'), o -> CAST(o AS INT) <= 255), 'bool_and')"
 
   def oracleSql: Map[String, String] = Map(
+    "q_unigram_vocab" ->
+      UnigramLm.oracleSql(unigramDocsSql, 200, 8, 2, 100, "vocab"),
+    "q_unigram_segment" ->
+      UnigramLm.oracleSql(unigramDocsSql, 200, 8, 2, 100, "segment"),
+    "q_unigram_tokens" ->
+      UnigramLm.oracleSql(unigramDocsSql, 200, 8, 2, 100, "tokens"),
+
     "q_text_pii_stats" ->
       s"""WITH p AS (SELECT doc_id, $piiPlantedSql AS t FROM documents),
          |c AS (SELECT doc_id, t,
