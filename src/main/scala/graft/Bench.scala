@@ -297,7 +297,11 @@ object Bench {
     // explicitly points there).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       s"/tmp/graft_bench_${System.currentTimeMillis()}.json")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"passes":$passes,"npasses":$npasses,"load":$load,"sf":"$sfDir"}"""
+    // Paths are caller-controlled strings on a JSON line — escape them
+    // like every other dynamic field (a quote or backslash in
+    // SPARK_GRAFT_BENCH_OUT would otherwise make the line unparseable,
+    // the exact artifact-loss failure the compact line exists to fix).
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"passes":$passes,"npasses":$npasses,"load":$load,"sf":${jq(sfDir)}}"""
     // STDOUT gets a COMPACT line: the driver's BENCH_r{N} capture
     // tail-truncates long stdout, and by round 11 the full line (59
     // queries × spreads + errors + npasses) had outgrown it — the
@@ -305,13 +309,21 @@ object Bench {
     // survived only in the committed file. Total + per-query medians
     // (3 decimals) + failing-query errors fit comfortably; everything
     // else lives in the file artifact, referenced by path.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$stdoutErrs,"passes":$passes,"detail":"$outPath","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$stdoutErrs,"passes":$passes,"detail":${jq(outPath)},"sf":${jq(sfDir)}}"""
     println(line)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fullLine + "\n").getBytes("UTF-8"))
       System.err.println(s"[bench] wrote $outPath")
-    } catch { case e: Exception => System.err.println(s"[bench] could not write $outPath: $e") }
+    } catch {
+      case e: Exception =>
+        // The spread/npasses/load evidence exists NOWHERE but this
+        // file under the round-12 output contract — on a failed write,
+        // fall back to emitting the full payload on stderr so the data
+        // survives the run instead of leaving a dangling detail path.
+        System.err.println(s"[bench] could not write $outPath: $e")
+        System.err.println(fullLine)
+    }
     spark.stop()
     // A crashed query must fail the bench loudly, not bench as ~0 s.
     if (results.exists(_._4.nonEmpty)) sys.exit(1)

@@ -66,16 +66,22 @@ object LlmJsonRepair {
     None
   }
 
-  // Mirrors the reference's strategy-4 regex
+  // BYTE-FOR-BYTE the reference's strategy-4 regex
   // (src/predictions_openrouter.py:275-281): only NUMERIC ids of 5+
-  // digits with reasons of 10+ chars are rescued. The constraint is
-  // load-bearing, not cosmetic — a prose/refusal response that happens
-  // to contain a quoted pair (the model echoing schema text:
+  // digits with reasons of 10+ chars are rescued. The uid constraint
+  // is load-bearing, not cosmetic — a prose/refusal response that
+  // happens to contain a quoted pair (the model echoing schema text:
   // `"analysis": "the visit looks fine"`) must NOT count as a parse:
   // its non-uid keys would silently vanish in the downstream uid
   // try_cast join-back and every claim on the visit would default to
   // Approved with no retry, the exact failure mode the strict contract
   // exists to close. Keys/values may be unquoted (truncated output).
+  // The value class [^,}\n"'] is kept verbatim too, apostrophe
+  // exclusion included: a reason whose first 10 chars contain ' or ,
+  // ("doesn't meet criteria") fails this pair exactly as it does in
+  // the reference — matching its rescue set, not improving on it, is
+  // the contract (a wider class would "rescue" pairs the reference
+  // sends down its all-approved path and diverge from the oracle).
   private val pairRegex: Regex = """"?(\d{5,})"?\s*:\s*["{]?\s*([^,}\n"']{10,})""".r
 
   /** Scrape uid-shaped `id: "reason"` pairs as a last-resort flat
