@@ -342,7 +342,23 @@ class PlanShapeSpec extends AnyFunSuite {
       // pass. The B-row score table reaches the scoring join as a
       // BROADCAST (locked in DsirSpec) — a 4th hash exchange here
       // would mean the corpus started shuffling on bucket id.
-      "q_dsir_score" -> (3, 3))
+      "q_dsir_score" -> (3, 3),
+      // r12 validated PII: one codegen'd per-row map over one corpus
+      // scan — zero hash exchanges (the trailing ORDER BY is a range
+      // exchange, deliberately not counted). Any hash exchange
+      // appearing here means the scrubbing stopped being a pure map.
+      "q_text_pii_redact" -> (0, 1),
+      // r12 unigram LM: ALL corpus-sized work (the one word-dict
+      // explode+aggregate and each EM round) happens inside eager
+      // vocab-bounded materializations, so the FINAL segmentation
+      // frame is dict × one-row broadcast cost-map with no parquet
+      // scan and no hash exchange at all — the plan a 100 TB corpus
+      // needs, where only the dict shuffle ever sees corpus rows.
+      "q_unigram_segment" -> (0, 0),
+      // tokens face: one corpus scan exploding words, the per-doc
+      // aggregation exchange; the dict-sized segmentation side rides
+      // as a broadcast.
+      "q_unigram_tokens" -> (1, 1))
     def counts(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
       val s = df.queryExecution.executedPlan.toString
       ("Exchange hashpartitioning".r.findAllIn(s).length,
