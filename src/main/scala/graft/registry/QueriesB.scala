@@ -151,14 +151,31 @@ object QueriesB {
     // planted duplicate rows by design, so bag semantics — min(m,n)
     // copies intersect, max(m−n, 0) survive the difference — are
     // load-bearing; plain distinct INTERSECT/EXCEPT would hash-differ.
+    //
+    // r12 OPT (guide §2.3/§2.4): the literal intersectAll/exceptAll
+    // form scanned lineitem FOUR times and shuffled TWO aggregations
+    // (each operator plans its own union + count-compare). Both
+    // multisets derive from the same scan, and the operators are pure
+    // functions of the per-key multiplicities — so compute na/nb in
+    // ONE conditional aggregation (one scan, one exchange) and
+    // regenerate the copies: min(na, nb) intersect rows,
+    // max(na − nb, 0) difference rows (array_repeat clamps negative
+    // counts to empty). Bag semantics are bit-identical.
     "q_set_ops_all" -> ((s, dir) => {
       val li = TestTables.lineitem(s, dir)
-      val a = li.filter(col("l_orderkey") % 2 === 0)
-        .select(col("l_partkey"), col("l_suppkey"))
-      val b = li.filter(col("l_quantity") > 25)
-        .select(col("l_partkey"), col("l_suppkey"))
-      a.intersectAll(b).withColumn("op", lit("intersect_all"))
-        .unionByName(a.exceptAll(b).withColumn("op", lit("except_all")))
+      val counted = li
+        .filter(col("l_orderkey") % 2 === 0 || col("l_quantity") > 25)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(
+          sum((col("l_orderkey") % 2 === 0).cast("long")).as("__na"),
+          sum((col("l_quantity") > 25).cast("long")).as("__nb"))
+      counted
+        .select(col("l_partkey"), col("l_suppkey"),
+          explode(concat(
+            array_repeat(lit("intersect_all"),
+              least(col("__na"), col("__nb")).cast("int")),
+            array_repeat(lit("except_all"),
+              (col("__na") - col("__nb")).cast("int")))).as("op"))
         .orderBy(col("op"), col("l_partkey"), col("l_suppkey"))
     }),
 

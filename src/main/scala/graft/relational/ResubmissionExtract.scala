@@ -137,10 +137,61 @@ object ResubmissionExtract {
   /** Full extraction: (MN ∪ DI) DISTINCT, joined to the per-visit
     * diagnosis aggregate, ordered, TOP 100 per the recovery variant
     * (sql/resubmission_update.sql:97).
+    *
+    * r12 OPT (guide §2.4 — remove shuffles outright / share passes):
+    * the literal `branchMN ∪ branchDI` form computed the
+    * latest-per-group WINDOW twice (the branch plans share the
+    * l_orderkey exchange via ReuseExchange, but each re-runs the sort
+    * + window + filter above it) and ran the orders/customer/part
+    * joins twice. Both branches are pure row-filters over the SAME
+    * `latest` frame, so run the window and the star joins ONCE and
+    * explode a per-row reason tag instead: a row satisfying the MN
+    * predicate emits "Medical Necessity", a row of a flagged order
+    * emits "Drug Interaction", a row satisfying both emits both rows —
+    * exactly the union's multiset, fed into the same DISTINCT.
+    * Measured at sf0.1/local[32] (subset A/B, 5 passes):
+    * q_resubmission_full 4.25 → 2.89 s median, and the staged
+    * q_pipeline_resubmission riding on it 4.06 → 3.27 s; plan 7 → 4
+    * hash exchanges, 13 → 8 parquet scans (PlanShapeSpec re-pinned).
+    * The standalone q_r_branch_mn / q_r_branch_di registry entries
+    * keep the original single-branch builders.
     */
   def full(spark: SparkSession, dir: String): DataFrame = {
-    val unioned = branchMN(spark, dir).unionByName(branchDI(spark, dir)).distinct()
-    val diag = diagnosisAgg(TestTables.lineitem(spark, dir), TestTables.part(spark, dir))
+    val li = TestTables.lineitem(spark, dir)
+    val p = TestTables.part(spark, dir)
+    val latest = latestItems(li)
+    val flagged = flaggedOrders(li, p).withColumn("__di", lit(1))
+    // The MN predicate references part columns, so evaluate it after
+    // the (single) part join; notLikeNullSafe never returns null, and
+    // l_returnflag/p_brand are non-null, so the OR-filter below keeps
+    // exactly the rows some branch keeps.
+    val mnCond = col("l_returnflag") === "R" &&
+      col("p_brand").isin(rejectionBrands: _*) &&
+      ColumnOps.notLikeNullSafe(col("p_name"), "%blue%")
+    val emptyTag = array().cast("array<string>")
+    val unioned = latest
+      .join(p, latest("l_partkey") === p("p_partkey"))
+      .join(flagged, Seq("l_orderkey"), "left")
+      .filter(mnCond || col("__di") === 1)
+      .join(TestTables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(TestTables.customer(spark, dir), col("o_custkey") === col("c_custkey"), "left")
+      .select(
+        col("l_orderkey").as("visit_id"),
+        col("l_linenumber").as("seq_no"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("visit_service_id"),
+        col("p_name").as("service_name"),
+        col("p_brand").as("reason_code"),
+        justificationType(col("p_brand")).as("justification_type"),
+        col("c_name").as("patient_name"),
+        ColumnOps.exactAge(to_date(col("o_orderdate")), asOf).as("age"),
+        classifyVisit(col("o_orderpriority")).as("visit_classification"),
+        to_date(col("o_orderdate")).as("visit_start_date"),
+        col("l_returnflag").as("status"),
+        explode(concat(
+          when(mnCond, array(lit("Medical Necessity"))).otherwise(emptyTag),
+          when(col("__di") === 1, array(lit("Drug Interaction"))).otherwise(emptyTag))).as("reason"))
+      .distinct()
+    val diag = diagnosisAgg(li, p)
     unioned
       .join(diag, unioned("visit_id") === diag("l_orderkey"), "left")
       .drop("l_orderkey")

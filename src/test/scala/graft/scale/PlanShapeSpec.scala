@@ -28,8 +28,17 @@ class PlanShapeSpec extends AnyFunSuite {
   test("resubmission full: window and string_agg share the l_orderkey exchange family") {
     val df = graft.relational.ResubmissionExtract.full(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
-    // The flagged-set semi join must stay a join, never a collected list.
-    assert(plan.contains("LeftSemi"), plan)
+    // The flagged set must reach the claims as a JOIN, never a
+    // collected list. Since the r12 branch fusion it arrives as a
+    // left-outer indicator join (__di) instead of the old LeftSemi —
+    // either form is a join; what must never appear is a driver-side
+    // IN-list (no join at all).
+    assert(plan.contains("LeftSemi") || plan.contains("__di"), plan)
+    // The fusion's point: exactly ONE latest-per-group window pass
+    // (the pre-r12 branch union planned two sorts+windows over the
+    // shared exchange).
+    assert("windowspecdefinition".r.findAllIn(plan).length == 1,
+      s"expected exactly one latest-items window in the fused plan:\n$plan")
   }
 
   test("jaccard token index never hints the vocabulary side broadcast") {
@@ -285,14 +294,18 @@ class PlanShapeSpec extends AnyFunSuite {
       // dedicated predictions test above (2 uid exchanges, 3 join
       // sorts, 1 scan / 3 windows / 2 shared sorts).
       "q_pipeline_predictions" -> (0, 0),
-      "q_resubmission_full" -> (7, 13),
+      // r12 OPT: branches fused over one latest-window pass + one star
+      // join (ResubmissionExtract.full) — 7/13 down to 4/8.
+      "q_resubmission_full" -> (4, 8),
       "q_pipeline_resubmission" -> (0, 0), // r11: staged like predictions
       // Re-pinned 6 -> 3 in r8: materializing the side-effecting iqama
       // branch (exactly-once for its external calls) also replaces its
       // derived-lineage exchanges with a materialized-table read.
       "q_pipeline_eligibility" -> (3, 0),
       "q_eligibility_extract" -> (0, 5),   // star join: broadcasts only
-      "q_set_ops_all" -> (2, 4),
+      // r12 OPT: intersectAll/exceptAll rewritten as one conditional
+      // count aggregation + array_repeat regeneration — 2/4 down to 1/1.
+      "q_set_ops_all" -> (1, 1),
       // Round 8: node-sized side tables (teleport, degree, r0)
       // materialize once instead of re-deriving inside every
       // iteration — 30 exchanges/62 scans down to 20/20; the
