@@ -143,12 +143,15 @@ object SparkEntry {
     }),
 
     // A5-A10: the full eligibility wide projection (8-way star join).
+    // r12 OPT: rangeByVisit pre-partitions the fact scan so the
+    // trailing ORDER BY is a local sort (see EligibilityExtract.build).
     "q_eligibility_extract" -> ((s, dir) =>
-      EligibilityExtract.build(s, dir).orderBy(col("visit_id"))),
+      EligibilityExtract.build(s, dir, rangeByVisit = true).orderBy(col("visit_id"))),
 
     // A2 variant on the business query: 7-day incremental window.
     "q_eligibility_window" -> ((s, dir) =>
-      EligibilityExtract.build(s, dir, windowMinutes = 7 * 24 * 60).orderBy(col("visit_id"))),
+      EligibilityExtract.build(s, dir, windowMinutes = 7 * 24 * 60, rangeByVisit = true)
+        .orderBy(col("visit_id"))),
 
     // A6: 16-branch CASE value mapping.
     "q_a06_case_map" -> ((s, dir) => {
@@ -186,8 +189,19 @@ object SparkEntry {
     }),
 
     // A11: latest-per-group window (row_number = 1).
+    // r12 OPT (guide §2.4 — establish the partitioning once): the
+    // final ORDER BY keys equal the window's PARTITION BY keys, so
+    // range-partition the scan FIRST. RangePartitioning(k) satisfies
+    // the window's ClusteredDistribution(k) (no hash exchange), the
+    // window's own sort starts with (k asc), and the trailing global
+    // sort is therefore already satisfied — the old plan's second
+    // (range) exchange, its duplicate execution of the window tail in
+    // the range sampler, and the final sort all disappear. The range
+    // sampler now samples the bare scan instead of the window output.
     "q_a11_latest_per_group" -> ((s, dir) =>
-      ResubmissionExtract.latestItems(TestTables.lineitem(s, dir))
+      ResubmissionExtract.latestItems(
+          TestTables.lineitem(s, dir)
+            .repartitionByRange(col("l_orderkey"), col("l_returnflag")))
         .select(col("l_orderkey"), col("l_returnflag"), col("l_linenumber"), col("l_shipdate"))
         .orderBy(col("l_orderkey"), col("l_returnflag"))),
 
@@ -201,8 +215,17 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
     // A12: order-deterministic grouped string aggregation.
+    // r12 OPT: same one-exchange shape as q_a11_latest_per_group —
+    // the ORDER BY key is the grouping key, so range-partition the
+    // fact scan first: the groupBy plans no hash exchange (range
+    // partitioning clusters equal keys) and the trailing sort becomes
+    // a partition-local sort of the aggregated rows. Nothing is lost
+    // map-side: collect_list partial aggregation never shrinks the
+    // shuffle anyway (the lists carry every row).
     "q_a12_string_agg" -> ((s, dir) =>
-      ResubmissionExtract.diagnosisAgg(TestTables.lineitem(s, dir), TestTables.part(s, dir))
+      ResubmissionExtract.diagnosisAgg(
+          TestTables.lineitem(s, dir).repartitionByRange(col("l_orderkey")),
+          TestTables.part(s, dir))
         .orderBy(col("l_orderkey"))),
 
     // A13: CTE / derived-table composition (same SQL text runs in DuckDB).

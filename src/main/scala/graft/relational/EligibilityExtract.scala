@@ -55,8 +55,20 @@ object EligibilityExtract {
 
   /** The full extraction program. `windowMinutes <= 0` disables the
     * incremental filter (full-history backfill mode).
+    *
+    * `rangeByVisit = true` range-partitions the (filtered) fact scan on
+    * o_orderkey BEFORE the star joins — r12 OPT (guide §2.4): the
+    * registered extract queries end in ORDER BY visit_id, and with the
+    * partitioning established under the joins (broadcasts preserve it,
+    * the projection is alias-aware) that trailing global sort collapses
+    * to a partition-local sort: no second exchange, and the range
+    * sampler samples the bare filtered scan instead of re-running the
+    * whole star-join tail. Callers that do NOT sort by visit_id (the
+    * eligibility pipeline, which materializes and re-joins) leave it
+    * off and pay nothing.
     */
-  def build(spark: SparkSession, dir: String, windowMinutes: Int = 0): DataFrame = {
+  def build(spark: SparkSession, dir: String, windowMinutes: Int = 0,
+            rangeByVisit: Boolean = false): DataFrame = {
     val orders = TestTables.orders(spark, dir)
     val customer = TestTables.customer(spark, dir)
     val nation = TestTables.nation(spark, dir)
@@ -65,7 +77,8 @@ object EligibilityExtract {
 
     // A1 scan + predicate (VisitStatusID != 3 AND FinancialStatusID = 2 analog).
     val scanned = orders.filter(col("o_orderstatus") =!= "F" && col("o_orderpriority") =!= "5-LOW")
-    val windowed = if (windowMinutes > 0) incrementalWindow(scanned, "o_orderdate", windowMinutes) else scanned
+    val filtered = if (windowMinutes > 0) incrementalWindow(scanned, "o_orderdate", windowMinutes) else scanned
+    val windowed = if (rangeByVisit) filtered.repartitionByRange(col("o_orderkey")) else filtered
 
     // A3: visit ⟕ patient ⟕ lookup dimensions (all dimensions broadcast).
     val joined = windowed
