@@ -152,7 +152,6 @@ object Keywords {
     // postings formulation where such docs simply contribute none.)
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       coalesce(sum(size(ws).cast("long")), lit(0L)).as("l_total"))
-    val dl = docs.select(col(idCol).as("doc"), size(ws).cast("long").as("dl"))
     // Distinct query terms: a repeated word contributes once (the
     // classic set-of-terms BM25; documented, matched by the oracle).
     // The query set is small by contract (the ad-hoc side of a
@@ -160,8 +159,18 @@ object Keywords {
     val qterms = queries.select(col(qIdCol).as("q_id"),
       explode(array_distinct(TextAnalysis.words(col(qTextCol)))).as("term"))
     val qtermSet = qterms.select(col("term")).distinct()
-    val candPostings = docs
-      .select(col(idCol).as("doc"), explode(ws).as("term"))
+    // r12 OPT (guide §2.3): the per-doc length rides WITH the postings
+    // (resolved by max() in the tf aggregate — dl is functionally
+    // determined by doc) instead of a separate corpus scan + join.
+    // That drops one full corpus read AND one full re-tokenization
+    // pass (the old dl frame re-split every text to size it) plus its
+    // broadcast-build job. The token array is bound to a projected
+    // attribute first so size() and explode() share ONE words() split
+    // (Catalyst does not CSE across the Project/Generate boundary).
+    val tokenized = docs.select(col(idCol).as("doc"), ws.as("__ws"))
+    val candPostings = tokenized
+      .select(col("doc"), size(col("__ws")).cast("long").as("dl"),
+        explode(col("__ws")).as("term"))
       .join(broadcast(qtermSet), Seq("term"))
     // One candidate shuffle, shared by the tf aggregate AND the df
     // window: hash partitioning on `term` satisfies the (doc, term)
@@ -169,11 +178,10 @@ object Keywords {
     // adds its own exchange. Skew bound: a partition holds the
     // postings of its query terms — candidate-sized by construction.
     val tf = candPostings.repartition(col("term"))
-      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val withDf = tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
     val cand = withDf
       .join(broadcast(qterms), Seq("term"))
-      .join(dl, Seq("doc"))
       .join(broadcast(stats))
     val nD = col("n_docs").cast("double")
     val lD = col("l_total").cast("double")

@@ -321,8 +321,11 @@ class PlanShapeSpec extends AnyFunSuite {
       // The bucketed-beats-plain exchange count under no-broadcast is
       // locked in GraphRankSpec.
       "q_graph_pagerank_bucketed" -> (30, 10),
-      "q_bm25_topk" -> (4, 5),
-      "q_hybrid_rrf" -> (5, 7),
+      // r12 OPT: per-doc length rides with the postings (max(dl) in
+      // the tf aggregate) instead of a separate corpus scan + join —
+      // one fewer corpus read/tokenization per retrieval call.
+      "q_bm25_topk" -> (4, 4),
+      "q_hybrid_rrf" -> (5, 6),
       "q_asof_native" -> (3, 2),
       "q_dedup_exact" -> (1, 1),
       "q_corpus_top_terms" -> (1, 1),
