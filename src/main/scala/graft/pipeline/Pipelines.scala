@@ -47,7 +47,16 @@ object Pipelines {
     val withPayload = base.withColumn("__payload", col("visit_id").cast("string"))
     val submitted = EnrichOperator.enrich(withPayload, "__payload",
       () => new MockEligibilityClient(), enrichCfg)
-    val b = FhirParser.parsed(col("response"))
+      // r12 OPT: bind the from_json parse to a projected attribute so
+      // the three struct-navigating projections below share ONE parse
+      // per row — Catalyst does not CSE a repeated from_json across
+      // select expressions (same class as the q_dsir_score lambda
+      // lesson), and CollapseProject will not re-inline a non-cheap
+      // alias referenced more than once. approval/copay deliberately
+      // stay on the RAW string (payer-drift path, get_json_object /
+      // JsonFindNumbers — not the structured schema).
+      .withColumn("__b", FhirParser.parsed(col("response")))
+    val b = col("__b")
     // Materialized: the quality gate is an action over this branch and
     // the final join consumes it again — without materialization the
     // gate would re-fire every eligibility submit call.
