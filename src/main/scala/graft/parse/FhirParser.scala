@@ -154,19 +154,31 @@ object FhirParser {
     * values anywhere in the document" needs the recursive scan —
     * JsonFindNumbers, the custom expression.
     */
-  def approvalLimit(raw: Column, payerUrl: Column): Column = {
-    val b = parsed(raw)
+  def approvalLimit(raw: Column, payerUrl: Column): Column =
+    approvalLimitOf(parsed(raw), raw, payerUrl)
+
+  /** [[approvalLimit]] over an ALREADY-BOUND parsed bundle — r12 OPT:
+    * callers projecting several fields bind `parsed(raw)` to one
+    * attribute and pass it here, so the row is parsed once instead of
+    * once per projected field (Catalyst does not CSE repeated
+    * from_json). `raw` is still needed for the Tawuniya branch's
+    * recursive raw-string scan (JsonFindNumbers).
+    */
+  def approvalLimitOf(b: Column, raw: Column, payerUrl: Column): Column =
     when(payerUrl.contains("tawuniya"), try_element_at(JsonFindNumbers.of(raw, "allowedMoney", "value"), lit(1)))
       .when(payerUrl.contains("bupa"), namedItemBenefitValue(b, "Approval limit", "approval-limit"))
       .otherwise(benefitValue(b, "approval-limit"))
-  }
 
-  def copayMaximum(raw: Column, payerUrl: Column): Column = {
-    val b = parsed(raw)
+  def copayMaximum(raw: Column, payerUrl: Column): Column =
+    copayMaximumOf(parsed(raw), raw, payerUrl)
+
+  /** [[copayMaximum]] over an already-bound parsed bundle (see
+    * [[approvalLimitOf]]).
+    */
+  def copayMaximumOf(b: Column, raw: Column, payerUrl: Column): Column =
     when(payerUrl.contains("tawuniya"), try_element_at(JsonFindNumbers.of(raw, "allowedMoney", "value"), lit(2)))
       .when(payerUrl.contains("bupa"), namedItemBenefitValue(b, "Approval limit", "copay-maximum"))
       .otherwise(benefitValue(b, "copay-maximum"))
-  }
 
   // ---- Beneficiary (Iqama) response shape, src/eligibility.py:179-204 ----
 
@@ -175,15 +187,23 @@ object FhirParser {
       StructField("ApiStatus", StringType),
       StructField("Insurance", ArrayType(MapType(StringType, StringType))))))))
 
+  /** The beneficiary bundle parsed once — bind this to a projected
+    * attribute and use the *Of variants when extracting several fields
+    * (r12 OPT: one from_json per row instead of one per field).
+    */
+  def beneficiaryParsed(raw: Column): Column = from_json(raw, beneficiarySchema)
+
   /** C8: ApiStatus=="Success" → Insurance[0] (a loose field map),
     * plus an api_status tag column.
     */
-  def insuranceData(raw: Column): Column = {
-    val b = from_json(raw, beneficiarySchema)
+  def insuranceData(raw: Column): Column = insuranceDataOf(beneficiaryParsed(raw))
+
+  def insuranceDataOf(b: Column): Column =
     when(b.getField("response").getField("ApiStatus") === "Success",
       try_element_at(b.getField("response").getField("Insurance"), lit(1)))
-  }
 
-  def apiStatus(raw: Column): Column =
-    coalesce(from_json(raw, beneficiarySchema).getField("response").getField("ApiStatus"), lit("Fail"))
+  def apiStatus(raw: Column): Column = apiStatusOf(beneficiaryParsed(raw))
+
+  def apiStatusOf(b: Column): Column =
+    coalesce(b.getField("response").getField("ApiStatus"), lit("Fail"))
 }

@@ -36,12 +36,16 @@ object Pipelines {
     // external calls, and a caller running more than one action over
     // the returned frame (count + write, gate + sink) would otherwise
     // re-execute the lookup per action through bare lineage.
+    // r12 OPT: one beneficiary-bundle parse per row (bound __b; the
+    // two field extractions below would otherwise each run their own
+    // from_json — Catalyst does not CSE them).
     val iqama = graft.util.Materialize.stage(
       EnrichOperator.enrichUniqueKeys(base, "patient_id",
           () => new MockBeneficiaryClient(), enrichCfg)
+        .withColumn("__b", FhirParser.beneficiaryParsed(col("response")))
         .select(col("visit_id"),
-          FhirParser.apiStatus(col("response")).as("api_status"),
-          FhirParser.insuranceData(col("response")).getItem("Name").as("ins_name")))
+          FhirParser.apiStatusOf(col("__b")).as("api_status"),
+          FhirParser.insuranceDataOf(col("__b")).getItem("Name").as("ins_name")))
 
     // transform_eligibility (C2+C3): per-visit FHIR submit + parse.
     val withPayload = base.withColumn("__payload", col("visit_id").cast("string"))
@@ -65,8 +69,8 @@ object Pipelines {
       FhirParser.outcome(b).as("outcome"),
       FhirParser.siteEligibility(b).as("class"),
       FhirParser.note(b).as("note"),
-      FhirParser.approvalLimit(col("response"), lit("structured")).as("approval_limit"),
-      FhirParser.copayMaximum(col("response"), lit("structured")).as("copay_maximum")))
+      FhirParser.approvalLimitOf(b, col("response"), lit("structured")).as("approval_limit"),
+      FhirParser.copayMaximumOf(b, col("response"), lit("structured")).as("copay_maximum")))
 
     // load_data: quality gate then the joined projection.
     if (gate) QualityGate.assertPasses(elig.withColumnRenamed("__ev", "visit_id"), "class", "note")
