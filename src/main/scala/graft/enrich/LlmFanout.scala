@@ -125,13 +125,26 @@ object LlmFanout {
       .select(col("__visit"), col("__uid"), col("__text"), col("__failed"))
   }
 
-  /** C4: predictions. Appends `medical_prediction`
-    * ("Approved"/"Rejected"/"Failed to reach LLM") and `reason`.
+  /** The predict fan-out's two result sets WITHOUT the per-claim
+    * join-back: (failedVisits, rejections) — r12 OPT. A composition
+    * that joins the results onto its OWN (wider) claims table anyway
+    * (Pipelines.predictions joins onto the gate-annotated corpus
+    * frame) previously went through [[predict]], which joined the
+    * exploded sets onto the narrow fan-out input first — a full extra
+    * uid shuffle + sort-merge of the corpus-sized (visit, uid) slice
+    * whose output was immediately deduped back to the exploded sets.
+    * Consuming the sets directly removes that join; [[predict]] keeps
+    * the per-claim contract for callers that want rows.
+    *
+    * failedVisits is materialized (key-sized, feeds broadcast-evidence
+    * counting); rejections rides on the already-materialized explode
+    * blocks. The uid column is cast back to `uidType` here (casting
+    * the fact side per row would cost and break its partitioning).
     */
-  def predict(claims: DataFrame, visitCol: String, uidCol: String,
-              makeClient: () => ServiceClient,
-              cfg: EnrichOperator.Config = EnrichOperator.Config(),
-              metrics: Option[EnrichOperator.Metrics] = None): DataFrame = {
+  def predictSets(claims: DataFrame, visitCol: String, uidCol: String,
+                  makeClient: () => ServiceClient,
+                  cfg: EnrichOperator.Config = EnrichOperator.Config(),
+                  metrics: Option[EnrichOperator.Metrics] = None): (DataFrame, DataFrame) = {
     val exploded = callPerVisit(claims, visitCol, uidCol, "Rejected", makeClient, cfg, metrics)
     val failedVisits = graft.util.Materialize.stage(
       exploded.filter(col("__failed") === 1).select(col("__visit")).distinct())
@@ -140,6 +153,17 @@ object LlmFanout {
     // pre-existing partitioning on the key.
     val rejections = exploded.filter(col("__uid").isNotNull)
       .select(col("__uid").try_cast(claims.schema(uidCol).dataType.sql).as("__uid"), col("__text"))
+    (failedVisits, rejections)
+  }
+
+  /** C4: predictions. Appends `medical_prediction`
+    * ("Approved"/"Rejected"/"Failed to reach LLM") and `reason`.
+    */
+  def predict(claims: DataFrame, visitCol: String, uidCol: String,
+              makeClient: () => ServiceClient,
+              cfg: EnrichOperator.Config = EnrichOperator.Config(),
+              metrics: Option[EnrichOperator.Metrics] = None): DataFrame = {
+    val (failedVisits, rejections) = predictSets(claims, visitCol, uidCol, makeClient, cfg, metrics)
     // failedVisits scales with the corpus (≈1/97 of visits): hint it
     // broadcast only on measured evidence (it derives from the
     // checkpointed explode, so the count is cheap).

@@ -24,11 +24,15 @@ object LlmJsonRepair {
 
   private val mapper = new ObjectMapper()
 
+  // Compiled once — this runs per LLM response inside the enrich
+  // mapPartitions; compiling it per call was a measurable slice of the
+  // fan-out stage's CPU (r12 OPT, guide §1.2 per-task work).
+  private val fencedRegex: Regex = "(?s)```(?:json)?\\s*(.*?)\\s*```".r
+
   /** Strip markdown code fences (``` or ```json). */
   def cleanFences(s: String): String = {
     val t = s.trim
-    val fenced = "(?s)```(?:json)?\\s*(.*?)\\s*```".r
-    fenced.findFirstMatchIn(t).map(_.group(1)).getOrElse(t)
+    fencedRegex.findFirstMatchIn(t).map(_.group(1)).getOrElse(t)
   }
 
   private def tryParse(s: String): Option[JsonNode] =

@@ -113,31 +113,45 @@ object Pipelines {
     // materialized blocks (recompute-safe — no side effects upstream).
     val llmInput = annotatedMat.filter(col("__nodx") === 0 && col("__dup") === 0)
       .select(col("visit_id"), col("uid"))
-    // Join-back by uid. Measured dead end recorded here so it is not
-    // re-tried: condensing the LLM output to per-visit uid→prediction
-    // maps (collect_list + map_from_entries, join on visit alone) DOES
-    // leave the fact side exchange-free into the merge join — but the
-    // LLM output is LINEAR in kept claims, so the map build is an
-    // object-hash aggregation over the whole fan-out output and a raw
-    // (pre-dedup, no partial-agg) shuffle of it: 4.5× slower at the
-    // 100× replica (457 s vs ~100 s) than just re-shuffling the
-    // narrow annotated table on uid. The uid SMJ keeps map-side
-    // partial dedup on the predicted side and codegen'd sorts on both.
-    val predicted = LlmFanout.predict(llmInput, "visit_id", "uid", () => new MockLlmClient())
-      .select(col("uid"), col("medical_prediction"), col("reason"))
-      .dropDuplicates("uid")
-      .withColumnRenamed("uid", "__p_uid")
+    // r12 OPT: consume the fan-out's exploded sets (failedVisits,
+    // rejections) DIRECTLY against the annotated corpus frame. The
+    // old shape went through LlmFanout.predict, which first joined
+    // the sets onto the narrow llmInput slice (a full uid SMJ of the
+    // corpus-sized (visit, uid) projection) only for this pipeline to
+    // dedup the result back to per-uid rows and join it onto
+    // annotatedMat again — one whole corpus-slice shuffle + sort that
+    // carried no information. The final claims join below is the SAME
+    // join predict would have done, on the same keys, with the same
+    // null semantics (gate branches win first, so cross-visit scrape
+    // hits on gated uids — possible through the reference's strategy-4
+    // regex — resolve identically).
+    //
+    // Measured dead end kept on record: condensing the LLM output to
+    // per-visit uid→prediction maps (collect_list + map_from_entries,
+    // join on visit alone) is 4.5× slower at the 100× replica
+    // (bench_100x_pred8g_mapjoin_deadend_r09.json) — the uid SMJ keeps
+    // map-side partial dedup and codegen'd sorts.
+    val (failedVisits, rejections) =
+      LlmFanout.predictSets(llmInput, "visit_id", "uid", () => new MockLlmClient())
+    // Same defensive per-uid dedup the old dropDuplicates("uid")
+    // provided, applied to the exploded (smaller) side: a scraped
+    // cross-visit uid pair must not fan out claims rows.
+    val rej = rejections.dropDuplicates("__uid")
 
     val baseCols = Seq(col("visit_id"), col("uid"), col("svc"),
       when(col("__nodx") === 1, "Rejected")
         .when(col("__dup") === 1, "Rejected")
-        .otherwise(coalesce(col("medical_prediction"), lit("Approved"))).as("medical_prediction"),
+        .when(col("__visit").isNotNull, "Failed to reach LLM")
+        .when(col("__text").isNotNull, "Rejected")
+        .otherwise("Approved").as("medical_prediction"),
       when(col("__nodx") === 1, "Missing diagnosis")
         .when(col("__dup") === 1, "Duplicated Service")
-        .otherwise(col("reason")).as("reason"))
+        .otherwise(col("__text")).as("reason"))
     val cols = if (keepDay) baseCols :+ to_date(col("l_shipdate")).as("day") else baseCols
     annotatedMat
-      .join(predicted, annotatedMat("uid") === col("__p_uid"), "left")
+      .join(graft.ops.Joins.broadcastIfSmall(failedVisits),
+        annotatedMat("visit_id").cast("string") === col("__visit"), "left")
+      .join(rej, annotatedMat("uid") === col("__uid"), "left")
       .select(cols: _*)
   }
 

@@ -141,12 +141,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"final plan must read the materialized annotated blocks, not re-scan parquet:\n$plan")
     assert("Window".r.findAllIn(plan).length == 0,
       s"gate windows must not recompute in the final plan:\n$plan")
-    // Join-stage sorts: the fan-out's internal rejections SMJ and
-    // the outer join-back share the uid sort order on the reused
-    // sides — exactly 3 Sorts survive. Anything above means a join
-    // grew a sort (or a window stopped sharing and leaked here).
+    // Join-stage sorts: ONE uid sort per side of the single
+    // rejections join-back — r12 removed the fan-out's internal
+    // per-claim join (the pipeline consumes predictSets directly, so
+    // the old third sort — the llmInput slice's SMJ side — is gone).
+    // Anything above 2 means a join grew back (or a window stopped
+    // sharing and leaked here).
     val sorts = "[+:]- Sort ".r.findAllIn(plan).length
-    assert(sorts == 3, s"expected exactly 3 join-stage Sort operators, found $sorts:\n$plan")
+    assert(sorts == 2, s"expected exactly 2 join-stage Sort operators, found $sorts:\n$plan")
   }
 
   test("incremental watermark cut pushes to the parquet scan via the raw predicate") {
