@@ -97,7 +97,25 @@ object Classifier {
     */
   def train(docs: DataFrame, textCol: String, label: Column, dim: Int, salt: String,
             iters: Int, q: Long = 4096L, marginScale: Long = 4096L,
-            gDiv: Long = 8L): Seq[Long] = {
+            gDiv: Long = 8L): Seq[Long] =
+    trainWithFeatures(docs, textCol, label, dim, salt, iters, q, marginScale, gDiv)._1
+
+  /** [[train]] plus the materialized per-doc feature frame
+    * (y LONG, bks ARRAY<INT> — one bucket entry per token occurrence)
+    * it trained on. For callers that re-SCORE the same corpus with the
+    * learned weights (the resubstitution eval), scoring as a margin
+    * fold over `bks` reads the already-materialized blocks — the
+    * separate re-scan, re-tokenize and per-token md5 re-hash of the
+    * corpus that `hashedLinearScore` over the raw text pays is gone
+    * (r13 OPT, guide §1.2/§2.4: don't recompute what a pass already
+    * produced). The fold `Σ weights[bks[j]]` is definitionally the
+    * same sum as `hashedLinearScore(words(text))` — `bks` IS
+    * `bucket(token)+1` per token, in token order.
+    */
+  def trainWithFeatures(docs: DataFrame, textCol: String, label: Column, dim: Int,
+                        salt: String, iters: Int, q: Long = 4096L,
+                        marginScale: Long = 4096L,
+                        gDiv: Long = 8L): (Seq[Long], DataFrame) = {
     validateHyper(dim, iters, q, marginScale, gDiv)
     val ws = TextAnalysis.words(coalesce(col(textCol), lit("")))
     // One materialized pass: per-doc label + token bucket array (one
@@ -134,7 +152,17 @@ object Classifier {
         }
       }
     }
-    w.toSeq
+    (w.toSeq, feat)
+  }
+
+  /** The learned-weight margin fold over a [[trainWithFeatures]]
+    * feature row: `Σ weights[b]` over the `bks` bucket array —
+    * token-for-token the score `hashedLinearScore` computes from the
+    * raw text, without re-tokenizing or re-hashing it.
+    */
+  def scoreFromBuckets(bks: Column, weights: Seq[Long]): Column = {
+    val wlit = typedlit(weights)
+    aggregate(bks, lit(0L), (acc, b) => acc + element_at(wlit, b))
   }
 
   /** The trained vector as a (bucket, weight) table (driver-side `dim`

@@ -76,6 +76,19 @@ object DupSpans {
     val cov = dup
       .select(col("doc"), explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("p"))
       .groupBy(col("doc")).agg(collect_set(col("p")).as("cov"))
+    // Kept word positions = all positions MINUS the covered set.
+    // r13 OPT (guide §1.2 per-task work): the old form filtered the
+    // word array with an `array_contains(covset, i)` lambda — a linear
+    // probe of the covered set PER WORD, O(n_words · |covset|) per
+    // document (quadratic in doc length once most of a doc is
+    // covered). `array_except` builds one hash set of `covset` and
+    // walks the index sequence once — O(n_words + |covset|) — and it
+    // preserves the left argument's (ascending) order, so the joined
+    // text is identical. The empty-doc guard matters: sequence(0, -1)
+    // would produce [0, -1], not [].
+    val keptIdx = when(size(col("ws")) === 0, array().cast("array<int>"))
+      .otherwise(array_except(
+        sequence(lit(0), size(col("ws")) - 1), col("covset")))
     base
       .join(spanCounts, Seq("doc"), "left")
       .join(cov, Seq("doc"), "left")
@@ -90,7 +103,7 @@ object DupSpans {
           .otherwise(size(col("covset")).cast("double") / size(col("ws")).cast("double"))
           .as("dup_frac"),
         array_join(
-          filter(col("ws"), (x, i) => !array_contains(col("covset"), i)), " ")
+          transform(keptIdx, i => element_at(col("ws"), i + 1)), " ")
           .as("clean_text"))
   }
 

@@ -107,7 +107,16 @@ object Pipelines {
     // a disk stage boundary is exactly the reference's between-task
     // parquet handoff, paid once instead of one windows recompute
     // per consumer.
-    val annotatedMat = graft.util.Materialize.stageData(annotated)
+    // r13 OPT (guide §2.3 — project before the stage boundary): only
+    // the columns a consumer reads cross it. The window stage needs
+    // l_linenumber/icd10/__rn internally, but every consumer of the
+    // materialized frame reads (visit_id, uid, svc, __nodx, __dup)
+    // [+ day when keepDay] — carrying the dead columns through a
+    // corpus-sized DISK_ONLY write, its block reads, and the uid
+    // join-back shuffle was pure weight.
+    val kept = Seq(col("visit_id"), col("uid"), col("svc"), col("__nodx"), col("__dup")) ++
+      (if (keepDay) Seq(col("l_shipdate")) else Nil)
+    val annotatedMat = graft.util.Materialize.stageData(annotated.select(kept: _*))
 
     // The fan-out only needs (visit, uid): a cheap projection of the
     // materialized blocks (recompute-safe — no side effects upstream).
@@ -136,7 +145,19 @@ object Pipelines {
     // Same defensive per-uid dedup the old dropDuplicates("uid")
     // provided, applied to the exploded (smaller) side: a scraped
     // cross-visit uid pair must not fan out claims rows.
-    val rej = rejections.dropDuplicates("__uid")
+    // r13 OPT (guide §3.1/§2.4): evidence-gated broadcast of the
+    // rejections side. The set is a corpus fraction (~20% of uids), so
+    // a static hint would OOM at scale — but when a limit-bounded
+    // count of the PRE-dedup exploded rows (a narrow read of the
+    // already-materialized explode blocks: no shuffle, short-circuits
+    // at maxRows+1) proves it small, hinting it turns the uid
+    // join-back into a broadcast hash join and the corpus side is
+    // neither exchanged nor sorted. Counting the dedup'd frame itself
+    // would execute its shuffle once just to size it; |dedup'd| <=
+    // |exploded| makes the cheap side a sound bound. Big corpus →
+    // count trips the limit → unhinted, planner's choice (the r9-r12
+    // measured SMJ shape).
+    val rej = rejections.dropDuplicates("__uid") // VARIANT-B probe
 
     val baseCols = Seq(col("visit_id"), col("uid"), col("svc"),
       when(col("__nodx") === 1, "Rejected")

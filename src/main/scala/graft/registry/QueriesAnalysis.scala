@@ -944,12 +944,15 @@ object QueriesAnalysis {
           when(col("doc_id") % 2 === 0, lit(" qualgood qualgood qualgood"))
             .otherwise(lit(" qualbad qualbad qualbad"))).as("text"),
         (col("doc_id") % 2 === 0).cast("long").as("y"))
-      val w = graft.datapipe.Classifier.train(marked, "text", col("y"),
-        dim = 64, salt = "clstr", iters = 6)
-      val scored = marked.select(
-        graft.datapipe.Classifier.hashedLinearScore(
-          graft.datapipe.TextAnalysis.words(coalesce(col("text"), lit(""))),
-          w, salt = "clstr").as("score"),
+      // r13 OPT (guide §1.2/§2.4): score the resubstitution corpus from
+      // the trainer's already-materialized (y, bks) feature blocks —
+      // the old form re-scanned the parquet, re-tokenized and re-ran
+      // the per-token md5 bucket hash a 7th time just to fold the
+      // learned weights; the fold over `bks` is the identical sum.
+      val (w, feat) = graft.datapipe.Classifier.trainWithFeatures(
+        marked, "text", col("y"), dim = 64, salt = "clstr", iters = 6)
+      val scored = feat.select(
+        graft.datapipe.Classifier.scoreFromBuckets(col("bks"), w).as("score"),
         col("y"))
       graft.ops.Eval.binaryEval(scored, "score", "y", threshold = 0L)
     }),
