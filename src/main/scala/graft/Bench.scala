@@ -290,6 +290,16 @@ object Bench {
       "\"" + k + "\":" + jq(e)
     }.mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
+    // r13 (VERDICT item 2 — make the CPUS scaling contract legible):
+    // the env var IS honored (master local[$cpus] + shuffle.partitions
+    // above), but at sf0.1 AQE right-sizes post-shuffle stages to DATA
+    // size, so c8/c32 wall-clock ratios sit near 1 and the driver
+    // cannot distinguish "honored but floor-bound" from "ignored".
+    // Emit the effective core count and the context's resolved
+    // defaultParallelism on the bench line (ADDITIONS ONLY — the
+    // existing keys and their order are the round-over-round parse
+    // contract and must not change).
+    val parallelism = spark.sparkContext.defaultParallelism
     // Persist the FULL JSON (spread/errors/npasses/load) to a file; the
     // default is a timestamped path under /tmp so an env-less run can
     // never clobber the committed round artifact (repo-root
@@ -301,7 +311,7 @@ object Bench {
     // like every other dynamic field (a quote or backslash in
     // SPARK_GRAFT_BENCH_OUT would otherwise make the line unparseable,
     // the exact artifact-loss failure the compact line exists to fix).
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"passes":$passes,"npasses":$npasses,"load":$load,"sf":${jq(sfDir)}}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errs,"passes":$passes,"npasses":$npasses,"load":$load,"cpus":${jq(cpus)},"parallelism":$parallelism,"sf":${jq(sfDir)}}"""
     // STDOUT gets a COMPACT line: the driver's BENCH_r{N} capture
     // tail-truncates long stdout, and by round 11 the full line (59
     // queries × spreads + errors + npasses) had outgrown it — the
@@ -309,7 +319,7 @@ object Bench {
     // survived only in the committed file. Total + per-query medians
     // (3 decimals) + failing-query errors fit comfortably; everything
     // else lives in the file artifact, referenced by path.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$stdoutErrs,"passes":$passes,"detail":${jq(outPath)},"sf":${jq(sfDir)}}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$stdoutErrs,"passes":$passes,"detail":${jq(outPath)},"cpus":${jq(cpus)},"parallelism":$parallelism,"sf":${jq(sfDir)}}"""
     println(line)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

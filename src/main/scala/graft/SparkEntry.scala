@@ -222,6 +222,15 @@ object SparkEntry {
     // a partition-local sort of the aggregated rows. Nothing is lost
     // map-side: collect_list partial aggregation never shrinks the
     // shuffle anyway (the lists carry every row).
+    // SCALE POSTURE (r12 ADVICE): this shape — like the q_a11 and
+    // eligibility rangeByVisit wins — assumes the part/dimension joins
+    // stay BROADCAST (dimensions are sublinear in SF). If AQE ever
+    // flips one to a shuffle join at a larger SF, that join's hash
+    // exchange destroys the up-front range partitioning and the
+    // repartitionByRange degrades to a pure extra full-fact shuffle
+    // (results unchanged, perf only). A plan showing rangepartitioning
+    // BELOW a ShuffledJoin is that flip, not an unrelated regression —
+    // drop the repartition in that world.
     "q_a12_string_agg" -> ((s, dir) =>
       ResubmissionExtract.diagnosisAgg(
           TestTables.lineitem(s, dir).repartitionByRange(col("l_orderkey")),

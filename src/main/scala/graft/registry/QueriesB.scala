@@ -26,16 +26,29 @@ object QueriesB {
     }),
 
     // B8: keep-last dedup over an explicit order (pandas keep="last").
+    // r13 OPT (guide §2.4 — the r12 range-partition-once pattern): the
+    // final ORDER BY keys equal the dedup window's PARTITION BY keys,
+    // so range-partition the scan first — RangePartitioning(k)
+    // satisfies the window's ClusteredDistribution (no hash exchange)
+    // and the trailing global sort's OrderedDistribution (no second
+    // exchange, no duplicate window-tail execution in the range
+    // sampler). Same caveat as q_a11/q_a12: the win assumes no
+    // downstream join forces hash co-partitioning — there is none here.
     "q_b08_dedup_keep_last" -> ((s, dir) =>
-      ColumnOps.dedupKeepLast(TestTables.lineitem(s, dir),
+      ColumnOps.dedupKeepLast(
+          TestTables.lineitem(s, dir)
+            .repartitionByRange(col("l_orderkey"), col("l_partkey")),
           keys = Seq("l_orderkey", "l_partkey"),
           order = Seq(col("l_shipdate"), col("l_linenumber")))
         .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"), col("l_shipdate"))
         .orderBy(col("l_orderkey"), col("l_partkey"))),
 
     // B8 variant: keep-first (outpatient duplicate-services rule).
+    // Range-partitioned once, same rationale as keep-last above.
     "q_b08_dedup_keep_first" -> ((s, dir) =>
-      ColumnOps.dedupKeepFirst(TestTables.lineitem(s, dir),
+      ColumnOps.dedupKeepFirst(
+          TestTables.lineitem(s, dir)
+            .repartitionByRange(col("l_orderkey"), col("l_partkey")),
           keys = Seq("l_orderkey", "l_partkey"),
           order = Seq(col("l_shipdate"), col("l_linenumber")))
         .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"), col("l_shipdate"))
@@ -45,8 +58,12 @@ object QueriesB {
     // every row of a duplicated (orderkey, partkey) is dropped; only
     // singleton keys survive. lineitem has planted duplicate rows by
     // design, so the cut is exercised for real.
+    // Range-partitioned once, same rationale as keep-last above (the
+    // unordered COUNT window accepts RangePartitioning the same way).
     "q_b08_dedup_keep_none" -> ((s, dir) =>
-      ColumnOps.dedupKeepNone(TestTables.lineitem(s, dir),
+      ColumnOps.dedupKeepNone(
+          TestTables.lineitem(s, dir)
+            .repartitionByRange(col("l_orderkey"), col("l_partkey")),
           keys = Seq("l_orderkey", "l_partkey"))
         .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"), col("l_shipdate"))
         .orderBy(col("l_orderkey"), col("l_partkey"))),
@@ -174,8 +191,12 @@ object QueriesB {
           explode(concat(
             array_repeat(lit("intersect_all"),
               least(col("__na"), col("__nb")).cast("int")),
+            // max(na − nb, 0) spelled explicitly (r12 ADVICE): the old
+            // form leaned on array_repeat silently clamping a negative
+            // count to empty plus an unchecked long→int cast — same
+            // rows, but fragile against engine/ANSI semantic drift.
             array_repeat(lit("except_all"),
-              (col("__na") - col("__nb")).cast("int")))).as("op"))
+              greatest(col("__na") - col("__nb"), lit(0L)).cast("int")))).as("op"))
         .orderBy(col("op"), col("l_partkey"), col("l_suppkey"))
     }),
 

@@ -32,8 +32,21 @@ class PlanShapeSpec extends AnyFunSuite {
     // collected list. Since the r12 branch fusion it arrives as a
     // left-outer indicator join (__di) instead of the old LeftSemi —
     // either form is a join; what must never appear is a driver-side
-    // IN-list (no join at all).
-    assert(plan.contains("LeftSemi") || plan.contains("__di"), plan)
+    // IN-list (no join at all). r13 (r12 ADVICE): a bare `__di`
+    // substring check would pass even if the flagged set degenerated
+    // to a collected literal filter — assert on the optimized plan's
+    // Join NODES instead (the logical tree is traversable; the AQE
+    // physical root is a leaf), requiring a join that actually
+    // supplies __di (or a LeftSemi doing the same work).
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.exists(j =>
+        j.joinType.sql == "LEFT SEMI" ||
+        j.left.output.exists(_.name == "__di") ||
+        j.right.output.exists(_.name == "__di")),
+      s"the flagged-order set must arrive via a join that supplies __di " +
+        s"(or a semi-join), never a driver-side IN-list:\n$plan")
     // The fusion's point: exactly ONE latest-per-group window pass
     // (the pre-r12 branch union planned two sorts+windows over the
     // shared exchange).
